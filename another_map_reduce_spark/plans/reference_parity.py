@@ -1,0 +1,72 @@
+"""Reference-parity queries: the jobs the reference itself can run.
+
+The reference ships exactly one job — case-sensitive word count over
+text (`/root/reference/src/worker.rs:23-38`, oracle `verify.py`).  Both
+entries here compute it over ``documents.text`` with identical
+semantics; ``mr_wordcount`` does so through the generic ``map_reduce``
+API (the reference's real surface, SURVEY.md §2b last row) to prove the
+pluggable path agrees with the declarative one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from another_map_reduce_spark.queries import register
+from another_map_reduce_spark.sources.tables import load_table
+
+# Shared DuckDB tokenizer fragment — same regex class and empty-token
+# elision as src/worker.rs:26-30 / verify.py:12-13.
+_TOKENS_SQL = """
+    SELECT unnest(string_split_regex(
+             regexp_replace(text, '[^A-Za-z]', ' ', 'g'), '\\s+')) AS word
+    FROM documents
+"""
+
+_WORDCOUNT_SQL = f"""
+SELECT word, count(*) AS cnt
+FROM ({_TOKENS_SQL})
+WHERE word <> ''
+GROUP BY word
+ORDER BY word
+"""
+
+
+@register("wordcount", oracle=_WORDCOUNT_SQL)
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference job on the documents corpus.
+
+    Exercises reference operators #1,#2,#3,#5,#8,#9,#11 (SURVEY.md §2a).
+    """
+    from another_map_reduce_spark.operators.wordcount import word_count
+
+    return word_count(load_table(spark, sf_dir, "documents"), "text")
+
+
+@register("mr_wordcount", oracle=_WORDCOUNT_SQL)
+def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count via the generic map_reduce API (combiner path).
+
+    Same user-function pair as src/worker.rs:23-38, expressed as Python
+    callables over the pluggable surface the reference hardcodes.
+    """
+    import re
+
+    from pyspark.sql import functions as F
+
+    from another_map_reduce_spark.operators.mapreduce import map_reduce_associative
+
+    sep = re.compile(r"[^A-Za-z]")
+
+    def map_fn(row):  # ≙ fn map(), src/worker.rs:23-34
+        return [(w, 1) for w in sep.sub(" ", row.text).split()]
+
+    # merge `+` over the mapped 1s ≡ the reference reduce's len(values)
+    # (src/worker.rs:36-38) — but with map-side combine.
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    out = map_reduce_associative(
+        docs, map_fn, lambda a, b: a + b, value_type="long"
+    )
+    return out.select(
+        F.col("key").alias("word"), F.col("value").alias("cnt")
+    ).orderBy("word")

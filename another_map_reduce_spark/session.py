@@ -1,0 +1,77 @@
+"""SparkSession factory.
+
+The reference's only execution knobs are the worker count (processes
+started by hand) and ``-n num_buckets`` (`/root/reference/src/main.rs:21-24`),
+which fixes the number of reduce partitions.  Spark's equivalent knobs are
+set here once, tuned for scale-out:
+
+* AQE on — runtime re-planning (partition coalescing, skew-join splitting)
+  replaces the reference's static task list (`src/coordinator.rs:216-230`).
+* Arrow on — every Python-side operator in this package moves data in
+  Arrow batches, never row-at-a-time.
+* ``spark.sql.shuffle.partitions`` ≙ the reference's ``num_buckets``;
+  with AQE enabled this is an upper bound that AQE coalesces down from,
+  so a large value is safe on a big cluster and cheap locally.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
+
+
+def get_spark(
+    app_name: str = "another-map-reduce-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession configured for this engine.
+
+    ``shuffle_partitions`` plays the role of the reference's
+    ``-n num_buckets`` (`/root/reference/src/main.rs:21-24`): the number of
+    reduce-side partitions.  Unlike the reference, AQE may coalesce below
+    it at runtime when partitions are small.
+    """
+    master = master or f"local[{DEFAULT_CPUS}]"
+    shuffle_partitions = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Deterministic cross-engine comparisons (DuckDB oracle) need a
+        # fixed session timezone for timestamp arithmetic.
+        .config("spark.sql.session.timeZone", "UTC")
+        # ≙ reference num_buckets; upper bound under AQE.
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Runtime re-planning: coalesce small shuffle partitions, split
+        # skewed ones, demote/promote join strategies.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # All Python-side operators are Arrow-batched (pandas UDFs,
+        # applyInPandas/mapInPandas, toPandas).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Small dims (region/nation/supplier at any SF) should broadcast.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Scan-split sizing: at 100 TB this bounds per-task input so map
+        # tasks stay memory-safe; locally it's irrelevant but harmless.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # The synthetic events table stores TIMESTAMP(NANOS) parquet,
+        # which vanilla Spark rejects; read as long and convert in the
+        # loader (sources/tables.py) — DuckDB likewise truncates to µs.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Quieter local runs.
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,71 @@
+"""Parquet table sources for the synthetic test corpus.
+
+The reference's only source is a glob over local ``./files/*.txt``
+(`/root/reference/src/coordinator.rs:216-224`), one map task per file.
+Spark's FileSourceScan subsumes that (finer-grained splits, column
+pruning, predicate pushdown), so the loaders here are thin: they exist
+to centralise table names, keep schema expectations in one place, and
+register temp views so every query is also runnable via ``spark.sql``.
+
+At 100 TB these parquet reads are where most optimization happens —
+the loaders deliberately return *lazy* DataFrames so Catalyst can push
+filters/projections into the scan; nothing here forces materialisation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The ten driver-generated tables (TESTDATA.md). TPC-H-ish star schema
+# plus events/documents/embeddings for the pipeline-extension operators.
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast at ANY scale factor (bounded
+# cardinality in TPC-H: 5 regions, 25 nations). Join planners in
+# plans/relational.py broadcast these explicitly.
+ALWAYS_BROADCAST: frozenset[str] = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazily load one synthetic table: ``{sf_dir}/{name}.parquet``."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events stores TIMESTAMP(NANOS); sessions built outside
+        # get_spark (e.g. the driver's) reject it without this conf.
+        # It is runtime-settable, so set it defensively here.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as long (see session.py); truncate to µs
+        # exactly as DuckDB does, so oracle comparisons agree.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view; returns name → DataFrame.
+
+    Mirrors the DuckDB oracle environment, where the same names are
+    pre-registered, so any ``oracle_sql()`` string is also runnable via
+    ``spark.sql`` against these views.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
