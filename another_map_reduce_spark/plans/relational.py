@@ -1,7 +1,769 @@
 """Relational query suite — [extension] operators (SURVEY.md §2b).
 
-All Catalyst built-ins; each query is paired with a DuckDB oracle.
-Populated incrementally (M3).
+The reference has no relational operators beyond count-by-key
+(`/root/reference/src/worker.rs:36-38`); everything here is the
+[extension] surface: filters/projections, joins of every flavor,
+aggregation (incl. distinct, rollup, cube), window functions,
+sort/limit/top-k, set operations, scalar functions, JSON extraction.
+All pure Catalyst built-ins — no UDFs anywhere in this module, so every
+query stays inside whole-stage codegen and gets predicate pushdown,
+column pruning, and AQE for free.
+
+Cross-engine determinism rules (the DuckDB oracle hash-compares):
+
+* SUM/AVG over doubles is order-dependent in the last ulps, so every
+  such aggregate sums ``CAST(x AS DECIMAL(38,6))`` — exact and
+  order-independent — then casts the result back to double (both
+  engines round-to-nearest-even on that cast, giving identical bits).
+* MIN/MAX/COUNT are order-independent already — no cast.
+* Every top-k sort carries a unique-key tie-break.
+* Every computed column is aliased identically in Spark and SQL.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from another_map_reduce_spark.queries import register
+from another_map_reduce_spark.sources.tables import load_table
+
+
+def _dec(col: Column | str) -> Column:
+    """Exact summation dtype: see module docstring."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(38,6)")
+
+
+def dsum(col: Column | str, alias: str) -> Column:
+    return F.sum(_dec(col)).cast("double").alias(alias)
+
+
+def davg(col: Column | str, alias: str) -> Column:
+    # sum exactly, divide two identical doubles → identical quotient
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(_dec(c)).cast("double") / F.count(c)).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Filter / projection (pushdown showcase)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_project",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l_shipdate <  TIMESTAMP '1999-01-01'
+  AND l_discount > 0.05
+  AND l_returnflag = 'R'
+""",
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive predicates + narrow projection.
+
+    Both the filters and the 4-column ReadSchema reach the parquet scan
+    (PushedFilters in .explain) — the plan reads no other bytes.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_discount") > 0.05)
+        & (F.col("l_returnflag") == "R")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide multi-aggregate scan-group.
+
+    Partial aggregation (map-side combine) collapses 600k rows to
+    |flags×status| per task before the shuffle — the pattern the
+    reference lacks entirely (src/worker.rs:95-115 shuffles raw pairs).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(o_totalprice) AS avg_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count / count-distinct / min / max / avg in one pass."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            davg("o_totalprice", "avg_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals; gid disambiguates rollup NULLs."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            dsum("l_quantity", "sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus, o_orderpriority
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            dsum("o_totalprice", "total"),
+        )
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+SELECT p_brand, COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+FROM part
+GROUP BY p_brand
+HAVING COUNT(*) >= 5
+ORDER BY p_brand
+""",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"), dsum("p_retailprice", "total_price"))
+        .where(F.col("n_parts") >= 5)
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_broadcast_agg",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def join_broadcast_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ dimension with an explicit broadcast hint.
+
+    customer is orders/10 at every SF — broadcasting it removes the
+    fact-side shuffle entirely: the join is map-side, and only the
+    tiny post-agg shuffle remains.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "revenue"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "join_multiway",
+    oracle="""
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-table star join.
+
+    nation/region are broadcast (bounded cardinality at any SF);
+    lineitem⋈orders is the only big shuffle and AQE may convert even
+    that once the customer filter collapses the build side.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+SELECT c_custkey, c_name, COUNT(o_orderkey) AS order_cnt
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+ORDER BY c_custkey
+""",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (count 0)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+SELECT n_name, COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+GROUP BY n_name
+ORDER BY n_name
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join ≡ EXISTS: customers with ≥1 finished order."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    finished = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+    )
+    return (
+        customer.join(finished, customer.c_custkey == finished.o_custkey, "semi")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+ORDER BY c_custkey
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join ≡ NOT EXISTS: customers with no pending order.
+
+    (Restricted to status 'P' so the result is non-empty at every SF —
+    every customer has *some* order in the synthetic data.)
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    pending = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "P")
+        .select("o_custkey")
+    )
+    return (
+        customer.join(pending, customer.c_custkey == pending.o_custkey, "anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+SELECT c_custkey, o_orderkey, o_totalprice, rnk
+FROM (
+  SELECT c_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+WHERE rnk <= 3
+ORDER BY c_custkey, rnk
+""",
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — ranking window with unique tie-break."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .orderBy("c_custkey", "rnk")
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_total
+FROM orders
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative frame window (exact decimal accumulation)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(_dec("o_totalprice")).over(w).cast("double").alias(
+                "running_total"
+            ),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       LAG(o_totalprice)  OVER w AS prev_price,
+       LEAD(o_totalprice) OVER w AS next_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+            F.lead("o_totalprice").over(w).alias("next_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k / distinct
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_global",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 20
+""",
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    heaps + a k-row driver merge; no global sort materialisation."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .orderBy(
+            F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+        )
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(20)
+    )
+
+
+@register(
+    "distinct_pairs",
+    oracle="""
+SELECT DISTINCT l_returnflag, l_linestatus
+FROM lineitem
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_intersect",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+ORDER BY nationkey
+""",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations with both customers and suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s).orderBy("nationkey")
+
+
+@register(
+    "set_except",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 6000
+ORDER BY nationkey
+""",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations with customers but no high-balance suppliers.
+
+    ``subtract`` = SQL EXCEPT (set semantics); ``exceptAll`` would be
+    bag semantics and leave per-duplicate remainders.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 6000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.subtract(s).orderBy("nationkey")
+
+
+@register(
+    "set_union_all",
+    oracle="""
+SELECT nationkey, COUNT(*) AS n FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nationkey FROM supplier
+)
+GROUP BY nationkey
+ORDER BY nationkey
+""",
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return (
+        c.unionAll(s)
+        .groupBy("nationkey")
+        .agg(F.count("*").alias("n"))
+        .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions: string / date / math / conditional / JSON
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_date_math",
+    oracle="""
+SELECT o_orderkey,
+       UPPER(o_orderpriority) AS pri_upper,
+       SUBSTRING(o_orderpriority, 1, 1) AS pri_code,
+       LENGTH(o_orderpriority) AS pri_len,
+       CONCAT(o_orderstatus, '-', o_orderpriority) AS status_pri,
+       YEAR(o_orderdate) AS order_year,
+       MONTH(o_orderdate) AS order_month,
+       CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS order_month_start,
+       ABS(o_totalprice - 100000.0) AS price_dev,
+       FLOOR(o_totalprice / 1000) AS price_k,
+       ROUND(SQRT(o_totalprice), 6) AS price_sqrt
+FROM orders
+WHERE o_orderkey % 10 = 0
+ORDER BY o_orderkey
+""",
+)
+def scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math built-ins — all JVM-side, codegen'd."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.upper("o_orderpriority").alias("pri_upper"),
+            F.substring("o_orderpriority", 1, 1).alias("pri_code"),
+            F.length("o_orderpriority").alias("pri_len"),
+            F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias(
+                "status_pri"
+            ),
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.date_trunc("month", "o_orderdate")
+            .cast("date")
+            .alias("order_month_start"),
+            F.abs(F.col("o_totalprice") - 100000.0).alias("price_dev"),
+            F.floor(F.col("o_totalprice") / 1000).alias("price_k"),
+            F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "scalar_case_bucket",
+    oracle="""
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 200000 THEN 'medium'
+            ELSE 'large' END AS size_bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM orders
+GROUP BY 1
+ORDER BY size_bucket
+""",
+)
+def scalar_case_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+        .alias("size_bucket")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(bucket)
+        .agg(F.count("*").alias("n"), dsum("o_totalprice", "total"))
+        .orderBy("size_bucket")
+    )
+
+
+@register(
+    "json_extract_agg",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                     AS DECIMAL(38,6))) AS DOUBLE)
+         / COUNT(json_extract_string(props, '$.k')) AS avg_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (events.props) + aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            davg("k", "avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_hourly",
+    oracle="""
+SELECT DATE_TRUNC('hour', ts) AS hour,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+""",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time buckets via date_trunc — the batch shape of the
+    streaming windowed aggregation (streaming/ runs the same logic)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"), davg("value", "avg_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+@register(
+    "subquery_above_avg",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                                  AS DOUBLE) / COUNT(*) * 1.5
+                      FROM orders)
+ORDER BY o_orderkey
+""",
+)
+def subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders 50% above the mean price.
+
+    Expressed via spark.sql to exercise the SQL entry point over the
+    registered views (SURVEY.md §3 'second entry point').
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                                          AS DOUBLE) / COUNT(*) * 1.5
+                              FROM orders)
+        ORDER BY o_orderkey
+        """
+    )

@@ -54,6 +54,32 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()[:16]
 
 
+def compare_query(spark, con, fn, sql: str, sf_dir: str) -> list[str]:
+    """Run one Spark query + its DuckDB oracle; return a list of problems
+    (empty = match).  ``con`` must already have the table views."""
+    sdf = fn(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = list(sdf.columns)
+    res = con.execute(sql)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    problems = []
+    if len(srows) != len(orows):
+        problems.append(f"rows {len(srows)} vs {len(orows)}")
+    if sorted(scols) != sorted(ocols):
+        problems.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
+    elif value_hash(scols, srows) != value_hash(ocols, orows):
+        problems.append("value hash mismatch")
+    return problems
+
+
+def make_oracle_con(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
