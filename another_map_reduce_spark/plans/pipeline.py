@@ -1,7 +1,377 @@
 """LLM-pipeline query suite — [extension] operators (SURVEY.md §7 M4).
 
 Dedup / similarity / text-analysis / multimodal over documents and
-embeddings.  Populated incrementally (M4).
+embeddings.  Where the operator is SQL-expressible the DuckDB oracle is
+generated from the SAME constants (stopword lists, weights, thresholds)
+as the Spark code, so the two can't drift.  xxhash64-based operators
+(MinHash, SimHash) have no DuckDB equivalent → rows-only check +
+recall tests in tests/test_dedup.py against the exact operator.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from another_map_reduce_spark.operators.text_analysis import (
+    LANG_PRIORITY,
+    STOPWORDS,
+)
+from another_map_reduce_spark.queries import register
+from another_map_reduce_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB fragments, generated from the same constants as Spark
+# ---------------------------------------------------------------------------
+
+# lowercased whitespace tokens, empty-free (matches text_analysis._ws_tokens)
+_TOKENS = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+
+
+def _hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({_TOKENS}, t -> t IN ({words})))"
+
+
+def _lang_case_sql() -> str:
+    """CASE chain identical to text_analysis.detect_language."""
+    branches = []
+    for idx, lang in enumerate(LANG_PRIORITY):
+        conds = [f"h_{lang} > 0"]
+        for other in LANG_PRIORITY[:idx]:
+            conds.append(f"h_{lang} > h_{other}")  # strictly beat earlier
+        for other in LANG_PRIORITY[idx + 1 :]:
+            conds.append(f"h_{lang} >= h_{other}")  # tie-beat later
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
+_HITS_COLS = ",\n       ".join(f"{_hits_sql(l)} AS h_{l}" for l in LANG_PRIORITY)
+
+# distinct word 3-grams (matches dedup.word_ngrams(n=3))
+_SHINGLES = f"""
+list_distinct(list_transform(
+  range(1, greatest(len({_TOKENS}) - 2, 0) + 1),
+  i -> concat_ws(' ', {_TOKENS}[i], {_TOKENS}[i+1], {_TOKENS}[i+2])))
+"""
+
+# normalized md5 fingerprint (matches text_analysis.fingerprint)
+_FP = r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       length(text) AS n_chars_actual,
+       len({_TOKENS}) AS n_tokens_ws,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
+       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char counting (whitespace + BPE-ish regex)."""
+    from another_map_reduce_spark.operators import text_analysis as ta
+
+    t = F.col("text")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.length(t).alias("n_chars_actual"),
+            ta.ws_token_count(t).alias("n_tokens_ws"),
+            ta.bpe_ish_token_count(t).alias("n_tokens_bpe"),
+            ta.alpha_char_count(t).alias("n_alpha"),
+            ta.punct_char_count(t).alias("n_punct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_quality_by_lang",
+    oracle=f"""
+WITH scored AS (
+  SELECT lang,
+         0.3 * least(length(text) / 400.0, 1.0)
+         + 0.4 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  / greatest(CAST(length(text) AS DOUBLE), 1.0))
+         + 0.2 * ({_hits_sql('en')}
+                  / greatest(CAST(len({_TOKENS}) AS DOUBLE), 1.0))
+         - 0.1 * (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                  / greatest(CAST(length(text) AS DOUBLE), 1.0)) AS quality
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n,
+       CAST(SUM(CAST(quality AS DECIMAL(38,12))) AS DOUBLE) / COUNT(quality) AS avg_quality,
+       MIN(quality) AS min_quality,
+       MAX(quality) AS max_quality
+FROM scored
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score distribution per (labeled) language."""
+    from another_map_reduce_spark.operators.text_analysis import quality_score
+
+    scored = load_table(spark, sf_dir, "documents").select(
+        "lang", quality_score(F.col("text")).alias("quality")
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.col("quality").cast("decimal(38,12)")).cast("double")
+                / F.count("quality")
+            ).alias("avg_quality"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+WITH hits AS (
+  SELECT lang, {_HITS_COLS}
+  FROM documents
+)
+SELECT lang, {_lang_case_sql()} AS pred_lang, COUNT(*) AS n
+FROM hits
+GROUP BY 1, 2
+ORDER BY lang, pred_lang
+""",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled vs heuristically-predicted language, as a confusion table."""
+    from another_map_reduce_spark.operators.text_analysis import detect_language
+
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", detect_language(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_stats",
+    oracle="""
+SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique_texts
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate accounting per language (hash-groupBy dedup)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("text").alias("n_unique_texts"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "dedup_fingerprint_stats",
+    oracle=f"""
+SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT {_FP}) AS n_unique_fp
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def dedup_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-fingerprint dedup accounting per source."""
+    from another_map_reduce_spark.operators.text_analysis import fingerprint
+
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(fingerprint(F.col("text"))).alias("n_unique_fp"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id AS doc, unnest({_SHINGLES}) AS shingle
+  FROM documents
+), sizes AS (
+  SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc
+), inter AS (
+  SELECT a.doc AS d1, b.doc AS d2, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT d1, d2, inter / (s1.sz + s2.sz - inter) AS jac
+FROM inter
+JOIN sizes s1 ON d1 = s1.doc
+JOIN sizes s2 ON d2 = s2.doc
+WHERE inter / (s1.sz + s2.sz - inter) >= 0.8
+ORDER BY d1, d2
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs near-dup detection: word-3-gram Jaccard ≥ 0.8.
+
+    Ground truth for the MinHash/SimHash approximations."""
+    from another_map_reduce_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+@register("dedup_minhash_lsh")  # xxhash64 signatures — not SQL-expressible
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (the scale path; see operators.dedup).
+
+    Verified against dedup_ngram_jaccard in tests/test_dedup.py.
+    """
+    from another_map_reduce_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+@register("dedup_simhash")  # xxhash64 signatures — not SQL-expressible
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming ≤ 3 with pigeonhole blocking."""
+    from another_map_reduce_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_DDOT = (
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+)
+_DNORM_A = "sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+_DNORM_B = "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))"
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+WITH scored AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cid,
+         {_DDOT} / ({_DNORM_A} * {_DNORM_B}) AS cos
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+), ranked AS (
+  SELECT qid, cid, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+  FROM scored
+)
+SELECT qid, cid, cos, rank FROM ranked WHERE rank <= 10
+ORDER BY qid, rank
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for queries vec_id < 10.
+
+    The cosine is bit-identical to DuckDB's double list_dot_product
+    (same element order, double precision), so ranks need no rounding.
+    """
+    from another_map_reduce_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=10)
+
+
+@register(
+    "ann_cosine_pairs",
+    oracle=f"""
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       {_DDOT} / ({_DNORM_A} * {_DNORM_B}) AS cos
+FROM embeddings a, embeddings b
+WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0 AND a.vec_id < b.vec_id
+  AND {_DDOT} / ({_DNORM_A} * {_DNORM_B}) >= 0.3
+ORDER BY v1, v2
+""",
+)
+def ann_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup pairs (cos ≥ 0.3) on a 1/10 corpus slice."""
+    from another_map_reduce_spark.operators.similarity import cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 10 == 0
+    )
+    return cosine_pairs(emb, threshold=0.3)
+
+
+@register("ann_ivf_topk")  # deterministic but join-shape specific; recall-tested
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell approximate top-10 (nprobe=4/16 cells) for vec_id < 10.
+
+    Recall vs ann_cosine_topk is asserted in tests/test_similarity.py.
+    """
+    from another_map_reduce_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=10)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5,
+       (octet_length(encode(text)) % 64) + 1 AS width,
+       (octet_length(encode(text)) % 32) + 1 AS height
+FROM documents
+ORDER BY doc_id
+""",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing: blob → (bytes, md5, dims).
+
+    The decode itself is a deterministic stub (no media libs in this
+    container); the mapInPandas plumbing — Arrow batching, schema,
+    blob-column pruning — is the real, tested surface.
+    """
+    from another_map_reduce_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_image_metadata,
+    )
+
+    docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return extract_image_metadata(docs).orderBy("doc_id")

@@ -1,0 +1,91 @@
+"""Dedup operator tests: exact survivors + approximate-method recall
+against the exact n-gram Jaccard ground truth."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from another_map_reduce_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    word_ngrams,
+)
+from another_map_reduce_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_word_ngrams_basic(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("x y",), ("p p p p",)], "text string"
+    )
+    got = df.select(word_ngrams(F.col("text"), 3).alias("g")).collect()
+    assert got[0].g == ["a b c", "b c d"]
+    assert got[1].g == []  # fewer than n tokens
+    assert got[2].g == ["p p p"]  # distinct collapses repeats
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "dup"), (2, "dup"), (3, "unique"), (5, "dup")],
+        "doc_id long, text string",
+    )
+    out = dedup_exact(df, ["text"], "doc_id").orderBy("doc_id").collect()
+    assert [(r.doc_id, r.dup_cnt) for r in out] == [(1, 3), (3, 1)]
+
+
+def test_exact_jaccard_finds_planted_dups(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    assert len(pairs) > 0  # the synthetic corpus plants near-dups
+    assert all(0.8 <= r.jac <= 1.0 for r in pairs)
+    assert all(r.d1 < r.d2 for r in pairs)
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    """At jaccard ≥0.8 with k=128,b=16,r=8 the miss probability per pair
+    is ≤(1-0.8^8)^16 ≈ 5%; the planted dups sit near 0.99 where it is
+    ~1e-9 — so expect (near-)full recall and NO false positives (the
+    candidate set is verified with exact Jaccard)."""
+    exact = {
+        (r.d1, r.d2): r.jac
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    approx = {
+        (r.d1, r.d2): r.jac for r in minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    assert set(approx) <= set(exact)  # verification kills false positives
+    recall = len(approx) / max(len(exact), 1)
+    assert recall >= 0.9, f"recall {recall}: {set(exact) - set(approx)}"
+    for pair, jac in approx.items():
+        assert abs(jac - exact[pair]) < 1e-12
+
+
+def test_simhash_pairs_sane(spark, docs):
+    pairs = simhash_pairs(docs, max_hamming=3).collect()
+    assert all(r.hamming <= 3 for r in pairs)
+    assert all(r.d1 < r.d2 for r in pairs)
+    # near-identical docs (jaccard ≥ 0.95) should mostly collide in simhash
+    exact_high = {
+        (r.d1, r.d2)
+        for r in ngram_jaccard_pairs(docs, threshold=0.95).collect()
+    }
+    got = {(r.d1, r.d2) for r in pairs}
+    if exact_high:
+        overlap = len(exact_high & got) / len(exact_high)
+        assert overlap >= 0.5, f"simhash caught only {overlap:.0%}"
+
+
+def test_max_df_cap_returns_subset(spark, docs):
+    """Frequency-capped jaccard must not invent pairs."""
+    full = {(r.d1, r.d2) for r in ngram_jaccard_pairs(docs, 0.8).collect()}
+    capped = {
+        (r.d1, r.d2)
+        for r in ngram_jaccard_pairs(docs, 0.8, max_df=1000).collect()
+    }
+    assert capped <= full

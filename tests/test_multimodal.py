@@ -1,0 +1,42 @@
+"""Multimodal binary-column plumbing tests (decode is a marked stub)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from another_map_reduce_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_image_stub,
+    extract_image_metadata,
+)
+
+
+def test_stub_contract():
+    w, h = decode_image_stub(b"\x89PNG fake bytes")
+    assert 1 <= w <= 64 and 1 <= h <= 32
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(None)
+
+
+def test_extract_metadata_roundtrip(spark):
+    rows = [(1, "hello"), (2, "a longer document body"), (3, "")]
+    df = attach_binary_payload(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    got = {r.doc_id: r for r in extract_image_metadata(df).collect()}
+    for doc_id, text in rows:
+        blob = text.encode()
+        assert got[doc_id].n_bytes == len(blob)
+        assert got[doc_id].content_md5 == hashlib.md5(blob).hexdigest()
+        w, h = decode_image_stub(blob)
+        assert (got[doc_id].width, got[doc_id].height) == (w, h)
+
+
+def test_blob_column_not_in_output(spark):
+    df = attach_binary_payload(
+        spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    )
+    out = extract_image_metadata(df)
+    assert "payload" not in out.columns  # downstream shuffles metadata only
