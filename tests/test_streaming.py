@@ -1,0 +1,226 @@
+"""Structured Streaming tests: file sources → memory sinks, with the
+streaming result checked against the batch result of the same plan."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from another_map_reduce_spark.operators.wordcount import word_count
+from another_map_reduce_spark.sources.tables import load_table
+from another_map_reduce_spark.streaming.wordcount import (
+    run_to_memory,
+    streaming_word_count,
+)
+from another_map_reduce_spark.streaming.windows import (
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+
+def test_streaming_wordcount_matches_batch(spark, tmp_path):
+    d = tmp_path / "texts"
+    d.mkdir()
+    (d / "a.txt").write_text("spark streams words, words stream")
+    (d / "b.txt").write_text("and MORE words!")
+
+    stream = streaming_word_count(spark, str(d))
+    assert stream.isStreaming
+    run_to_memory(stream, "wc_stream", mode="complete")
+    got = {
+        r.word: r.cnt for r in spark.sql("SELECT * FROM wc_stream").collect()
+    }
+
+    batch = word_count(
+        spark.read.text(str(d)).select(F.col("value").alias("text"))
+    )
+    expected = {r.word: r.cnt for r in batch.collect()}
+    assert got == expected
+
+
+def test_streaming_incremental_update(spark, tmp_path):
+    """New files arriving are folded into the running counts."""
+    d = tmp_path / "grow"
+    d.mkdir()
+    (d / "one.txt").write_text("alpha beta")
+    stream = streaming_word_count(spark, str(d))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("wc_grow")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            r.word: r.cnt for r in spark.sql("SELECT * FROM wc_grow").collect()
+        }
+        assert first == {"alpha": 1, "beta": 1}
+        (d / "two.txt").write_text("alpha gamma")
+        q.processAllAvailable()
+        second = {
+            r.word: r.cnt for r in spark.sql("SELECT * FROM wc_grow").collect()
+        }
+        assert second == {"alpha": 2, "beta": 1, "gamma": 1}
+    finally:
+        q.stop()
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir, tmp_path_factory):
+    """events table laid out as a streaming-source directory."""
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def _read_events_stream(spark, d):
+    # schema must be declared for a file stream; derive it from a batch read
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(raw_schema).parquet(d)
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _rounded(rows):
+    out = []
+    for r in rows:
+        out.append(
+            tuple(
+                round(v, 6) if isinstance(v, float) else v for v in tuple(r)
+            )
+        )
+    return sorted(out)
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, events_stream_dir):
+    # complete mode: append would withhold windows the watermark hasn't
+    # closed yet, which for a finite source is the trailing ones.
+    stream = tumbling_agg(_read_events_stream(spark, events_stream_dir))
+    run_to_memory(stream, "tumble_stream", mode="complete")
+    got = spark.sql("SELECT * FROM tumble_stream")
+    batch = tumbling_agg(load_table(spark, sf_dir, "events"))
+    assert _rounded(got.collect()) == _rounded(batch.collect())
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir, events_stream_dir):
+    stream = sliding_agg(_read_events_stream(spark, events_stream_dir))
+    run_to_memory(stream, "slide_stream", mode="complete")
+    got = spark.sql("SELECT * FROM slide_stream")
+    batch = sliding_agg(load_table(spark, sf_dir, "events"))
+    assert _rounded(got.collect()) == _rounded(batch.collect())
+
+
+def test_session_stream_matches_batch(spark, sf_dir, events_stream_dir):
+    stream = session_agg(_read_events_stream(spark, events_stream_dir))
+    run_to_memory(stream, "sess_stream", mode="complete")
+    got = spark.sql("SELECT * FROM sess_stream")
+    batch = session_agg(load_table(spark, sf_dir, "events"))
+    assert _rounded(got.collect()) == _rounded(batch.collect())
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """An event older than watermark horizon behind the stream max must
+    be dropped from the (append-mode) aggregation."""
+    import pandas as pd
+
+    d = tmp_path / "late"
+    d.mkdir()
+    on_time = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:10:00", "2024-01-01 06:00:00"]
+            ),
+            "event_type": ["view", "view"],
+            "value": [1.0, 1.0],
+        }
+    )
+    on_time.to_parquet(d / "batch1.parquet", coerce_timestamps="us")
+    schema = spark.read.parquet(str(d)).schema
+    src = (
+        spark.readStream.schema(schema)
+        .parquet(str(d))
+        # pandas µs parquet arrives as TIMESTAMP_NTZ; watermarks need TIMESTAMP
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    stream = tumbling_agg(src, window="1 hour", watermark="1 hour")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("late_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # late arrival: 00:30 is > 1h behind the 06:00 max → dropped
+        late = pd.DataFrame(
+            {
+                "ts": pd.to_datetime(["2024-01-01 00:30:00"]),
+                "event_type": ["view"],
+                "value": [99.0],
+            }
+        )
+        late.to_parquet(d / "batch2.parquet", coerce_timestamps="us")
+        q.processAllAvailable()
+        # close remaining windows so everything emittable is emitted
+        flush = pd.DataFrame(
+            {
+                "ts": pd.to_datetime(["2024-01-01 12:00:00"]),
+                "event_type": ["view"],
+                "value": [1.0],
+            }
+        )
+        flush.to_parquet(d / "batch3.parquet", coerce_timestamps="us")
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM late_stream WHERE win_start = '2024-01-01 00:00:00'"
+        ).collect()
+        # the 00:00 window must contain ONLY the on-time event
+        assert len(rows) == 1 and rows[0].n == 1 and rows[0].total == 1.0
+    finally:
+        q.stop()
+
+
+def test_stateful_sessionize(spark, tmp_path):
+    import pandas as pd
+
+    from another_map_reduce_spark.streaming.stateful import sessionize
+
+    d = tmp_path / "stateful"
+    d.mkdir()
+    pd.DataFrame({"user_id": [1, 1, 2], "value": [1.0, 2.0, 5.0]}).to_parquet(
+        d / "b1.parquet"
+    )
+    schema = spark.read.parquet(str(d)).schema
+    stream = sessionize(spark.readStream.schema(schema).parquet(str(d)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sess_state")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in spark.sql("SELECT * FROM sess_state").collect()
+        }
+        assert got == {1: (2, 3.0), 2: (1, 5.0)}
+        # second batch folds into existing state
+        pd.DataFrame({"user_id": [1], "value": [10.0]}).to_parquet(
+            d / "b2.parquet"
+        )
+        q.processAllAvailable()
+        got2 = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in spark.sql(
+                "SELECT user_id, max(n_events) AS n_events,"
+                " max(total_value) AS total_value FROM sess_state GROUP BY user_id"
+            ).collect()
+        }
+        assert got2[1] == (3, 13.0)
+    finally:
+        q.stop()
