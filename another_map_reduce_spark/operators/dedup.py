@@ -33,6 +33,21 @@ from pyspark.sql import functions as F
 LONG_MAX = (1 << 63) - 1
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the cluster's core count when the
+    input partitioning is coarser.
+
+    Signature/shingle computation is CPU-bound; a corpus that arrives
+    as one small parquet file (one scan split) would otherwise pin all
+    hashing on a single core.  At real scale the scan's own splits
+    already exceed the core count and this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 # ---------------------------------------------------------------------------
 # Shingling
 # ---------------------------------------------------------------------------
@@ -109,7 +124,7 @@ def ngram_jaccard_pairs(
     before the join (scale guard; slightly *underestimates* Jaccard
     for pairs sharing only frequent shingles).
     """
-    sh = df.select(
+    sh = _spread(df).select(
         F.col(id_col).alias("doc"),
         F.explode(word_ngrams(F.col(text_col), n)).alias("shingle"),
     )
@@ -148,22 +163,29 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signature(shingles: Column, k: int = 128) -> Column:
-    """k-wide MinHash signature: mh[i] = min over shingles of
-    xxhash64(shingle, i).
+    """k-wide MinHash signature via 2-universal hashing.
 
-    One xxhash64 family per signature slot stands in for k independent
-    permutations (standard construction).  Pure fold over the shingle
-    array — no shuffle, no UDF.
+    mh[i] = min over shingles of (h1 + i·h2) where h1, h2 are two
+    independent xxhash64 draws per shingle — the Carter-Wegman trick
+    every production MinHash uses (e.g. datasketch): 2 strong hashes
+    per shingle instead of k, with the k permutations derived by
+    cheap long arithmetic.  Hashes are masked to 40 bits so
+    h1 + 127·h2 < 2^48 can never overflow a long (ANSI mode throws on
+    overflow); 40-bit min-hashes keep collision odds negligible.
+    Pure fold over the shingle array — no shuffle, no UDF.
     """
     seeds = F.sequence(F.lit(0), F.lit(k - 1))
+    mask = (1 << 40) - 1
+
+    def slot_hashes(s: Column) -> Column:
+        h1 = F.xxhash64(s).bitwiseAND(mask)
+        h2 = F.xxhash64(s, F.lit(1)).bitwiseAND(mask)
+        return F.transform(seeds, lambda i: h1 + i.cast("long") * h2)
+
     return F.aggregate(
         shingles,
         F.array_repeat(F.lit(LONG_MAX), k),
-        lambda acc, s: F.zip_with(
-            acc,
-            F.transform(seeds, lambda i: F.xxhash64(s, i)),
-            lambda x, y: F.least(x, y),
-        ),
+        lambda acc, s: F.zip_with(acc, slot_hashes(s), lambda x, y: F.least(x, y)),
     )
 
 
@@ -188,7 +210,7 @@ def minhash_lsh_pairs(
     bands miss (prob (1-s^r)^b, ≈2e-5 at s=0.9).
     """
     r = k // bands
-    docs = df.select(
+    docs = _spread(df).select(
         F.col(id_col).alias("doc"),
         word_ngrams(F.col(text_col), n).alias("shingles"),
     ).where(F.size("shingles") > 0)
@@ -297,7 +319,7 @@ def simhash_pairs(
     4 equi-joins on (chunk_idx, chunk_value) instead of all-pairs.
     Exact when max_hamming ≤ 3 (no false negatives, verified distance).
     """
-    docs = df.select(
+    docs = _spread(df).select(
         F.col(id_col).alias("doc"),
         word_ngrams(F.col(text_col), n).alias("shingles"),
     ).where(F.size("shingles") > 0)

@@ -69,14 +69,13 @@ def stopword_hits(text: Column, lang: str) -> Column:
     )
 
 
-def detect_language(text: Column) -> Column:
-    """Heuristic language ID: argmax stopword hits, 'und' when zero.
+def lang_case_from_hits(hits: dict[str, Column]) -> Column:
+    """Argmax-with-priority CASE chain over precomputed hit columns.
 
-    Ties break by LANG_PRIORITY order.  A classic n-gram model would
-    need training data; stopword voting is the deterministic,
-    SQL-expressible core of the same idea.
+    Separate from hit computation so callers can materialise the hits
+    in a projection first — inlining all five ``size(filter(split))``
+    expressions into every CASE branch re-tokenizes the text ~25×.
     """
-    hits = {lang: stopword_hits(text, lang) for lang in LANG_PRIORITY}
     expr = F.lit("und")
     # build the CASE chain in reverse priority so earlier langs win ties
     for lang in reversed(LANG_PRIORITY):
@@ -89,6 +88,22 @@ def detect_language(text: Column) -> Column:
             cond = cond & (hits[lang] >= hits[other])  # tie-beat later
         expr = F.when(cond, lang).otherwise(expr)
     return expr
+
+
+def detect_language(text: Column) -> Column:
+    """Heuristic language ID: argmax stopword hits, 'und' when zero.
+
+    Ties break by LANG_PRIORITY order.  A classic n-gram model would
+    need training data; stopword voting is the deterministic,
+    SQL-expressible core of the same idea.
+
+    Single-expression form (convenient but re-tokenizes per branch);
+    for bulk scoring prefer a projection of hit columns +
+    ``lang_case_from_hits`` (see plans/pipeline.lang_id_confusion).
+    """
+    return lang_case_from_hits(
+        {lang: stopword_hits(text, lang) for lang in LANG_PRIORITY}
+    )
 
 
 def quality_score(text: Column) -> Column:

@@ -155,12 +155,43 @@ ORDER BY lang, pred_lang
 """,
 )
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Labeled vs heuristically-predicted language, as a confusion table."""
-    from another_map_reduce_spark.operators.text_analysis import detect_language
+    """Labeled vs heuristically-predicted language, as a confusion table.
 
-    return (
+    Tokenizes ONCE into an array column, derives the five hit counts
+    from it, then applies the CASE — mirroring the oracle's WITH-hits
+    structure and avoiding ~25× re-tokenization (measured 5.3s → sub-
+    second at sf0.1).
+    """
+    from another_map_reduce_spark.operators.text_analysis import (
+        lang_case_from_hits,
+    )
+
+    toks = F.array_remove(F.split(F.lower(F.col("text")), r"\s+"), "")
+    # Spread the scan (corpus arrives as one parquet file = one split),
+    # tokenize ONCE into an array, project the five hit counts, then a
+    # repartition barrier before the CASE — CollapseProject would
+    # otherwise inline every h_* into each CASE branch and re-tokenize
+    # ~25× per row.  Shuffle cost: 5 ints + lang per document (the
+    # token-explode alternative would shuffle every token instead).
+    docs = (
         load_table(spark, sf_dir, "documents")
-        .select("lang", detect_language(F.col("text")).alias("pred_lang"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("lang", toks.alias("toks"))
+    )
+    hit_cols = docs.select(
+        "lang",
+        *[
+            F.size(
+                F.filter(F.col("toks"), lambda t: t.isin(*STOPWORDS[lang]))
+            ).alias(f"h_{lang}")
+            for lang in LANG_PRIORITY
+        ],
+    ).repartition(spark.sparkContext.defaultParallelism)
+    pred = lang_case_from_hits(
+        {lang: F.col(f"h_{lang}") for lang in LANG_PRIORITY}
+    )
+    return (
+        hit_cols.select("lang", pred.alias("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(F.count("*").alias("n"))
         .orderBy("lang", "pred_lang")
