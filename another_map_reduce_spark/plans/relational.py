@@ -767,3 +767,260 @@ def subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderkey
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins: as-of, range (custom operators — operators/asof.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_last_purchase",
+    oracle="""
+WITH l AS (
+  SELECT event_id, user_id, ts, 1 AS side, NULL::BIGINT AS tb,
+         NULL::BIGINT AS event_id_asof, NULL::DOUBLE AS value_asof
+  FROM events
+), r AS (
+  SELECT NULL::BIGINT AS event_id, user_id, ts, 0 AS side, event_id AS tb,
+         event_id AS event_id_asof, value AS value_asof
+  FROM events WHERE event_type = 'purchase'
+), u AS (
+  SELECT * FROM l UNION ALL SELECT * FROM r
+), f AS (
+  SELECT event_id, user_id, side,
+         last_value(event_id_asof IGNORE NULLS) OVER w AS event_id_asof,
+         last_value(value_asof IGNORE NULLS) OVER w AS value_asof
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, tb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, event_id_asof, value_asof
+FROM f WHERE side = 1
+ORDER BY event_id
+""",
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN: each event matched to the user's latest purchase at
+    or before it (union + sort + last_value — one exchange, no
+    nested-loop; operators/asof.py).  The oracle mirrors the same
+    union construction, so semantics — inclusive bound, max-event-id
+    tie-break — are pinned on both sides.
+    """
+    from another_map_reduce_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    joined = asof_join(
+        ev,
+        purchases,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        right_cols=["event_id", "value"],
+        tiebreak="event_id",
+    )
+    return joined.select(
+        "event_id", "user_id", "event_id_asof", "value_asof"
+    ).orderBy("event_id")
+
+
+@register(
+    "range_views_before_purchase",
+    oracle="""
+SELECT p.event_id, COUNT(v.event_id) AS n_views
+FROM events p
+LEFT JOIN events v
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view'
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+ AND v.ts <  p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+ORDER BY p.event_id
+""",
+)
+def range_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE JOIN: views in the hour before each purchase, per user.
+
+    The user_id equality keeps Catalyst on a hash join (time bounds
+    are a post-join filter) — never a nested loop.
+    """
+    from another_map_reduce_spark.operators.asof import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"), "user_id", "ts"
+    )
+    joined = range_join(
+        purchases,
+        views.withColumnRenamed("ts", "v_ts").withColumnRenamed(
+            "user_id", "v_user"
+        ).withColumnRenamed("v_ts", "ts").withColumnRenamed("v_user", "user_id"),
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        lower="1 hour",
+        upper="0 seconds",
+        how="left",
+    )
+    return (
+        joined.groupBy(F.col("__l.event_id").alias("event_id"))
+        .agg(F.count(F.col("__r.v_id")).alias("n_views"))
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "session_windows_batch",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess_no
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS sess_start, MAX(ts) AS sess_last,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, sess_no
+ORDER BY user_id, sess_start
+""",
+)
+def session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows on a BATCH frame via F.session_window —
+    the same primitive streaming/ uses, checked here against a
+    gaps-and-islands SQL oracle (new session iff gap ≥ 30 min; Spark
+    merges only on strict overlap, hence '≥' in the oracle's flag).
+
+    session_window.end = last event + gap, so sess_last = end − gap.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("sess_start"),
+            (F.col("sw.end") - F.expr("INTERVAL 30 minutes")).alias(
+                "sess_last"
+            ),
+            "n_events",
+        )
+        .orderBy("user_id", "sess_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / grouping sets / percentiles / sketches
+# ---------------------------------------------------------------------------
+
+_SOURCES = [f"src{i}" for i in range(20)]
+
+
+@register(
+    "pivot_lang_source",
+    oracle="SELECT lang, "
+    + ", ".join(
+        f"COUNT(*) FILTER (WHERE source = '{s}') AS {s}" for s in _SOURCES
+    )
+    + " FROM documents GROUP BY lang ORDER BY lang",
+)
+def pivot_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: document counts per (lang × source) as a wide table.
+
+    The explicit source list makes the schema static (required for
+    both engines); fillna(0) matches COUNT FILTER's zero-for-absent.
+    """
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .pivot("source", _SOURCES)
+        .count()
+        .na.fill(0, _SOURCES)
+        .orderBy("lang")
+    )
+
+
+@register(
+    "grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY gid, l_returnflag, l_linestatus
+""",
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL entry point.
+
+    Only the grouping-bitmask spelling differs between engines:
+    Spark's ``grouping_id(a, b)`` ≡ DuckDB's ``GROUPING(a, b)``.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping_id(l_returnflag, l_linestatus) AS gid,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY gid, l_returnflag, l_linestatus
+        """
+    )
+
+
+@register(
+    "percentiles_by_priority",
+    oracle="""
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.90), 6) AS p90
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation in both engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.25)), 6).alias("p25"),
+            F.round(F.percentile("o_totalprice", F.lit(0.50)), 6).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.90)), 6).alias("p90"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register("approx_distinct_users")  # HLL estimate — no exact SQL equivalent
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per event type — the
+    sketch path for 100 TB cardinalities; tolerance vs exact counts is
+    asserted in tests/test_relational_ops.py."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        )
+        .orderBy("event_type")
+    )
