@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 # Schema of extracted metadata. width/height are what a real decoder
 # would produce; the stub derives them deterministically from bytes.
 IMAGE_META_SCHEMA = (
-    "doc_id long, n_bytes long, content_md5 string, width int, height int"
+    "doc_id long, n_bytes long, content_md5 string, width long, height long"
 )
 
 

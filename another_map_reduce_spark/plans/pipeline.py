@@ -86,11 +86,11 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .select(
             "doc_id",
-            F.length(t).alias("n_chars_actual"),
-            ta.ws_token_count(t).alias("n_tokens_ws"),
-            ta.bpe_ish_token_count(t).alias("n_tokens_bpe"),
-            ta.alpha_char_count(t).alias("n_alpha"),
-            ta.punct_char_count(t).alias("n_punct"),
+            F.length(t).cast("long").alias("n_chars_actual"),
+            ta.ws_token_count(t).cast("long").alias("n_tokens_ws"),
+            ta.bpe_ish_token_count(t).cast("long").alias("n_tokens_bpe"),
+            ta.alpha_char_count(t).cast("long").alias("n_alpha"),
+            ta.punct_char_count(t).cast("long").alias("n_punct"),
         )
         .orderBy("doc_id")
     )

@@ -70,3 +70,42 @@ def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("key").alias("word"), F.col("value").alias("cnt")
     ).orderBy("word")
+
+
+@register("pandas_wordcount", oracle=_WORDCOUNT_SQL)
+def pandas_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count via the Arrow-vectorized map_reduce_pandas path —
+    the third execution path of the generic API, proving all three
+    agree with the reference semantics (and the same oracle).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from another_map_reduce_spark.operators.mapreduce import map_reduce_pandas
+
+    def map_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        words = (
+            batch["text"]
+            .str.replace(r"[^A-Za-z]", " ", regex=True)
+            .str.split()
+            .explode()
+            .dropna()
+        )
+        return pd.DataFrame({"key": words, "partial": 1})
+
+    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": [g["key"].iloc[0]], "value": [g["partial"].sum()]}
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    out = map_reduce_pandas(
+        docs,
+        map_batch,
+        reduce_group,
+        map_schema="key string, partial long",
+        out_schema="key string, value long",
+    )
+    return out.select(
+        F.col("key").alias("word"), F.col("value").alias("cnt")
+    ).orderBy("word")

@@ -420,7 +420,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(customer), orders.o_custkey == customer.c_custkey
         )
         .select("c_custkey", "o_orderkey", "o_totalprice")
-        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= 3)
         .orderBy("c_custkey", "rnk")
     )
@@ -623,7 +623,7 @@ SELECT o_orderkey,
        MONTH(o_orderdate) AS order_month,
        CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS order_month_start,
        ABS(o_totalprice - 100000.0) AS price_dev,
-       FLOOR(o_totalprice / 1000) AS price_k,
+       CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_k,
        ROUND(SQRT(o_totalprice), 6) AS price_sqrt
 FROM orders
 WHERE o_orderkey % 10 = 0
@@ -639,12 +639,12 @@ def scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.upper("o_orderpriority").alias("pri_upper"),
             F.substring("o_orderpriority", 1, 1).alias("pri_code"),
-            F.length("o_orderpriority").alias("pri_len"),
+            F.length("o_orderpriority").cast("long").alias("pri_len"),
             F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias(
                 "status_pri"
             ),
-            F.year("o_orderdate").alias("order_year"),
-            F.month("o_orderdate").alias("order_month"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
             F.date_trunc("month", "o_orderdate")
             .cast("date")
             .alias("order_month_start"),
@@ -1024,3 +1024,150 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective 3-table join → agg → global top-10.
+
+    Catalyst pushes both date filters into the scans; the final top-10
+    is TakeOrderedAndProject over the aggregated (small) frame.
+    """
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "window_rank_family",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(dense_rank()   OVER w AS BIGINT) AS drnk,
+       CAST(ntile(4)       OVER w AS BIGINT) AS quartile,
+       percent_rank()      OVER w AS prnk,
+       first_value(o_orderkey) OVER w AS first_ok,
+       nth_value(o_orderkey, 2) OVER w AS second_ok
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank / ntile / percent_rank / first_value / nth_value."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.percent_rank().over(w).alias("prnk"),
+            F.first("o_orderkey").over(w).alias("first_ok"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "array_functions",
+    oracle="""
+WITH t AS (
+  SELECT p_partkey,
+         list_sort(string_split(p_type, ' ')) AS words
+  FROM part
+)
+SELECT p_partkey,
+       CAST(len(words) AS BIGINT) AS n_words,
+       array_to_string(words, '|') AS joined,
+       words[1] AS first_word,
+       list_contains(words, 'PLATED') AS has_plated
+FROM t
+ORDER BY p_partkey
+""",
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar functions: sort/size/join/index/contains."""
+    words = F.array_sort(F.split(F.col("p_type"), " "))
+    return (
+        load_table(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.size(words).cast("long").alias("n_words"),
+            F.array_join(words, "|").alias("joined"),
+            F.element_at(words, 1).alias("first_word"),
+            F.array_contains(words, "PLATED").alias("has_plated"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "json_struct_parse",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+       CAST(json_extract(props, '$.missing') AS BIGINT) AS missing_val
+FROM events
+WHERE event_id % 7 = 0
+ORDER BY event_id
+""",
+)
+def json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing with F.from_json (schema-first, not
+    per-field string extraction) incl. absent-field null semantics."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("missing", LongType()),
+        ]
+    )
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.where(F.col("event_id") % 7 == 0).select(
+        "event_id", F.from_json("props", schema).alias("p")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k_val"),
+        F.col("p.missing").alias("missing_val"),
+    ).orderBy("event_id")
