@@ -41,6 +41,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazily load one synthetic table: ``{sf_dir}/{name}.parquet``."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Sessions built outside get_spark (e.g. the driver's) may run in a
+    # non-UTC timezone; collected TIMESTAMP values would then disagree
+    # with the (naive-UTC) DuckDB oracle. Runtime-settable → set here.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events stores TIMESTAMP(NANOS); sessions built outside
         # get_spark (e.g. the driver's) reject it without this conf.
