@@ -17,6 +17,9 @@ set here once, tuned for scale-out:
 from __future__ import annotations
 
 import os
+import pathlib
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -74,4 +77,30 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ensure_worker_imports(spark)
     return spark
+
+
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Ship this package to Python workers via addPyFile.
+
+    Workers do NOT inherit the driver's ``sys.path`` — a session whose
+    driver imported us from a non-installed location (e.g. the test
+    driver running in another cwd) can plan Python-closure stages whose
+    pickled functions reference this package by module and then fail
+    with ModuleNotFoundError on the worker.  A zip on the Spark file
+    server fixes that for every execution path (mapInPandas, RDD).
+    Idempotent per SparkContext; safe to call from any loader.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_amrs_pyfiles_added", False):
+        return
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    zip_path = (
+        pathlib.Path(tempfile.gettempdir()) / "another_map_reduce_spark_pkg.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for p in sorted(pkg_dir.rglob("*.py")):
+            z.write(p, f"another_map_reduce_spark/{p.relative_to(pkg_dir)}")
+    sc.addPyFile(str(zip_path))
+    sc._amrs_pyfiles_added = True

@@ -45,6 +45,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # non-UTC timezone; collected TIMESTAMP values would then disagree
     # with the (naive-UTC) DuckDB oracle. Runtime-settable → set here.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # ... and their Python workers may not have this package on path.
+    from another_map_reduce_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
     if name == "events":
         # events stores TIMESTAMP(NANOS); sessions built outside
         # get_spark (e.g. the driver's) reject it without this conf.
