@@ -152,3 +152,88 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(t).alias("quality"),
         fingerprint(t).alias("fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash document fingerprinting)
+# ---------------------------------------------------------------------------
+
+# Polynomial hash parameters (Rabin-Karp family): base 257, Mersenne
+# modulus 2^31-1. Horner-with-mod keeps every intermediate < 2^39, far
+# from long overflow even under ANSI mode.
+_POLY_BASE = 257
+_POLY_MOD = (1 << 31) - 1
+
+
+def _poly_hash(s: Column, start: Column, k: int) -> Column:
+    """Polynomial hash of the k chars of ``s`` starting at 1-based
+    ``start`` — the same value a Rabin-Karp rolling window produces."""
+    acc = F.lit(0).cast("long")
+    for j in range(k):
+        c = F.ascii(s.substr(start + j, F.lit(1)))
+        acc = (acc * _POLY_BASE + c) % _POLY_MOD
+    return acc
+
+
+def _gram_hashes(norm: Column, k: int) -> Column:
+    """Array of polynomial k-gram hashes over an (already materialised)
+    normalized column."""
+    gram_count = F.length(norm) - (k - 1)
+    positions = F.when(
+        gram_count > 0, F.sequence(F.lit(1), gram_count)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(positions, lambda i: _poly_hash(norm, i, k))
+
+
+def _window_mins(hashes: Column, w: int) -> Column:
+    """Distinct minima of every w-window over an (already materialised)
+    hash-array column, with the <w fallback of the global min."""
+    win_count = F.size(hashes) - (w - 1)
+    win_pos = F.when(
+        win_count > 0, F.sequence(F.lit(1), win_count)
+    ).otherwise(F.array().cast("array<int>"))
+    mins = F.transform(win_pos, lambda p: F.array_min(F.slice(hashes, p, w)))
+    fallback = F.when(
+        (F.size(hashes) > 0) & (win_count <= 0),
+        F.array(F.array_min(hashes)),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return F.array_distinct(F.concat(mins, fallback))
+
+
+def winnowing_fingerprints(text: Column, k: int = 9, w: int = 8) -> Column:
+    """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD'03)
+    as a single Column expression — FOR SHORT STRINGS / TESTS ONLY.
+
+    Catalyst has no let-binding: the window-min lambda re-evaluates its
+    ``hashes`` subtree per element, making this O(n²·k) per document.
+    For corpora use ``winnowing_fingerprints_df``, which stages the
+    normalize → hash → min pipeline through materialised columns.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return _window_mins(_gram_hashes(norm, k), w)
+
+
+def winnowing_fingerprints_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 9,
+    w: int = 8,
+) -> DataFrame:
+    """Winnowing over a corpus: returns (id_col, fp: array<bigint>).
+
+    Each stage's result is materialised behind a repartition barrier so
+    lambdas reference cheap column reads instead of re-evaluating the
+    previous stage per element — O(n·k) per document total (the Column
+    form degrades to O(n²·k); see winnowing_fingerprints).  The
+    repartitions also spread a single-file corpus across cores.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    staged = df.select(F.col(id_col), norm.alias("_norm")).repartition(par)
+    hashed = staged.select(
+        F.col(id_col), _gram_hashes(F.col("_norm"), k).alias("_h")
+    ).repartition(par)
+    return hashed.select(
+        F.col(id_col), _window_mins(F.col("_h"), w).alias("fp")
+    )

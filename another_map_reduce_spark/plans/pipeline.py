@@ -406,3 +406,57 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return extract_image_metadata(docs).orderBy("doc_id")
+
+
+@register(
+    "doc_winnowing_stats",
+    oracle=r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nrm
+  FROM documents
+), hashed AS (
+  SELECT doc_id, list_transform(
+    range(1, greatest(length(nrm) - 8, 0) + 1),
+    i -> list_reduce(
+           list_transform(range(0, 9),
+                          j -> CAST(ascii(substr(nrm, CAST(i + j AS INT), 1)) AS BIGINT)),
+           (acc, c) -> (acc * 257 + c) % 2147483647)
+  ) AS h
+  FROM norm
+), mins AS (
+  SELECT doc_id,
+         CASE WHEN len(h) >= 8 THEN
+                list_distinct(list_transform(range(1, len(h) - 8 + 2),
+                                             p -> list_min(h[p:p+7])))
+              WHEN len(h) > 0 THEN [list_min(h)]
+              ELSE CAST([] AS BIGINT[]) END AS fp
+  FROM hashed
+)
+SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp,
+       list_min(fp) AS fp_min, list_max(fp) AS fp_max
+FROM mins
+ORDER BY doc_id
+""",
+)
+def doc_winnowing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint stats (rolling-hash
+    fingerprinting, Schleimer et al. SIGMOD'03).
+
+    The DuckDB oracle recomputes the identical Rabin-Karp/winnowing
+    pipeline with list lambdas, so the fingerprint VALUES are verified
+    cross-engine, not just counts.  (A fingerprint self-join pair query
+    would be pathological on this corpus: a 31-word vocabulary makes
+    every fingerprint hot — near-dup pair detection is the Jaccard /
+    MinHash / SimHash operators' job.)
+    """
+    from another_map_reduce_spark.operators.text_analysis import (
+        winnowing_fingerprints_df,
+    )
+
+    fps = winnowing_fingerprints_df(load_table(spark, sf_dir, "documents"))
+    return fps.select(
+        "doc_id",
+        F.size("fp").cast("long").alias("n_fp"),
+        F.array_min("fp").alias("fp_min"),
+        F.array_max("fp").alias("fp_max"),
+    ).orderBy("doc_id")

@@ -13,3 +13,10 @@ __all__ = [
     "session_agg",
     "sessionize",
 ]
+
+from another_map_reduce_spark.streaming.joins import (  # noqa: E402
+    dedup_stream,
+    purchases_with_recent_view,
+)
+
+__all__ += ["dedup_stream", "purchases_with_recent_view"]

@@ -1,0 +1,58 @@
+"""Stream-stream joins and streaming dedup — [extension].
+
+Two more stateful streaming primitives the batch suite already proves
+semantics for:
+
+* ``purchases_with_recent_view`` — stream-stream inner join with a
+  time-range condition: purchases matched to a view by the same user
+  within the preceding hour.  Both sides carry watermarks so the join
+  state (buffered rows awaiting matches) is bounded and evicted.
+* ``dedup_stream`` — exactly-once-per-key emission with
+  ``dropDuplicatesWithinWatermark``: duplicate events arriving within
+  the watermark horizon are suppressed; state for keys older than the
+  horizon is evicted (infinite-stream-safe, unlike plain
+  dropDuplicates whose state grows forever).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def purchases_with_recent_view(
+    purchases: DataFrame, views: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Purchases that had a view by the same user within the prior hour.
+
+    The range condition bounds how long a view must be buffered; the
+    watermarks let Spark drop view-state older than (watermark + 1h).
+    """
+    p = purchases.withWatermark("ts", watermark).alias("p")
+    v = views.withWatermark("ts", watermark).alias("v")
+    cond = (
+        (F.col("p.user_id") == F.col("v.user_id"))
+        & (F.col("v.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v.ts") < F.col("p.ts"))
+    )
+    return p.join(v, cond, "inner").select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("v.event_id").alias("view_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.col("v.ts").alias("view_ts"),
+    )
+
+
+def dedup_stream(
+    events: DataFrame, keys: list[str], watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup with bounded state.
+
+    Emits the first arrival of each key; duplicates within the
+    watermark horizon are dropped, and key-state beyond it is evicted.
+    (The streaming face of operators/dedup.dedup_exact.)
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -224,3 +224,80 @@ def test_stateful_sessionize(spark, tmp_path):
         assert got2[1] == (3, 13.0)
     finally:
         q.stop()
+
+
+def test_stream_stream_range_join(spark, sf_dir, events_stream_dir):
+    """Stream-stream join result must equal the batch range join."""
+    from another_map_reduce_spark.streaming.joins import (
+        purchases_with_recent_view,
+    )
+
+    src = _read_events_stream(spark, events_stream_dir)
+    purchases = src.where(F.col("event_type") == "purchase")
+    views = src.where(F.col("event_type") == "view")
+    stream = purchases_with_recent_view(purchases, views)
+    run_to_memory(stream, "ss_join", mode="append")
+    got = {
+        (r.purchase_id, r.view_id)
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    bp = ev.where(F.col("event_type") == "purchase").alias("p")
+    bv = ev.where(F.col("event_type") == "view").alias("v")
+    cond = (
+        (F.col("p.user_id") == F.col("v.user_id"))
+        & (F.col("v.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v.ts") < F.col("p.ts"))
+    )
+    expected = {
+        (r.pid, r.vid)
+        for r in bp.join(bv, cond)
+        .select(F.col("p.event_id").alias("pid"), F.col("v.event_id").alias("vid"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_streaming_dedup_drops_duplicates(spark, tmp_path):
+    import pandas as pd
+
+    from another_map_reduce_spark.streaming.joins import dedup_stream
+
+    d = tmp_path / "dedup_stream"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:05:00",
+                 "2024-01-01 00:10:00"]
+            ),
+            "k": ["a", "a", "b"],
+        }
+    ).to_parquet(d / "b1.parquet", coerce_timestamps="us")
+    schema = spark.read.parquet(str(d)).schema
+    src = (
+        spark.readStream.schema(schema)
+        .parquet(str(d))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        dedup_stream(src, ["k"])
+        .writeStream.format("memory")
+        .queryName("dedup_s")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT k FROM dedup_s").collect()
+        assert sorted(r.k for r in rows) == ["a", "b"]  # dup 'a' dropped
+        # a later duplicate within the watermark is also dropped
+        pd.DataFrame(
+            {"ts": pd.to_datetime(["2024-01-01 00:20:00"]), "k": ["b"]}
+        ).to_parquet(d / "b2.parquet", coerce_timestamps="us")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT k FROM dedup_s").collect()
+        assert sorted(r.k for r in rows) == ["a", "b"]
+    finally:
+        q.stop()

@@ -84,3 +84,82 @@ def test_text_stats_frame(spark, sample):
         "fp",
     } <= cols
     assert out.count() == 6
+
+
+def py_winnow(text: str, k: int = 9, w: int = 8) -> set[int]:
+    """Independent pure-Python winnowing (Rabin-Karp + min windows)."""
+    import re as _re
+
+    norm = _re.sub(r"\s+", " ", text.lower()).strip()
+    if len(norm) < k:
+        return set()
+    hs = []
+    for i in range(len(norm) - k + 1):
+        acc = 0
+        for ch in norm[i : i + k]:
+            acc = (acc * 257 + ord(ch)) % ((1 << 31) - 1)
+        hs.append(acc)
+    if len(hs) < w:
+        return {min(hs)}
+    return {min(hs[p : p + w]) for p in range(len(hs) - w + 1)}
+
+
+def test_winnowing_matches_python_oracle(spark):
+    texts = [
+        "The quick brown fox jumps over the lazy dog",
+        "short",
+        "",
+        "  Spaced    out   WORDS  here  ",
+        "aaaaaaaaaaaaaaaaaaaaaaa",
+        "punctuation, numbers 123 and symbols!!!",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(
+        "text", ta.winnowing_fingerprints(F.col("text")).alias("fp")
+    ).collect()
+    for r in rows:
+        assert set(r.fp) == py_winnow(r.text), repr(r.text)
+
+
+def test_winnowing_detects_shared_substrings(spark):
+    """Docs sharing a ≥ k+w−1 char substring must share a fingerprint."""
+    shared = "this exact phrase is long enough to guarantee a match"
+    df = spark.createDataFrame(
+        [
+            (1, f"prefix junk {shared} suffix junk"),
+            (2, f"totally different framing. {shared}. and more"),
+            (3, "no overlap with the others at all, none whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = df.select(
+        "doc_id", ta.winnowing_fingerprints(F.col("text")).alias("fp")
+    ).collect()
+    fps = {r.doc_id: set(r.fp) for r in rows}
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3] and fps[2] & fps[3])
+
+
+def test_winnowing_df_path_matches_column_path(spark):
+    """The staged corpus path must produce identical fingerprint sets
+    to the single-Column path (and hence the Python oracle)."""
+    texts = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "short"),
+        (3, ""),
+        (4, "a much longer document " * 10),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    col_rows = {
+        r.doc_id: set(r.fp)
+        for r in df.select(
+            "doc_id", ta.winnowing_fingerprints(F.col("text")).alias("fp")
+        ).collect()
+    }
+    df_rows = {
+        r.doc_id: set(r.fp)
+        for r in ta.winnowing_fingerprints_df(df).collect()
+    }
+    assert df_rows == col_rows
+    for doc_id, text in texts:
+        assert df_rows[doc_id] == py_winnow(text)
