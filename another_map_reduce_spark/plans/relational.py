@@ -1216,3 +1216,102 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "string_match_funcs",
+    oracle="""
+SELECT p_brand,
+       COUNT(*) FILTER (WHERE p_type LIKE '%PLATED%') AS n_plated,
+       COUNT(*) FILTER (WHERE p_name LIKE 'a%') AS n_a_names,
+       COUNT(*) FILTER (WHERE regexp_matches(p_type, '^(STANDARD|SMALL)')) AS n_std_small,
+       MIN(regexp_extract(p_type, '^[A-Z]+')) AS first_word_min
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+)
+def string_match_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / rlike / regexp_extract pattern matching."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.count(F.when(F.col("p_type").like("%PLATED%"), 1)).alias(
+                "n_plated"
+            ),
+            F.count(F.when(F.col("p_name").like("a%"), 1)).alias("n_a_names"),
+            F.count(
+                F.when(F.col("p_type").rlike("^(STANDARD|SMALL)"), 1)
+            ).alias("n_std_small"),
+            F.min(F.regexp_extract("p_type", "^[A-Z]+", 0)).alias(
+                "first_word_min"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "null_handling",
+    oracle="""
+SELECT c.c_custkey,
+       COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS total_spend,
+       CASE WHEN COUNT(o.o_orderkey) = 0 THEN 'inactive' ELSE 'active' END AS status,
+       NULLIF(COUNT(o.o_orderkey), 0) AS order_cnt_or_null,
+       GREATEST(COALESCE(MAX(o.o_totalprice), 0.0), 100.0) AS max_or_floor
+FROM customer c
+LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'P'
+GROUP BY c.c_custkey
+ORDER BY c.c_custkey
+""",
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce / nullif / greatest over outer-join null rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "P"
+    )
+    joined = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return (
+        joined.groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(_dec("o_totalprice")).cast("double"), F.lit(0.0)
+            ).alias("total_spend"),
+            F.when(F.count("o_orderkey") == 0, "inactive")
+            .otherwise("active")
+            .alias("status"),
+            F.nullif(F.count("o_orderkey"), F.lit(0)).alias(
+                "order_cnt_or_null"
+            ),
+            F.greatest(
+                F.coalesce(F.max("o_totalprice"), F.lit(0.0)), F.lit(100.0)
+            ).alias("max_or_floor"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "cross_join_regions",
+    oracle="""
+SELECT r_name, n_name,
+       CAST(r_regionkey = n_regionkey AS BOOLEAN) AS is_home
+FROM region CROSS JOIN nation
+ORDER BY r_name, n_name
+""",
+)
+def cross_join_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (bounded dims only — 5×25)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        r.crossJoin(n)
+        .select(
+            "r_name",
+            "n_name",
+            (F.col("r_regionkey") == F.col("n_regionkey")).alias("is_home"),
+        )
+        .orderBy("r_name", "n_name")
+    )
