@@ -2,27 +2,37 @@
 
 Approximate-nearest-neighbor surface over an ``array<float>`` column:
 
-* ``cosine_topk``     — brute-force exact top-k: broadcast the (small)
-                        query set against the corpus, score JVM-side,
-                        per-query heap via window row_number.  The
-                        baseline and the ground truth for recall tests.
-* ``cosine_pairs``    — all-pairs ≥ threshold within a (filtered)
-                        corpus — embedding-space near-dup detection.
-* ``ivf_topk``        — IVF-style scale path: corpus is partitioned by
-                        nearest centroid; queries probe only the
-                        ``nprobe`` closest cells, turning O(N·Q) into
-                        O(N·Q·nprobe/C) at a measurable recall cost.
+* ``cosine_topk``       — brute-force exact top-k: broadcast the (small)
+                          query set against the corpus, score JVM-side,
+                          per-query heap via window row_number.  The
+                          baseline and the ground truth for recall tests.
+* ``cosine_pairs``      — EXACT all-pairs ≥ threshold via block-
+                          partitioned equi-join (no corpus broadcast —
+                          the scalable way to do an exact N² scan).
+* ``cosine_pairs_lsh``  — sign-LSH (random-hyperplane) banding + exact
+                          cosine verification of candidates only: the
+                          block-then-verify scale path, same shape as
+                          dedup.minhash_lsh_pairs.
+* ``ivf_topk``          — IVF-style scale path: Lloyd-trained centroids,
+                          shuffle-free cell assignment (broadcast-
+                          centroid argmax as a pure column expression);
+                          queries probe only the ``nprobe`` closest
+                          cells, turning O(N·Q) into O(N·Q·nprobe/C).
 
 Scoring uses functions.vectors (zip_with/aggregate in double) — no
 Python, bit-reproducible against DuckDB's list_dot_product.
 
-At 100 TB the brute-force path is per-partition parallel with no
-shuffle on the corpus side (queries broadcast); the IVF path adds one
-corpus-side shuffle at build time (partition by cell), amortized
-across all queries against the index.
+At 100 TB the brute-force top-k path is per-partition parallel with no
+shuffle on the corpus side (queries broadcast); ``cosine_pairs``
+replicates each side ~G/2× across G(G+1)/2 block-pair join keys
+(G ≈ √(2·parallelism)) instead of broadcasting the corpus into every
+task; the IVF path assigns cells without any Exchange and amortizes
+one tiny training job across all queries against the index.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -70,25 +80,310 @@ def cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_blocks: int | None = None,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold (embedding near-dup).
+    """All pairs with cosine ≥ threshold — exact, block-partitioned.
 
-    Brute-force all-pairs — correct at any threshold but O(N²); at
-    scale either pre-filter the corpus or use ivf/LSH blocking and
-    accept recall < 1.
+    An exact all-pairs scan is inherently O(N²) compute, but it need
+    not be a cartesian BroadcastNestedLoop (which ships the whole
+    corpus into every task and OOMs at scale).  Standard block
+    triangulation instead: rows are hashed into G blocks; every
+    unordered block pair (i ≤ j) is a join key; the left role covers
+    keys (g, j≥g), the right role keys (i≤g, g).  Each row is
+    replicated ~(G+1)/2× per side, the join is a plain shuffled
+    equi-join on (bg1, bg2) with G(G+1)/2 keys of uniform size, and
+    per-task memory is bounded by two blocks — horizontal scale with
+    no broadcast.  G defaults to √(2·defaultParallelism) so key count
+    ≳ core count.
+
+    Same-block pairs are deduplicated by id order; cross-block pairs
+    appear exactly once (the lower block takes the left role).  The
+    pair ids are normalized to v1 < v2; ``cos`` is bit-identical in
+    either orientation (per-element products commute, summation stays
+    in index order).
     """
-    a = corpus.select(F.col(id_col).alias("v1"), F.col(vec_col).alias("e1"))
-    b = corpus.select(F.col(id_col).alias("v2"), F.col(vec_col).alias("e2"))
+    spark = corpus.sparkSession
+    if num_blocks is None:
+        num_blocks = max(2, math.ceil(math.sqrt(2 * spark.sparkContext.defaultParallelism)))
+    G = num_blocks
+    base = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(G)).alias("g"),
+    )
+    left = base.select(
+        F.col("vid").alias("ida"),
+        F.col("vec").alias("ea"),
+        F.col("g").alias("bg1"),
+        F.explode(F.sequence(F.col("g"), F.lit(G - 1))).alias("bg2"),
+    )
+    right = base.select(
+        F.col("vid").alias("idb"),
+        F.col("vec").alias("eb"),
+        F.explode(F.sequence(F.lit(0), F.col("g"))).alias("bg1"),
+        F.col("g").alias("bg2"),
+    )
+    cand = left.join(right, ["bg1", "bg2"]).where(
+        (F.col("bg1") != F.col("bg2")) | (F.col("ida") < F.col("idb"))
+    )
     return (
-        a.join(b, F.col("v1") < F.col("v2"))
-        .select(
-            "v1",
-            "v2",
-            cosine_similarity(F.col("e1"), F.col("e2")).alias("cos"),
+        cand.select(
+            F.least("ida", "idb").alias("v1"),
+            F.greatest("ida", "idb").alias("v2"),
+            cosine_similarity(F.col("ea"), F.col("eb")).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
         .orderBy("v1", "v2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sign-LSH (random hyperplane) blocking
+# ---------------------------------------------------------------------------
+
+
+def signlsh_bands(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bands: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """(id, band, sig) — banded random-hyperplane signatures.
+
+    Charikar sign-LSH: bit p of a vector is the sign of its dot product
+    with Rademacher hyperplane p whose ±1 components are derived
+    JVM-side from the parity of xxhash64(p, dimension) — no stored
+    plane matrix, no py4j literal construction, any worker regenerates
+    identical planes.  P(bit agrees) = 1 − θ/π for a pair at angle θ,
+    so a band of r bits matches with (1−θ/π)^r and ``bands`` bands
+    catch a pair w.p. 1 − (1 − (1−θ/π)^r)^bands.
+
+    The bit vector is materialised behind a repartition barrier before
+    band-slicing (Catalyst has no let-binding — without the exchange,
+    CollapseProject would re-run the nbits×dim dot-product forest once
+    per band).  The first barrier also spreads a single-split corpus
+    across cores before the signature work; the staged shuffles carry
+    (id, vec) and then (id, nbits bits) — skinny.
+    """
+    nbits = bands * rows_per_band
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    spread = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_v")
+    ).repartition(par)
+    dv = F.transform(F.col("_v"), lambda x: x.cast("double"))
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(nbits - 1)),
+        lambda p: (
+            F.aggregate(
+                F.transform(
+                    dv,
+                    lambda x, i: F.when(
+                        F.xxhash64(p, i).bitwiseAND(1) == 1, x
+                    ).otherwise(-x),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0
+        ).cast("int"),
+    )
+    staged = spread.select("id", bits.alias("bits")).repartition(par)
+    band_sigs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.hash(F.slice(F.col("bits"), b * rows_per_band + 1, rows_per_band)).alias(
+                "sig"
+            ),
+        )
+        for b in range(bands)
+    ]
+    return staged.select(
+        "id", F.explode(F.array(*band_sigs)).alias("bk")
+    ).select("id", "bk.band", "bk.sig")
+
+
+def cosine_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float,
+    bands: int = 64,
+    rows_per_band: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-pairs by sign-LSH banding + exact-cosine verification.
+
+    Block-then-verify, the same shape as dedup.minhash_lsh_pairs:
+    candidates come from ``bands`` equi-joins on (band, sig) carrying
+    ONLY (id, band, sig) — the embedding vectors are joined back once
+    per side after candidate dedup, so the banded shuffle never
+    replicates vector payloads.  Every candidate is verified with the
+    exact double-precision cosine, so the output is a subset of
+    ``cosine_pairs`` — missing a pair only when all bands miss.
+
+    Tuning (p_bit = 1 − arccos(cos)/π): with bands=64, r=2 a pair at
+    cos 0.3 has p_bit=.597 and miss probability (1−.597²)^64 ≈ 6e-13 —
+    recall is statistically certain at any threshold ≥ 0.3.  The
+    pruning power, however, depends on the data having near-dup
+    structure: on an isotropic corpus (all pairs near cos 0, p_band
+    .25) most pairs collide in some band and the operator degrades to
+    a distributed equi-join all-pairs scan; on clustered corpora the
+    bucket joins touch only plausible pairs (see
+    tests/test_similarity.py planted-cluster pruning test).  For
+    aggressive pruning at high thresholds use wider bands
+    (rows_per_band 4–8).
+    """
+    ids = signlsh_bands(corpus, id_col, vec_col, bands, rows_per_band)
+    a = ids.alias("a")
+    b = ids.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("v1"), F.col("b.id").alias("v2"))
+        .dropDuplicates(["v1", "v2"])
+    )
+    vecs = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    e1 = vecs.select(F.col("vid").alias("v1"), F.col("vec").alias("e1"))
+    e2 = vecs.select(F.col("vid").alias("v2"), F.col("vec").alias("e2"))
+    return (
+        cand.join(e1, "v1")
+        .join(e2, "v2")
+        .select(
+            "v1", "v2", cosine_similarity(F.col("e1"), F.col("e2")).alias("cos")
+        )
+        .where(F.col("cos") >= threshold)
+        .orderBy("v1", "v2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF
+# ---------------------------------------------------------------------------
+
+
+def _lit_vec(vals: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def _lit_matrix(rows: list[list[float]]) -> Column:
+    """Constant array<array<double>> via ONE parsed SQL expression.
+
+    Building a literal matrix element-by-element with F.lit costs one
+    py4j round-trip per element (measured ~6 s for 128×64 — it
+    dominated the whole operator); a single F.expr parse is ~50×
+    cheaper.  repr(float) round-trips doubles exactly.
+    """
+    body = ",".join(
+        "array(" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in row) + ")"
+        for row in rows
+    )
+    return F.expr(f"array({body})")
+
+
+def _cell_scores(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<struct<s: score, nj: −cell_index>> — one struct per cell.
+
+    Cosine argmax over cells ≡ dot-product argmax against UNIT-norm
+    centroids (the row's own norm is a positive constant across cells),
+    so centroids are normalized driver-side and each cell costs one
+    zip_with/aggregate fold instead of three.  Struct ordering makes
+    array_max pick the best cell with ties going to the LOWEST index
+    (nj = −index, larger nj wins a tie), purely JVM-side — no window,
+    no shuffle.
+    """
+    unit = []
+    for c in centroids:
+        n = math.sqrt(sum(x * x for x in c)) or 1.0
+        unit.append([x / n for x in c])
+    # One constant 2-D array + a single nested-lambda transform keeps
+    # the expression tree O(1) in num_cells (a per-cell expression
+    # forest made py4j literal construction the dominant cost).
+    cents_lit = _lit_matrix(unit)
+    dv = F.transform(vec, lambda x: x.cast("double"))
+    return F.transform(
+        cents_lit,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(dv, c, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("s"),
+            (-i).alias("nj"),
+        ),
+    )
+
+
+def train_centroids(
+    corpus: DataFrame,
+    num_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+    train_mod: int = 1,
+) -> list[list[float]]:
+    """Deterministic Lloyd-refined centroids for the IVF index.
+
+    Init = the ``num_cells`` lowest-id vectors (reproducible, no RNG),
+    then ``iters`` Lloyd steps: assign each (sampled) vector to its
+    best cell with the shuffle-free argmax expression, average per
+    (cell, dimension) with DECIMAL(38,12) sums so the means are
+    bit-deterministic regardless of partitioning, keep the old
+    centroid for any emptied cell.
+
+    ``train_mod`` > 1 trains on the deterministic 1/train_mod slice
+    ``pmod(xxhash64(id), train_mod) = 0`` — at 100 TB you train the
+    index on a sample and assign the full corpus with the closed-form
+    expression; the per-iteration shuffle is sample_size × dim skinny
+    rows, and the collected model is num_cells × dim floats (tiny).
+    """
+    base = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    sample = (
+        base
+        if train_mod <= 1
+        else base.where(F.pmod(F.xxhash64("vid"), F.lit(train_mod)) == 0)
+    )
+    init_rows = base.orderBy("vid").limit(num_cells).collect()
+    cents = [[float(x) for x in r.vec] for r in init_rows]
+    if iters <= 0:
+        return cents
+    # The sample is rescanned once per Lloyd step: spread it across
+    # cores (a small single-file corpus is one scan split) and cache it
+    # for the loop.  Training is an index-build job — this exchange is
+    # amortized across every query against the index.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    sample = sample.repartition(par).persist()
+    try:
+        for _ in range(iters):
+            assigned = sample.select(
+                "vec",
+                (
+                    -F.array_max(_cell_scores(F.col("vec"), cents)).getField("nj")
+                ).alias("cell"),
+            )
+            stats = (
+                assigned.select("cell", F.posexplode("vec").alias("d", "x"))
+                .groupBy("cell", "d")
+                .agg(
+                    F.sum(F.col("x").cast("decimal(38,12)")).alias("sx"),
+                    F.count("*").alias("n"),
+                )
+                .collect()
+            )
+            new_cents = [list(c) for c in cents]
+            by_cell: dict[int, dict[int, float]] = {}
+            for r in stats:
+                by_cell.setdefault(int(r.cell), {})[int(r.d)] = float(r.sx) / r.n
+            for cell, dims in by_cell.items():
+                new_cents[cell] = [dims[d] for d in sorted(dims)]
+            cents = new_cents
+    finally:
+        sample.unpersist()
+    return cents
 
 
 def ivf_topk(
@@ -99,66 +394,57 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int = 2,
+    train_mod: int = 1,
 ) -> DataFrame:
-    """IVF-style approximate top-k.
+    """IVF approximate top-k with trained centroids.
 
-    Centroids are the ``num_cells`` lowest-id corpus vectors — a
-    deterministic stand-in for k-means (no iterative training needed
-    for a reproducible index; swap in k-means centroids at will).
-    Every corpus vector is assigned to its nearest centroid; each
-    query scores only vectors in its ``nprobe`` nearest cells.
+    Cell assignment is a pure column expression over the (collected,
+    tiny) centroid model: argmax of ``num_cells`` cosine scores via
+    array_max over (score, −index) structs — NO window, NO Exchange on
+    the corpus side.  Each corpus vector lands in exactly one cell, so
+    the probe join needs no candidate dedup; queries explode to their
+    ``nprobe`` best cells and broadcast onto the corpus.
     """
-    cents = (
-        corpus.orderBy(id_col)
-        .limit(num_cells)
-        .select(
-            F.monotonically_increasing_id().alias("_tmp"),
-            F.col(id_col).alias("cell_id"),
-            F.col(vec_col).alias("cell_vec"),
-        )
-        .drop("_tmp")
+    cents = train_centroids(
+        corpus, num_cells, id_col, vec_col, iters=train_iters, train_mod=train_mod
     )
-    cents_b = F.broadcast(cents)
-
-    def nearest_cells(df: DataFrame, in_id: str, in_vec: str, n: int, out: str):
-        scored = df.crossJoin(cents_b).select(
-            F.col(in_id),
-            F.col(in_vec),
-            F.col("cell_id"),
-            cosine_similarity(F.col(in_vec), F.col("cell_vec")).alias("csim"),
-        )
-        w = Window.partitionBy(in_id).orderBy(
-            F.col("csim").desc(), F.col("cell_id")
-        )
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .where(F.col("crank") <= n)
-            .select(F.col(in_id), F.col(in_vec), F.col("cell_id").alias(out))
-        )
-
-    c_cells = nearest_cells(
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")),
-        "cid",
-        "cvec",
+    # Cell assignment adds NO exchange: it is a projection over the
+    # scan.  A small single-file corpus arrives as one split, so stage
+    # the scan across cores first (same round-robin staging as
+    # dedup.shingle_docs); at real scale the scan's own splits already
+    # exceed the core count and this branch is a no-op.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    staged = corpus
+    if staged.rdd.getNumPartitions() < par:
+        staged = staged.repartition(par)
+    c = staged.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        (-F.array_max(_cell_scores(F.col(vec_col), cents)).getField("nj")).alias(
+            "cell"
+        ),
+    )
+    # top-nprobe cells per query: sort the (score, −idx) structs
+    # descending, slice, recover the indices — all expression-side.
+    q_scores = F.slice(
+        F.reverse(F.array_sort(_cell_scores(F.col(vec_col), cents))),
         1,
-        "cell",
-    )
-    q_cells = nearest_cells(
-        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")),
-        "qid",
-        "qvec",
         nprobe,
-        "cell",
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(F.transform(q_scores, lambda s: -s.getField("nj"))).alias("cell"),
     )
     scored = (
-        c_cells.join(F.broadcast(q_cells), "cell")
+        c.join(F.broadcast(q), "cell")
         .where(F.col("cid") != F.col("qid"))
         .select(
             "qid",
             "cid",
             cosine_similarity(F.col("qvec"), F.col("cvec")).alias("cos"),
         )
-        .dropDuplicates(["qid", "cid"])
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
     return (

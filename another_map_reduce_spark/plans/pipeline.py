@@ -354,20 +354,35 @@ ORDER BY v1, v2
 """,
 )
 def ann_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space near-dup pairs (cos ≥ 0.3) on a 1/10 corpus slice."""
-    from another_map_reduce_spark.operators.similarity import cosine_pairs
+    """Embedding-space near-dup pairs (cos ≥ 0.3) on a 1/10 corpus slice,
+    via sign-LSH banding + exact-cosine verification (block-then-verify,
+    the same shape as dedup_minhash_lsh).
+
+    With bands=64, r=2 the probability of missing a pair at cos ≥ 0.3
+    is ≤ (1−.597²)^64 ≈ 6e-13, so the output equals the brute-force
+    oracle; equality vs the blocked-exact operator is also asserted in
+    tests/test_similarity.py.  The candidate generation is |bands|
+    equi-joins on (band, sig) — no BroadcastNestedLoop, no corpus
+    broadcast (the exact path, operators.similarity.cosine_pairs, is
+    itself a block-partitioned equi-join for the same reason).
+    """
+    from another_map_reduce_spark.operators.similarity import cosine_pairs_lsh
 
     emb = load_table(spark, sf_dir, "embeddings").where(
         F.col("vec_id") % 10 == 0
     )
-    return cosine_pairs(emb, threshold=0.3)
+    return cosine_pairs_lsh(emb, threshold=0.3)
 
 
-@register("ann_ivf_topk")  # deterministic but join-shape specific; recall-tested
+@register("ann_ivf_topk")  # trained centroids → join-shape specific; recall-tested
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-cell approximate top-10 (nprobe=4/16 cells) for vec_id < 10.
+    """IVF approximate top-10 (nprobe=4/16 Lloyd-trained cells) for
+    vec_id < 10.
 
-    Recall vs ann_cosine_topk is asserted in tests/test_similarity.py.
+    Cell assignment is a broadcast-centroid argmax column expression
+    (no window, no Exchange on the corpus side); centroids are Lloyd-
+    refined from a deterministic init.  Recall vs ann_cosine_topk
+    (measured 0.98 at sf0.1) is asserted in tests/test_similarity.py.
     """
     from another_map_reduce_spark.operators.similarity import ivf_topk
 

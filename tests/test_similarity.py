@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from another_map_reduce_spark.operators.similarity import (
     cosine_pairs,
+    cosine_pairs_lsh,
     cosine_topk,
     ivf_topk,
 )
@@ -66,11 +67,95 @@ def test_cosine_pairs_symmetric_threshold(spark, emb):
     assert all(r.cos >= 0.1 for r in out)
 
 
+def test_cosine_pairs_blocked_matches_bruteforce(spark, emb):
+    """The block-partitioned equi-join must produce exactly the pairs a
+    naive all-pairs scan produces — every unordered pair once, any
+    num_blocks."""
+    sub = emb.where(F.col("vec_id") < 60)
+    rows = sub.collect()
+    vecs = {r.vec_id: r.embedding for r in rows}
+
+    def cos(a, b):
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(y) * float(y) for y in b))
+        return dot / (na * nb)
+
+    ids = sorted(vecs)
+    expected = sorted(
+        (i, j)
+        for k, i in enumerate(ids)
+        for j in ids[k + 1 :]
+        if cos(vecs[i], vecs[j]) >= 0.15
+    )
+    for g in (2, 3, 7):
+        got = cosine_pairs(sub, threshold=0.15, num_blocks=g).collect()
+        assert sorted((r.v1, r.v2) for r in got) == expected, f"G={g}"
+
+
+def test_lsh_pairs_equal_exact(spark, emb):
+    """bands=64, r=2 ⇒ miss probability ≤ 6e-13 per pair at cos ≥ 0.3:
+    the verified LSH output must equal the exact operator's."""
+    sub = emb.where(F.col("vec_id") < 80)
+    exact = [
+        (r.v1, r.v2, round(r.cos, 12))
+        for r in cosine_pairs(sub, threshold=0.3).collect()
+    ]
+    lsh = [
+        (r.v1, r.v2, round(r.cos, 12))
+        for r in cosine_pairs_lsh(sub, threshold=0.3).collect()
+    ]
+    assert lsh == exact
+
+
+def test_lsh_prunes_planted_clusters(spark):
+    """On a corpus WITH near-dup structure, wider bands (r=8) keep the
+    planted near-identical pairs (p_bit ≈ .97 at cos .995 ⇒ capture
+    w.p. ≈ 1) while pruning the cross-cluster mass: the candidate
+    equi-join must touch far fewer pairs than all-pairs."""
+    import random
+
+    rng = random.Random(11)
+    base = [[rng.gauss(0, 1) for _ in range(32)] for _ in range(8)]
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(6):  # 6 near-copies per cluster
+            rows.append((vid, [x + rng.gauss(0, 0.02) for x in b]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = cosine_pairs_lsh(
+        df, threshold=0.99, bands=16, rows_per_band=8
+    ).collect()
+    # every within-cluster pair found (15 per cluster × 8 clusters),
+    # nothing across clusters (random 32-dim directions)
+    assert len(got) == 8 * 15
+    assert all(r.v1 // 6 == r.v2 // 6 for r in got)
+    # pruning: candidates from the band join are a small fraction of
+    # all pairs — count them via the internal banding frame
+    from another_map_reduce_spark.operators.similarity import signlsh_bands
+
+    ids = signlsh_bands(df, "vec_id", "embedding", 16, 8)
+    a, b = ids.alias("a"), ids.alias("b")
+    n_cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select("a.id", "b.id")
+        .distinct()
+        .count()
+    )
+    n_all = 48 * 47 // 2
+    assert n_cand < n_all * 0.5, (n_cand, n_all)
+
+
 def test_ivf_recall_vs_bruteforce(spark, emb):
-    """nprobe=4 of 16 cells ⇒ ≥ ~25% of the corpus is scanned per query
-    on near-random vectors; top-10 recall must clear 0.3 and the ivf
-    result must never contain a vector the brute-force path scores
-    higher than its rank-k cutoff... i.e. ivf ⊆ scored corpus."""
+    """Lloyd-trained centroids + nprobe=4 of 16 cells: top-10 recall
+    ≥ 0.7 (measured 0.98 at sf0.1; the round-1 untrained/windowed
+    construction sat at ~0.84)."""
     queries = emb.where(F.col("vec_id") < 5)
     exact = cosine_topk(emb, queries, k=10).collect()
     approx = ivf_topk(emb, queries, k=10, num_cells=16, nprobe=4).collect()
@@ -84,4 +169,14 @@ def test_ivf_recall_vs_bruteforce(spark, emb):
         len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
         for q in exact_sets
     ]
-    assert sum(recalls) / len(recalls) >= 0.3, recalls
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def test_ivf_train_mod_sampling(spark, emb):
+    """Index training on a 1/4 deterministic sample still returns valid
+    centroids and a well-formed result."""
+    queries = emb.where(F.col("vec_id") < 3)
+    out = ivf_topk(emb, queries, k=5, train_mod=4).collect()
+    assert {r.qid for r in out} == {0, 1, 2}
+    for r in out:
+        assert 1 <= r.rank <= 5
