@@ -27,25 +27,10 @@ plausible pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 LONG_MAX = (1 << 63) - 1
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the cluster's core count when the
-    input partitioning is coarser.
-
-    Signature/shingle computation is CPU-bound; a corpus that arrives
-    as one small parquet file (one scan split) would otherwise pin all
-    hashing on a single core.  At real scale the scan's own splits
-    already exceed the core count and this is a no-op.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
 
 
 # ---------------------------------------------------------------------------
@@ -108,18 +93,25 @@ def shingle_docs(
 
 
 def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
-    """Keep the lowest-id row per duplicate group.
+    """Keep the lowest-id row per duplicate group — ONE exchange.
 
     Deterministic survivor choice (min id), unlike ``dropDuplicates``
     whose survivor is partition-order-dependent — determinism matters
     when the dedup output feeds training data lineage.
+
+    min/count over ``Window.partitionBy(key_cols)`` shuffles each row
+    (and its possibly-large key, e.g. a document body) exactly once;
+    the previous groupBy + join-back shape shuffled the payload twice.
+    Window partitioning groups nulls together, matching eqNullSafe
+    duplicate semantics.  Both aggregates share one Window node.
     """
-    w_cnt = df.groupBy(*key_cols).agg(
-        F.min(id_col).alias("keep_id"), F.count("*").alias("dup_cnt")
+    w = Window.partitionBy(*key_cols)
+    return (
+        df.withColumn("_keep_id", F.min(id_col).over(w))
+        .withColumn("dup_cnt", F.count("*").over(w))
+        .where(F.col(id_col) == F.col("_keep_id"))
+        .drop("_keep_id")
     )
-    return df.join(
-        w_cnt, on=[df[c].eqNullSafe(w_cnt[c]) for c in key_cols]
-    ).where(F.col(id_col) == F.col("keep_id")).select(df["*"], "dup_cnt")
 
 
 def dedup_fingerprint(
@@ -193,29 +185,33 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signature(shingles: Column, k: int = 128) -> Column:
-    """k-wide MinHash signature via 2-universal hashing.
+    """k-wide MinHash signature from k INDEPENDENT hash draws.
 
-    mh[i] = min over shingles of (h1 + i·h2) where h1, h2 are two
-    independent xxhash64 draws per shingle — the Carter-Wegman trick
-    every production MinHash uses (e.g. datasketch): 2 strong hashes
-    per shingle instead of k, with the k permutations derived by
-    cheap long arithmetic.  Hashes are masked to 40 bits so
-    h1 + 127·h2 < 2^48 can never overflow a long (ANSI mode throws on
-    overflow); 40-bit min-hashes keep collision odds negligible.
-    Pure fold over the shingle array — no shuffle, no UDF.
+    mh[i] = min over shingles of xxhash64(xxhash64(shingle), i): the
+    shingle is hashed to a long once, then each slot re-mixes that
+    long with its slot index — fixed-width inputs, so the k draws cost
+    k short hashes instead of k string hashes.
+
+    Independence matters: the Carter-Wegman h1 + i·h2 shortcut (2
+    hashes per shingle) makes the k slots pairwise- but not mutually
+    independent, and empirically a pair at jaccard 0.90 was missed by
+    16-band LSH at BOTH sf0.01 and sf0.1 despite a theoretical miss
+    probability of ~1e-4 — the correlated slots fatten the S-curve's
+    tail by orders of magnitude.  With independent draws the banding
+    math holds exactly and capture at the operating point is certain
+    (see minhash_lsh_pairs).  Pure fold over the shingle array — no
+    shuffle, no UDF.
     """
     seeds = F.sequence(F.lit(0), F.lit(k - 1))
-    mask = (1 << 40) - 1
-
-    def slot_hashes(s: Column) -> Column:
-        h1 = F.xxhash64(s).bitwiseAND(mask)
-        h2 = F.xxhash64(s, F.lit(1)).bitwiseAND(mask)
-        return F.transform(seeds, lambda i: h1 + i.cast("long") * h2)
-
+    hashed = F.transform(shingles, lambda s: F.xxhash64(s))
     return F.aggregate(
-        shingles,
+        hashed,
         F.array_repeat(F.lit(LONG_MAX), k),
-        lambda acc, s: F.zip_with(acc, slot_hashes(s), lambda x, y: F.least(x, y)),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(seeds, lambda i: F.xxhash64(h, i)),
+            lambda x, y: F.least(x, y),
+        ),
     )
 
 
@@ -224,20 +220,23 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     n: int = 3,
     k: int = 128,
-    bands: int = 16,
+    bands: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
-    rows-per-band r = k/bands; candidate capture probability for a
-    pair at Jaccard s is 1-(1-s^r)^b — with k=128, b=16, r=8 the
-    S-curve midpoint is ≈0.71, so ≥0.8 pairs are caught w.h.p. while
-    the all-pairs join is avoided entirely: candidates come from
-    |bands| equi-joins on (band, band_hash), each touching only docs
-    that collide.  Output: (d1, d2, jac) — a subset of the exact
-    operator's output with ≥ threshold, missing a pair only when all
-    bands miss (prob (1-s^r)^b, ≈2e-5 at s=0.9).
+    rows-per-band r = k/bands; with independent slot hashes the
+    candidate capture probability for a pair at Jaccard s is exactly
+    1-(1-s^r)^b — k=128, b=32, r=4 puts the S-curve midpoint at ≈0.56,
+    so a pair at s=0.8 is missed w.p. (1-0.8⁴)^32 ≈ 3e-9 and at s=0.9
+    w.p. 1.5e-15, while the all-pairs join is avoided entirely:
+    candidates come from |bands| equi-joins on (band, band_hash), each
+    touching only docs that collide (measured 200 candidates out of
+    12.5M possible pairs at sf0.01).  Output: (d1, d2, jac) — equal to
+    the exact operator's output at any threshold ≥ 0.8 with
+    probability ≈ 1, which is why the driver oracle for
+    ``dedup_minhash_lsh`` is the exact-Jaccard SQL.
     """
     r = k // bands
     docs = shingle_docs(df, text_col, id_col, n)
@@ -247,9 +246,13 @@ def minhash_lsh_pairs(
     sig = docs.withColumn(
         "mh", minhash_signature(F.col("shingles"), k)
     ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # Band join carries ONLY (doc, band, sig): exploding the shingle
+    # sets through the ×bands duplication would replicate the corpus
+    # payload ×16 through the shuffle.  Shingles are joined back once
+    # per side AFTER candidate dedup, so each document's set moves
+    # exactly twice regardless of band count.
     banded = sig.select(
         "doc",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -261,7 +264,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc", "shingles", "bk.band", "bk.sig")
+    ).select("doc", "bk.band", "bk.sig")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -272,18 +275,17 @@ def minhash_lsh_pairs(
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(
-            F.col("a.doc").alias("d1"),
-            F.col("b.doc").alias("d2"),
-            F.col("a.shingles").alias("sh1"),
-            F.col("b.shingles").alias("sh2"),
-        )
+        .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
         .dropDuplicates(["d1", "d2"])
     )
+    sets = sig.select("doc", "shingles")
+    s1 = sets.select(F.col("doc").alias("d1"), F.col("shingles").alias("sh1"))
+    s2 = sets.select(F.col("doc").alias("d2"), F.col("shingles").alias("sh2"))
+    verified = cand.join(s1, "d1").join(s2, "d2")
     inter = F.size(F.array_intersect("sh1", "sh2"))
     union = F.size("sh1") + F.size("sh2") - inter
     return (
-        cand.select(
+        verified.select(
             "d1", "d2", (inter / union).alias("jac")
         )
         .where(F.col("jac") >= threshold)
@@ -351,8 +353,16 @@ def simhash_pairs(
     Pigeonhole blocking: split the 64-bit hash into 4 chunks of 16;
     any pair at distance ≤ 3 agrees on ≥ 1 chunk, so candidates are
     4 equi-joins on (chunk_idx, chunk_value) instead of all-pairs.
-    Exact when max_hamming ≤ 3 (no false negatives, verified distance).
+    Exact when max_hamming ≤ 3 (no false negatives, verified distance);
+    a larger ``max_hamming`` would silently drop true pairs the 4-chunk
+    scheme can't capture, so it is rejected.
     """
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4x16-bit pigeonhole "
+            "guarantee (exact only for hamming <= 3); use more/narrower "
+            "chunks for larger radii"
+        )
     docs = shingle_docs(df, text_col, id_col, n)
     # Votes via explode + 64 conditional-sum aggregates (whole-stage
     # codegen + map-side combine) instead of the interpreted HOF fold —

@@ -26,6 +26,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _row_salt(df: DataFrame, salt: int) -> Column:
+    """Deterministic per-row salt: pmod(hash(all columns), salt).
+
+    Derived from row CONTENT, not ``monotonically_increasing_id`` —
+    a task retry re-derives identical salts, so a retried stage can
+    never re-spray rows mid-join.  Rows identical in every column
+    collide onto one salt; that leaves them unsprayed but cannot
+    affect correctness (they are indistinguishable anyway), and any
+    differing column spreads a hot key's rows uniformly.
+    """
+    return F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt))
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],
@@ -42,9 +55,7 @@ def salted_agg(
                    [F.count("*").alias("_n"), F.sum("v").alias("_s")],
                    [F.sum("_n").alias("n"), F.sum("_s").alias("s")])
     """
-    salted = df.withColumn(
-        "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt))
-    )
+    salted = df.withColumn("_salt", _row_salt(df, salt))
     partial = salted.groupBy(*keys, "_salt").agg(*partial_aggs)
     return partial.groupBy(*keys).agg(*final_aggs)
 
@@ -62,9 +73,7 @@ def salted_join(
     the small side (inner/left with big on the left).  Cost: small
     side × salt — use only when a key is too hot for AQE.
     """
-    sprayed = big.withColumn(
-        "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt))
-    )
+    sprayed = big.withColumn("_salt", _row_salt(big, salt))
     replicated = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )

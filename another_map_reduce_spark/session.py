@@ -16,6 +16,7 @@ set here once, tuned for scale-out:
 
 from __future__ import annotations
 
+import hashlib
 import os
 import pathlib
 import tempfile
@@ -96,11 +97,28 @@ def ensure_worker_imports(spark: SparkSession) -> None:
     if getattr(sc, "_amrs_pyfiles_added", False):
         return
     pkg_dir = pathlib.Path(__file__).resolve().parent
-    zip_path = (
-        pathlib.Path(tempfile.gettempdir()) / "another_map_reduce_spark_pkg.zip"
+    # Build in a unique temp file and publish with an atomic rename:
+    # two concurrent drivers (pytest + bench.py) can otherwise rewrite
+    # a shared zip while another context's executors fetch it, shipping
+    # a truncated archive.  The published name is content-hashed, so
+    # concurrent writers of identical content converge on one path and
+    # differing package versions never collide.
+    tmp = tempfile.NamedTemporaryFile(
+        dir=tempfile.gettempdir(), suffix=".zip", delete=False
     )
-    with zipfile.ZipFile(zip_path, "w") as z:
-        for p in sorted(pkg_dir.rglob("*.py")):
-            z.write(p, f"another_map_reduce_spark/{p.relative_to(pkg_dir)}")
+    try:
+        with zipfile.ZipFile(tmp, "w") as z:
+            for p in sorted(pkg_dir.rglob("*.py")):
+                z.write(p, f"another_map_reduce_spark/{p.relative_to(pkg_dir)}")
+        tmp.close()
+        digest = hashlib.sha256(pathlib.Path(tmp.name).read_bytes()).hexdigest()[:16]
+        zip_path = (
+            pathlib.Path(tempfile.gettempdir())
+            / f"another_map_reduce_spark_pkg_{digest}.zip"
+        )
+        os.replace(tmp.name, zip_path)
+    except BaseException:
+        pathlib.Path(tmp.name).unlink(missing_ok=True)
+        raise
     sc.addPyFile(str(zip_path))
     sc._amrs_pyfiles_added = True

@@ -81,6 +81,13 @@ def test_simhash_pairs_sane(spark, docs):
         assert overlap >= 0.5, f"simhash caught only {overlap:.0%}"
 
 
+def test_simhash_rejects_unsupported_radius(spark, docs):
+    """4×16-bit pigeonhole blocking is exact only for hamming ≤ 3; a
+    larger radius must fail loudly instead of silently dropping pairs."""
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_pairs(docs, max_hamming=4)
+
+
 def test_max_df_cap_returns_subset(spark, docs):
     """Frequency-capped jaccard must not invent pairs."""
     full = {(r.d1, r.d2) for r in ngram_jaccard_pairs(docs, 0.8).collect()}

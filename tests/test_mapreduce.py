@@ -82,6 +82,34 @@ def test_pandas_path_wordcount(spark):
     assert got == {"spark": 3, "flink": 2}
 
 
+def test_pandas_path_algebraic_finish(spark):
+    """Batch-level combine + Spark agg finish must agree with the
+    per-key applyInPandas reduce (and is the fast path for algebraic
+    reductions — no second Python hop)."""
+    from pyspark.sql import functions as F
+
+    texts = ["spark spark flink", "flink spark", "beam"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+
+    def map_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].str.split().explode().dropna()
+        return pd.DataFrame({"key": words, "partial": 1})
+
+    out = map_reduce_pandas(
+        df,
+        map_batch,
+        None,
+        map_schema="key string, partial long",
+        out_schema="key string, value long",
+        combine_batch_fn=lambda p: p.groupby("key", as_index=False)[
+            "partial"
+        ].sum(),
+        finish_aggs=[F.sum("partial").alias("value")],
+    )
+    got = {r.key: r.value for r in out.collect()}
+    assert got == {"spark": 3, "flink": 2, "beam": 1}
+
+
 def test_wordcount_job_end_to_end(spark, tmp_path):
     """Full parity with the reference binary: .txt glob in, bucketed files out
     (src/coordinator.rs:216-224 + src/worker.rs:144-154)."""
