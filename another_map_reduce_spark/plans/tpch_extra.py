@@ -1,0 +1,586 @@
+"""Adapted TPC-H query pack — [extension] subquery/join shapes.
+
+The reference engine has no relational surface at all
+(`/root/reference/src/worker.rs:23-38` is count-by-key); this module
+widens the [extension] SQL surface of SURVEY.md §2b with the TPC-H
+query *shapes* the round-1 suite didn't cover yet — correlated scalar
+subqueries, EXISTS / NOT EXISTS, IN-subqueries over HAVING, disjunctive
+multi-table predicates, CTE + scalar-max, and outer-join histograms.
+
+The synthetic schema (TESTDATA.md) has no partsupp table and no
+shipmode/commitdate/receiptdate columns, so each query keeps the
+official shape but swaps the missing column for an available one; the
+docstrings note the adaptation.
+
+Scale design: every query is pure Catalyst — correlated subqueries are
+expressed as joins/windows the optimizer already knows how to
+distribute, small bounded dims (region, nation) are broadcast
+explicitly, and all money aggregates go through the decimal-exact
+``dsum``/``davg`` helpers so the DuckDB oracle hash-matches bit-for-bit
+(see plans/relational.py module docstring for the determinism rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from another_map_reduce_spark.plans.relational import davg, dsum, _dec
+from another_map_reduce_spark.queries import register
+from another_map_reduce_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape — correlated MIN subquery (partsupp-free adaptation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_price_part",
+    oracle="""
+SELECT p_partkey, p_name, p_brand, p_type, p_retailprice
+FROM part
+WHERE p_retailprice = (
+    SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_type = part.p_type
+)
+ORDER BY p_partkey
+""",
+)
+def q2_min_price_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest part per group via correlated MIN.
+
+    Q2 proper correlates on partsupp (absent here); the adaptation
+    keeps the correlated-scalar-MIN shape on part/p_type.  Expressed
+    as a window MIN + filter — one shuffle on the correlation key,
+    instead of the naive per-row subquery; MIN over raw doubles is
+    order-independent so no decimal cast is needed.
+    """
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type")
+    return (
+        part.withColumn("_min_price", F.min("p_retailprice").over(w))
+        .where(F.col("p_retailprice") == F.col("_min_price"))
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_retailprice")
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 shape — EXISTS semi-join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_priority_exists",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery → LEFT SEMI join.
+
+    Q4's commitdate<receiptdate predicate has no column here; the
+    EXISTS probes returned lineitems instead.  The semi join never
+    materialises lineitem columns, and the date filter on orders is
+    pushed to the parquet scan before the join.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    windowed = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    returned = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        windowed.join(
+            returned, windowed.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 — local supplier volume (6-way join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 verbatim (all columns exist): 6-way join with the
+    c_nationkey = s_nationkey "local supplier" equi-constraint.
+
+    nation/region are bounded (25/5 rows at any SF) → broadcast;
+    supplier joins by key and AQE picks its strategy by actual size.
+    The region filter prunes nations *before* they reach the big
+    fact-fact join, so Catalyst reorders the bushy plan correctly.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(dsum(revenue, "revenue"))
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 — forecast revenue (pure scan-aggregate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 verbatim: the canonical pushdown showcase — every
+    predicate and both referenced columns reach the parquet scan, the
+    aggregate is a single partial+final SUM, no join, no wide shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape — conditional two-way counts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q12_priority_linecount",
+    oracle="""
+SELECT l_linestatus AS linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+)
+def q12_priority_linecount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: l_shipmode doesn't exist → group by
+    l_linestatus instead; the high/low conditional-count pivot on
+    o_orderpriority is verbatim.  Integer counts — no float rules
+    needed.  Both CASE sums share one aggregation pass.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution (outer join + double group)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer
+    LEFT OUTER JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+) dist
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: o_comment LIKE-filter swapped for an
+    o_orderpriority predicate *inside the outer-join condition* (the
+    part that trips naive planners: the filter must not turn the outer
+    join inner).  COUNT(o_orderkey) counts non-null matches only, so
+    order-less customers land in the c_count=0 bucket.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = cust.join(
+        orders,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderpriority") != "1-URGENT"),
+        "left_outer",
+    )
+    return (
+        joined.groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 — conditional-ratio aggregate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+                             ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+       AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate <  TIMESTAMP '1996-10-01'
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: p_type here is a flat category, so the PROMO%
+    prefix-LIKE becomes equality.  Both the conditional and the total
+    sum go through the exact decimal path, so the ratio divides two
+    bit-identical doubles → identical quotient on both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    disc_price = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    zero = _dec(F.lit(0))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(zero)
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                100.0
+                * F.sum(promo).cast("double")
+                / F.sum(disc_price).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape — CTE + scalar MAX subquery
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 verbatim (view → CTE): argmax over an aggregated CTE.
+
+    The revenue frame is computed once and reused for both the join
+    and the scalar MAX (Spark caches nothing here — both sides are
+    cheap partial-agg scans; at 100 TB the CTE is the single heavy
+    scan and the MAX side is its 10k-row aggregate).  Equality on
+    total_revenue is safe because both engines derive it from the
+    same exact decimal sum.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("_max"))
+    return (
+        supp.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("_max"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 shape — correlated AVG subquery
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q17_small_qty_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (
+      SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l2.l_quantity))
+      FROM lineitem l2
+      WHERE l2.l_partkey = part.p_partkey
+  )
+""",
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part AVG threshold
+    (p_container filter → p_brand, which exists).
+
+    The correlated subquery decorrelates to a per-partkey aggregate
+    joined back — one extra partial-agg scan of lineitem instead of a
+    per-row loop.  The threshold AVG uses the exact-decimal form on
+    both engines so boundary rows can't flip on summation order.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand_parts = part.where(F.col("p_brand") == "Brand#23").select("p_partkey")
+    thresholds = (
+        li.groupBy(F.col("l_partkey").alias("_tp"))
+        .agg(davg("l_quantity", "_avg_qty"))
+        .withColumn("_threshold", 0.2 * F.col("_avg_qty"))
+    )
+    return (
+        li.join(
+            F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(thresholds, F.col("l_partkey") == F.col("_tp"))
+        .where(F.col("l_quantity") < F.col("_threshold"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 — large-volume customers (HAVING-subquery IN)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q18_large_volume_customer",
+    oracle="""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 300
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 verbatim: IN over a HAVING'd aggregate → semi join
+    against the aggregated key set.  The heavy lineitem aggregate runs
+    once; the probe side then touches only qualifying orders (99.9th
+    percentile of per-order quantity ≈ 338, threshold 300 keeps the
+    output bounded at every SF).  Decimal compare on both engines.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_sq"))
+        .where(F.col("_sq") > 300)
+        .select(F.col("l_orderkey").alias("_big_ok"))
+    )
+    return (
+        orders.join(
+            big_orders, F.col("o_orderkey") == F.col("_big_ok"), "left_semi"
+        )
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(dsum("l_quantity", "sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — disjunctive multi-table predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (container/shipmode conjuncts dropped — columns
+    absent): OR-of-ANDs spanning both join sides.  Catalyst extracts
+    the common single-table conjuncts (p_brand IN (...), l_quantity
+    BETWEEN 1 AND 30) and pushes them below the join, so both scans
+    prune before the hash join — the point of the Q19 shape.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    def arm(brand: str, size_hi: int, q_lo: int, q_hi: int):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+
+    cond = arm("Brand#12", 5, 1, 11) | arm("Brand#23", 10, 10, 20) | arm(
+        "Brand#34", 15, 20, 30
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .where(cond)
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape — NOT EXISTS + scalar AVG subquery
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q22_dormant_customers",
+    oracle="""
+SELECT c_mktsegment AS segment,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(c2.c_acctbal)
+    FROM customer c2 WHERE c2.c_acctbal > 0
+)
+AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-01-01'
+)
+GROUP BY segment
+ORDER BY segment
+""",
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: phone-prefix filter → c_mktsegment grouping
+    (no phone column), and "never ordered" → "no order since
+    2000-01-01" (every synthetic customer has some order).  Keeps both
+    hard parts: the scalar AVG subquery (global broadcast threshold)
+    and NOT EXISTS (left-anti join on the date-filtered orders).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg(davg("c_acctbal", "_avg_bal"))
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+        .orderBy("segment")
+    )

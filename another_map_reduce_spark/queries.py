@@ -39,6 +39,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # Importing the suite modules populates the registry.
 def _load() -> None:
     import another_map_reduce_spark.plans.relational  # noqa: F401
+    import another_map_reduce_spark.plans.tpch_extra  # noqa: F401
     import another_map_reduce_spark.plans.reference_parity  # noqa: F401
     import another_map_reduce_spark.plans.pipeline  # noqa: F401
 
