@@ -1,0 +1,216 @@
+"""Training-data pipeline operators — [extension] (driver north star).
+
+The ops a 100 TB LLM-corpus build needs between "raw documents" and
+"training shards", beyond dedup/similarity (operators/dedup.py,
+similarity.py) and scoring (text_analysis.py):
+
+* deterministic split  — stable train/val/test assignment from a key
+* PII redaction        — regex masking of emails / phone numbers
+* document chunking    — fixed-size token windows with overlap
+* text normalization   — case/punctuation/whitespace canonicalisation
+
+Everything is pure Column expressions (JVM-side, whole-stage codegen,
+no UDFs): each op runs at scan speed and is embarrassingly parallel —
+zero shuffles introduced by any op in this module.  All four are
+cross-engine deterministic, so the DuckDB oracle hash-checks them.
+
+The reference has no counterpart for any of these
+(`/root/reference/src/worker.rs:23-38` is count-by-key only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+# Split boundaries as md5-hex prefixes: the first byte of the digest is
+# uniform over 0..255, and *lexicographic* comparison of the two-char
+# hex prefix is identical in every engine (no integer parsing needed).
+# 0x00–0xcb → train (204/256 ≈ 79.7%), 0xcc–0xe5 → val (26/256 ≈
+# 10.2%), 0xe6–0xff → test (26/256 ≈ 10.2%).
+TRAIN_HI = "cc"
+VAL_HI = "e6"
+
+
+def split_assign(key: Column, salt: str = "amrs-split-v1") -> Column:
+    """Stable 'train'/'val'/'test' label from an arbitrary key column.
+
+    md5(salt || key) — NOT a random() draw: assignment survives
+    reruns, repartitioning, and incremental appends (a re-ingested
+    document lands in the same split forever, which is what keeps
+    eval sets uncontaminated as the corpus grows).  The salt gives
+    independent re-draws when a new split layout is needed.
+    """
+    prefix = F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 2)
+    return (
+        F.when(prefix < TRAIN_HI, "train")
+        .when(prefix < VAL_HI, "val")
+        .otherwise("test")
+    )
+
+
+def split_assign_sql(key_sql: str, salt: str = "amrs-split-v1") -> str:
+    """DuckDB twin of ``split_assign`` — generated from the same
+    constants so the two can't drift."""
+    prefix = f"substring(md5('{salt}' || CAST({key_sql} AS VARCHAR)), 1, 2)"
+    return (
+        f"CASE WHEN {prefix} < '{TRAIN_HI}' THEN 'train' "
+        f"WHEN {prefix} < '{VAL_HI}' THEN 'val' ELSE 'test' END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Conservative patterns valid in BOTH Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition, \b word boundaries —
+# no lookarounds, no backreferences.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+
+_RULES: tuple[tuple[str, str], ...] = (
+    (EMAIL_RE, "<EMAIL>"),
+    (SSN_RE, "<SSN>"),  # before PHONE: 3-2-4 must not half-match 3-3-4
+    (PHONE_RE, "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Mask emails, SSNs, and phone numbers with typed placeholders.
+
+    Order matters (SSN before phone — overlapping digit shapes); each
+    rule is a single vectorised regexp_replace, so the whole chain is
+    one projection over the corpus.
+    """
+    out = text
+    for pat, repl in _RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def redact_pii_sql(text_sql: str) -> str:
+    """DuckDB twin of ``redact_pii`` — same rule table, same order."""
+    out = text_sql
+    for pat, repl in _RULES:
+        # DuckDB string literals are escape-free: '\b' IS backslash-b,
+        # so the pattern goes in verbatim (only quotes need doubling)
+        out = f"regexp_replace({out}, '{pat.replace(chr(39), chr(39) * 2)}', '{repl}', 'g')"
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Document chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap.
+
+    Output: (doc, chunk_idx, n_tokens, chunk_text) — one row per
+    window, stride = chunk_size - overlap, trailing partial window
+    kept (standard LLM-pretraining chunking).  Tokenisation is
+    whitespace (the BPE-ish path lives in text_analysis.py).
+
+    Pure explode of per-row slices: no shuffle, and output rows are
+    ~(1 + overlap/chunk_size)× the input tokens — the replication
+    factor a 100 TB corpus actually pays is the overlap ratio, which
+    is why overlap is a parameter and not a constant.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(f"need 0 <= overlap < chunk_size, got {overlap}/{chunk_size}")
+    step = chunk_size - overlap
+    toks = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+    # stage the token array so the per-chunk slices below read a
+    # materialised column instead of re-splitting text per chunk
+    # (Catalyst has no let-binding; same pattern as dedup.shingle_docs)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    staged = df.select(
+        F.col(id_col).alias("doc"), toks.alias("_toks")
+    ).repartition(par)
+    n = F.size("_toks")
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(step))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_idx"),
+            F.slice(F.col("_toks"), s + 1, chunk_size).alias("_ctoks"),
+        ),
+    )
+    return (
+        staged.select("doc", F.explode(chunks).alias("c"))
+        .select(
+            "doc",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.size("c._ctoks").alias("n_tokens"),
+            F.concat_ws(" ", "c._ctoks").alias("chunk_text"),
+        )
+    )
+
+
+def chunk_documents_sql(
+    table: str = "documents",
+    text_sql: str = "text",
+    id_sql: str = "doc_id",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> str:
+    """DuckDB twin of ``chunk_documents`` (same constants, same
+    trailing-window semantics; DuckDB lists are 1-based)."""
+    step = chunk_size - overlap
+    toks = f"list_filter(string_split_regex({text_sql}, '\\s+'), t -> t <> '')"
+    return f"""
+WITH t AS (
+  SELECT {id_sql} AS doc, {toks} AS toks FROM {table}
+),
+s AS (
+  SELECT doc, toks, unnest(range(1, greatest(len(toks), 0) + 1, {step})) AS start
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc,
+       CAST((start - 1) / {step} AS INT) AS chunk_idx,
+       len(list_slice(toks, start, least(start + {chunk_size} - 1, len(toks)))) AS n_tokens,
+       array_to_string(list_slice(toks, start, least(start + {chunk_size} - 1, len(toks))), ' ') AS chunk_text
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text normalization
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting/equality: lowercase, strip
+    non-alphanumerics to spaces, collapse runs of whitespace, trim.
+
+    Three vectorised regexp passes — one projection, scan speed.
+    ASCII-class based ([^a-z0-9\\s]) so Java and RE2 agree exactly;
+    Unicode-aware folding would need ICU on both sides.
+    """
+    lowered = F.lower(text)
+    stripped = F.regexp_replace(lowered, r"[^a-z0-9\s]", " ")
+    collapsed = F.regexp_replace(stripped, r"\s+", " ")
+    return F.trim(collapsed)
+
+
+def normalize_text_sql(text_sql: str) -> str:
+    """DuckDB twin of ``normalize_text``."""
+    return (
+        "trim(regexp_replace(regexp_replace(lower("
+        + text_sql
+        + r"), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"
+    )

@@ -1,0 +1,169 @@
+"""Training-data pipeline query suite — [extension] (SURVEY.md §2b
+north star).  Registers the operators/datapipe.py ops as driver-checked
+queries; every oracle is GENERATED from the same constants/rule tables
+as the Spark code (the ``*_sql`` twins), so Spark and DuckDB can't
+drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from another_map_reduce_spark.operators.datapipe import (
+    chunk_documents,
+    chunk_documents_sql,
+    normalize_text,
+    normalize_text_sql,
+    redact_pii,
+    redact_pii_sql,
+    split_assign,
+    split_assign_sql,
+)
+from another_map_reduce_spark.queries import register
+from another_map_reduce_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+SELECT {split_assign_sql('doc_id')} AS split,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars
+FROM documents
+GROUP BY split
+ORDER BY split
+""",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable md5-keyed corpus split: per-split doc count + volume.
+
+    The assignment is a pure projection (no shuffle beyond the final
+    3-group aggregate); at 100 TB the split column is computed inline
+    during the write and costs one md5 per row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", split_assign(F.col("doc_id")))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Synthetic contact blurbs built from customer columns — the synthetic
+# corpus contains no real PII, so the query *constructs* emails /
+# phones / SSNs deterministically, then redacts them; the oracle
+# replays both steps.  (In production the construction step is the raw
+# corpus and only redact_pii runs.)
+_CONTACT_SPARK = None  # built inline below
+_CONTACT_SQL = (
+    "'reach ' || lower(replace(c_name, '#', '.')) || '@example.com'"
+    " || ' or 555-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')"
+    " || '-' || lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0')"
+    " || CASE WHEN c_custkey % 3 = 0"
+    " THEN ' ssn ' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')"
+    " || '-' || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0')"
+    " || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')"
+    " ELSE '' END"
+)
+
+
+@register(
+    "pii_redaction",
+    oracle=f"""
+SELECT c_custkey, {redact_pii_sql(_CONTACT_SQL)} AS redacted
+FROM customer
+""",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII masking over a synthesized contact string.
+
+    Exercises all three rule classes (email, SSN-before-phone
+    ordering, phone) on every engine-relevant shape; the redaction
+    chain is three vectorised regexp_replace passes — scan speed,
+    no shuffle at all (the driver compares the full 1500-row output).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    contact = F.concat(
+        F.lit("reach "),
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+        F.lit("@example.com"),
+        F.lit(" or 555-"),
+        F.lpad((key % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((key * 7) % 10000).cast("string"), 4, "0"),
+        F.when(
+            key % 3 == 0,
+            F.concat(
+                F.lit(" ssn "),
+                F.lpad((key % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((key % 100).cast("string"), 2, "0"),
+                F.lit("-"),
+                F.lpad((key % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+    )
+    return cust.select("c_custkey", redact_pii(contact).alias("redacted"))
+
+
+# ---------------------------------------------------------------------------
+# Document chunking
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 64
+_CHUNK_OVERLAP = 16
+
+
+@register(
+    "doc_chunks",
+    oracle=chunk_documents_sql(
+        chunk_size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP
+    ),
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token windows (64 tokens, 16 overlap) over the
+    corpus — the full chunk table, hash-compared row-for-row."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, chunk_size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text normalization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_normalize_stats",
+    oracle=f"""
+SELECT doc_id,
+       length({normalize_text_sql('text')}) AS norm_len,
+       md5({normalize_text_sql('text')}) AS norm_fp
+FROM documents
+""",
+)
+def text_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalised text length + fingerprint per document — the
+    normalize → fingerprint front half of every dedup pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length(norm).alias("norm_len"),
+        F.md5(norm).alias("norm_fp"),
+    )

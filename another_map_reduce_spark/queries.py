@@ -42,6 +42,7 @@ def _load() -> None:
     import another_map_reduce_spark.plans.tpch_extra  # noqa: F401
     import another_map_reduce_spark.plans.reference_parity  # noqa: F401
     import another_map_reduce_spark.plans.pipeline  # noqa: F401
+    import another_map_reduce_spark.plans.datapipe  # noqa: F401
 
 
 # The driver checks queries in iteration order and CORRECTNESS_r01

@@ -1,0 +1,99 @@
+"""Unit tests for operators/datapipe.py — semantics the differential
+oracle test (test_relational.py) can't see: edge cases, proportions,
+and determinism guarantees."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from another_map_reduce_spark.operators.datapipe import (
+    chunk_documents,
+    normalize_text,
+    redact_pii,
+    split_assign,
+)
+
+
+def test_split_proportions_and_determinism(spark):
+    df = spark.range(20000).select(F.col("id"))
+    counts = dict(
+        df.select(split_assign(F.col("id")).alias("s"))
+        .groupBy("s")
+        .count()
+        .collect()
+    )
+    total = sum(counts.values())
+    assert total == 20000
+    # 79.7% / 10.2% / 10.2% nominal; wide tolerance for hash noise
+    assert 0.77 < counts["train"] / total < 0.83
+    assert 0.08 < counts["val"] / total < 0.13
+    assert 0.08 < counts["test"] / total < 0.13
+    # determinism: a second evaluation is identical
+    again = dict(
+        df.select(split_assign(F.col("id")).alias("s")).groupBy("s").count().collect()
+    )
+    assert counts == again
+
+
+def test_split_salt_redraws(spark):
+    df = spark.range(2000)
+    a = df.select(split_assign(F.col("id")).alias("s")).collect()
+    b = df.select(split_assign(F.col("id"), salt="v2").alias("s")).collect()
+    assert any(x != y for x, y in zip(a, b))
+
+
+def test_redact_pii_shapes(spark):
+    rows = [
+        Row(t="mail bob.smith+x@sub.example.co.uk now"),
+        Row(t="call 555-123-4567 or 555 987 6543"),
+        Row(t="ssn 123-45-6789 is not a phone"),
+        Row(t="id 12345678901 stays, 55-123-4567 stays too"),
+        Row(t="no pii here"),
+    ]
+    out = [
+        r.r
+        for r in spark.createDataFrame(rows)
+        .select(redact_pii(F.col("t")).alias("r"))
+        .collect()
+    ]
+    assert out[0] == "mail <EMAIL> now"
+    assert out[1] == "call <PHONE> or <PHONE>"
+    assert out[2] == "ssn <SSN> is not a phone"  # SSN wins over phone
+    # unbroken digit runs / wrong groupings must NOT match
+    assert out[3] == "id 12345678901 stays, 55-123-4567 stays too"
+    assert out[4] == "no pii here"
+
+
+def test_chunk_documents_windows(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([Row(doc_id=1, text=text), Row(doc_id=2, text="a b"), Row(doc_id=3, text="")])
+    out = chunk_documents(df, chunk_size=4, overlap=2)
+    rows = {(r.doc, r.chunk_idx): (r.n_tokens, r.chunk_text) for r in out.collect()}
+    # doc 1: starts 0,2,4,6,8 → last window is a trailing partial
+    assert rows[(1, 0)] == (4, "w0 w1 w2 w3")
+    assert rows[(1, 1)] == (4, "w2 w3 w4 w5")
+    assert rows[(1, 4)] == (2, "w8 w9")
+    # doc 2 shorter than one window → single partial chunk
+    assert rows[(2, 0)] == (2, "a b")
+    # empty doc → no chunks
+    assert not any(d == 3 for d, _ in rows)
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="a")])
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=4, overlap=4)
+
+
+def test_normalize_text(spark):
+    rows = [Row(t="  Hello,   WORLD!! (x1) "), Row(t="a-b_c")]
+    out = [
+        r.n
+        for r in spark.createDataFrame(rows)
+        .select(normalize_text(F.col("t")).alias("n"))
+        .collect()
+    ]
+    assert out[0] == "hello world x1"
+    assert out[1] == "a b c"
