@@ -302,12 +302,51 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash")  # xxhash64 signatures — not SQL-expressible
+# Full cross-engine SimHash oracle: DuckDB recomputes the identical
+# pipeline — md5-derived 64-bit shingle hashes (md5_number_lower ==
+# Spark's md5_long_halves, verified bit-identical), ±1 votes per bit,
+# sign assembly, then brute-force all-pairs hamming via bit_count(xor).
+# The Spark side blocks with the 4×16 pigeonhole (exact for ≤3), so
+# blocked-Spark ≡ all-pairs-DuckDB iff the blocking loses nothing —
+# the oracle proves the construction AND the capture guarantee at once.
+_SIMHASH_SQL = f"""
+WITH sh AS (
+  SELECT doc_id AS doc, unnest({_SHINGLES}) AS shingle FROM documents
+),
+votes AS (
+  SELECT doc, i,
+         SUM(CASE WHEN (md5_number_lower(shingle) >> i) & 1 = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 64)) AS i) bits
+  GROUP BY doc, i
+),
+hashes AS (
+  SELECT doc,
+         CAST(SUM(CASE WHEN v > 0 THEN
+                CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                     ELSE (CAST(1 AS BIGINT) << i) END
+              ELSE 0 END) AS BIGINT) AS sh64
+  FROM votes GROUP BY doc
+)
+SELECT a.doc AS d1, b.doc AS d2,
+       bit_count(xor(a.sh64, b.sh64)) AS hamming
+FROM hashes a JOIN hashes b ON a.doc < b.doc
+WHERE bit_count(xor(a.sh64, b.sh64)) <= 3
+ORDER BY d1, d2
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_SQL)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at hamming ≤ 3 with pigeonhole blocking."""
+    """SimHash near-dup pairs at hamming ≤ 3 with pigeonhole blocking.
+
+    Uses the md5-derived shingle hash (dedup.md5_long_halves) so the
+    DuckDB oracle can replay the construction end-to-end; the operator
+    default stays xxhash64 for raw-throughput corpora.
+    """
     from another_map_reduce_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(load_table(spark, sf_dir, "documents"))
+    return simhash_pairs(load_table(spark, sf_dir, "documents"), hasher="md5")
 
 
 # ---------------------------------------------------------------------------
