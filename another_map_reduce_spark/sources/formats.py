@@ -43,3 +43,16 @@ def read_json(
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Parquet (schema from footers; pushdown + pruning built in)."""
     return spark.read.parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC (schema from file metadata; predicate pushdown + column
+    pruning built in, same scan machinery as parquet — ORC matters for
+    Hive-ecosystem corpora where the upstream warehouse already stores
+    ORC and a 100 TB rewrite to parquet would dwarf the query cost)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "error") -> None:
+    """ORC writer (snappy by default, like parquet)."""
+    df.write.mode(mode).orc(path)

@@ -46,6 +46,25 @@ def test_json_roundtrip(spark, kv, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, kv.collect()))
 
 
+def test_orc_roundtrip_and_pushdown(spark, kv, tmp_path):
+    from another_map_reduce_spark.sources.formats import read_orc, write_orc
+
+    p = str(tmp_path / "orc")
+    write_orc(kv, p)
+    back = read_orc(spark, p)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, kv.collect()))
+    # predicate reaches the ORC scan (same pushdown contract as parquet)
+    plan = (
+        read_orc(spark, p)
+        .where("v > 1")
+        .select("k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(v), GreaterThan(v,1)]" in plan
+
+
 def test_partitioned_write_prunes(spark, kv, tmp_path):
     p = str(tmp_path / "part")
     write_partitioned(kv, p, ["part"])
