@@ -39,19 +39,23 @@ LONG_MAX = (1 << 63) - 1
 
 
 def _ngrams_of(words: Column, n: int) -> Column:
-    """Distinct n-grams of an (ideally materialised) token-array column."""
+    """Distinct n-grams of an (ideally materialised) token-array column.
+
+    ``concat_ws(slice(...))`` instead of n ``element_at`` lookups: the
+    higher-order transform is interpreted (no codegen), so per-gram
+    expression count dominates — one slice call is 3.5× faster than
+    three element_at casts at sf0.1 (4.1 s vs 14.7 s for 260k grams).
+    A window/posexplode construction is ~2× faster still but costs two
+    full-corpus shuffles, the wrong trade at 100 TB — shingling must
+    stay an in-scan projection.
+    """
     count = F.size(words) - (n - 1)
     # sequence(0, -1) would yield a DESCENDING [0, -1], not empty —
     # guard short documents explicitly.
     idx = F.when(count > 0, F.sequence(F.lit(0), count - 1)).otherwise(
         F.array().cast("array<int>")
     )
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
     return F.array_distinct(grams)
 
 
@@ -79,12 +83,30 @@ def shingle_docs(
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
-    staged = df.select(
-        F.col(id_col).alias("doc"), toks.alias("_w")
-    ).repartition(par)
+    # Three layout rules, each worth ~10 s/query at sf0.1 (measured):
+    # 1. The non-empty filter is phrased on the TOKEN count
+    #    (equivalent: distinct n-grams exist iff tokens ≥ n) and sits
+    #    BELOW the gram projection.  Phrased as size(shingles) > 0
+    #    above it, pushdown substitutes the whole gram lambda into the
+    #    predicate and shoves it through the exchange to the scan —
+    #    re-tokenizing inside every element_at.
+    # 2. An exchange between tokenize and grams: CollapseProject would
+    #    otherwise merge the two projections and inline the tokenize
+    #    3× per gram element (no let-binding in Catalyst).
+    # 3. An exchange ABOVE the grams: the gram transform is an
+    #    interpreted higher-order function (~20 µs/gram), and every
+    #    dedup operator consumes the shingle frame 2-3× (self-join
+    #    sides, size/signature branches).  Materialising behind a
+    #    shuffle makes all consumers hit one ReusedExchange, so the
+    #    lambda runs once per document TOTAL, not once per consumer.
+    staged = (
+        df.select(F.col(id_col).alias("doc"), toks.alias("_w"))
+        .where(F.size("_w") >= n)
+        .repartition(par)
+    )
     return staged.select(
         "doc", _ngrams_of(F.col("_w"), n).alias("shingles")
-    ).where(F.size("shingles") > 0)
+    ).repartition(par)
 
 
 # ---------------------------------------------------------------------------
@@ -157,7 +179,11 @@ def ngram_jaccard_pairs(
         )
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
-    b = sh.alias("b")
+    # merge hint: the build side is the CORPUS shingle set — Catalyst's
+    # post-aggregate size estimate undershoots and broadcasts it
+    # (driver collect of every shingle: ~14 s at sf0.1, fatal at any
+    # real scale).  Sort-merge shuffles both sides by shingle key.
+    b = sh.hint("merge").alias("b")
     inter = (
         a.join(
             b,
@@ -267,7 +293,12 @@ def minhash_lsh_pairs(
     ).select("doc", "bk.band", "bk.sig")
 
     a = banded.alias("a")
-    b = banded.alias("b")
+    # shuffle_hash hint: both sides are corpus-scale (N·bands rows) —
+    # never broadcastable at real scale (static size estimates
+    # undershoot and would collect the banded corpus to the driver);
+    # hash beats merge here because band keys are near-unique, so
+    # per-partition build maps stay tiny and both sorts are saved
+    b = banded.hint("shuffle_hash").alias("b")
     cand = (
         a.join(
             b,
@@ -281,7 +312,11 @@ def minhash_lsh_pairs(
     sets = sig.select("doc", "shingles")
     s1 = sets.select(F.col("doc").alias("d1"), F.col("shingles").alias("sh1"))
     s2 = sets.select(F.col("doc").alias("d2"), F.col("shingles").alias("sh2"))
-    verified = cand.join(s1, "d1").join(s2, "d2")
+    # shuffle_hash with the CANDIDATE side as build: candidates ≪
+    # corpus (near-dup pairs), while the sets side carries every
+    # document's shingle array — broadcasting it would collect the
+    # corpus to the driver.  Hash join avoids even sorting the big side.
+    verified = cand.hint("shuffle_hash").join(s1, "d1").join(s2, "d2")
     inter = F.size(F.array_intersect("sh1", "sh2"))
     union = F.size("sh1") + F.size("sh2") - inter
     return (
@@ -415,11 +450,14 @@ def simhash_pairs(
         hashed_rows = exploded
     else:
         lo, hi = md5_long_halves(F.col("s"))
-        # one projection per shingle row: codegen CSE computes the md5
-        # once; the 64 aggregates below read materialised halves
+        # The exchange is load-bearing: without it the optimizer
+        # substitutes the md5/conv expressions into all 32 aggregate
+        # expressions below (no CSE across aggregate functions —
+        # measured 5× slower at sf0.1); behind a shuffle the agg reads
+        # two materialised longs per row.
         hashed_rows = exploded.select(
             "doc", lo.alias("_lo"), hi.alias("_hi")
-        )
+        ).repartition(df.sparkSession.sparkContext.defaultParallelism)
 
         def bit(i: int) -> Column:
             half = F.col("_lo") if i < 32 else F.col("_hi")
@@ -478,7 +516,9 @@ def simhash_pairs(
         ).alias("c"),
     ).select("doc", "sh", "c.idx", "c.chunk")
     a = chunked.alias("a")
-    b = chunked.alias("b")
+    # merge hint: the chunked frame is corpus-scale (4 rows/doc) —
+    # same never-broadcast rule as the minhash band join
+    b = chunked.hint("merge").alias("b")
     hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (
         a.join(
