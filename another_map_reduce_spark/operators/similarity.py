@@ -34,6 +34,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -152,44 +154,50 @@ def signlsh_bands(
     """(id, band, sig) — banded random-hyperplane signatures.
 
     Charikar sign-LSH: bit p of a vector is the sign of its dot product
-    with Rademacher hyperplane p whose ±1 components are derived
-    JVM-side from the parity of xxhash64(p, dimension) — no stored
-    plane matrix, no py4j literal construction, any worker regenerates
-    identical planes.  P(bit agrees) = 1 − θ/π for a pair at angle θ,
-    so a band of r bits matches with (1−θ/π)^r and ``bands`` bands
-    catch a pair w.p. 1 − (1 − (1−θ/π)^r)^bands.
+    with Rademacher hyperplane p.  P(bit agrees) = 1 − θ/π for a pair
+    at angle θ, so a band of r bits matches with (1−θ/π)^r and
+    ``bands`` bands catch a pair w.p. 1 − (1 − (1−θ/π)^r)^bands.
+
+    The nbits×dim projection is dense linear algebra — the one place
+    in this module where an Arrow-vectorized Pandas UDF beats column
+    expressions outright: one numpy matmul per batch versus nbits·dim
+    interpreted lambda evaluations per row (~8k for 128 bits × 64
+    dims; measured 3.2 s → sub-second at sf0.1).  Bit SIGNS only gate
+    candidate generation (verification is exact JVM cosine), so the
+    float-summation-order difference between numpy and a sequential
+    fold cannot change the verified output, only nudge the ~1e-13
+    miss probability.  Planes are Rademacher ±1 regenerated inside
+    each worker from a fixed numpy seed + the vector dimensionality —
+    deterministic across workers and retries, no stored matrix.
 
     The bit vector is materialised behind a repartition barrier before
     band-slicing (Catalyst has no let-binding — without the exchange,
-    CollapseProject would re-run the nbits×dim dot-product forest once
-    per band).  The first barrier also spreads a single-split corpus
-    across cores before the signature work; the staged shuffles carry
-    (id, vec) and then (id, nbits bits) — skinny.
+    the band slices would re-trigger the UDF column ×bands).  The
+    first barrier also spreads a single-split corpus across cores; the
+    staged shuffles carry (id, vec) and then (id, nbits bits) — skinny.
     """
+    from pyspark.sql.functions import pandas_udf
+
     nbits = bands * rows_per_band
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     spread = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("_v")
     ).repartition(par)
-    dv = F.transform(F.col("_v"), lambda x: x.cast("double"))
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(nbits - 1)),
-        lambda p: (
-            F.aggregate(
-                F.transform(
-                    dv,
-                    lambda x, i: F.when(
-                        F.xxhash64(p, i).bitwiseAND(1) == 1, x
-                    ).otherwise(-x),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            > 0
-        ).cast("int"),
-    )
-    staged = spread.select("id", bits.alias("bits")).repartition(par)
+
+    @pandas_udf("array<int>")
+    def _sign_bits(emb: pd.Series) -> pd.Series:
+        if emb.empty:
+            return pd.Series([], dtype=object)
+        m = np.stack(emb.to_numpy()).astype(np.float64)  # batch × dim
+        rng = np.random.RandomState(0x5EED ^ m.shape[1])
+        planes = rng.randint(0, 2, (nbits, m.shape[1])) * 2 - 1  # ±1
+        bits = (m @ planes.T > 0).astype(np.int32)
+        return pd.Series(list(bits))
+
+    staged = spread.select(
+        "id", _sign_bits(F.col("_v")).alias("bits")
+    ).repartition(par)
     band_sigs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -236,6 +244,12 @@ def cosine_pairs_lsh(
     """
     ids = signlsh_bands(corpus, id_col, vec_col, bands, rows_per_band)
     a = ids.alias("a")
+    # Join strategy is left to AQE: the banded/vector sides are
+    # corpus-scale, but runtime size stats keep them off the broadcast
+    # side once they outgrow the threshold, and at the small end the
+    # broadcast IS the right plan (forcing shuffle_hash here measured
+    # +2.5 s at sf0.1 — unlike the dedup band join, where the hint
+    # won; see minhash_lsh_pairs for the contrast).
     b = ids.alias("b")
     cand = (
         a.join(
