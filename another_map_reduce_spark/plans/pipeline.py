@@ -10,7 +10,7 @@ recall tests in tests/test_dedup.py against the exact operator.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from another_map_reduce_spark.operators.text_analysis import (
@@ -93,6 +93,76 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ta.punct_char_count(t).cast("long").alias("n_punct"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest({_TOKENS}) AS term FROM documents
+), tfc AS (
+  SELECT doc, term, COUNT(*) AS tf FROM toks GROUP BY doc, term
+), dfc AS (
+  SELECT term, COUNT(*) AS df FROM tfc GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc, tfc.term, tf, df,
+         CAST(tf * n_docs AS DOUBLE) / df AS score
+  FROM tfc JOIN dfc USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc, term, tf, df, score,
+         ROW_NUMBER() OVER (PARTITION BY doc ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT doc, term, tf, df, score, rank
+FROM ranked WHERE rank <= 3
+ORDER BY doc, rank
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf·idf relevance.
+
+    The classic corpus-scoring composition: term frequencies (one
+    partial-agg shuffle on (doc, term)), document frequencies derived
+    from the tf frame (second agg on term — no rescan of the corpus),
+    a broadcast 1-row corpus count, and a per-doc top-k window.  The
+    idf factor is the LINEAR N/df (one IEEE division of identical
+    operands on both engines — bit-deterministic); a log idf is a
+    one-expression swap but ln() last-ulp behavior is engine-specific,
+    the wrong trade for a hash-compared differential suite.  Corpus-
+    wide terms need no explicit stopword cut: df ≈ N drives their
+    score to ≈tf, so rare terms outrank them wherever one exists.
+    """
+    from another_map_reduce_spark.operators.text_analysis import _ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(_ws_tokens(F.col("text"))).alias("term"),
+    )
+    tfc = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    dfc = tfc.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tfc.join(dfc, "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc",
+            "term",
+            "tf",
+            "df",
+            (
+                (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .orderBy("doc", "rank")
     )
 
 
