@@ -592,3 +592,45 @@ def doc_winnowing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("fp").alias("fp_min"),
         F.array_max("fp").alias("fp_max"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Skew handling (driver-visible face of operators/skew.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the hottest key shape in the
+    schema (a handful of event types across every row).
+
+    Semantically identical to a plain GROUP BY — which is exactly what
+    the oracle runs — but executed as spray-by-content-salt → partial
+    agg → merge partials (operators/skew.py), so one pathological key
+    can never serialise a shuffle partition at 100 TB.  Decimal
+    partials keep the two-phase sum associative bit-exactly.
+    """
+    from another_map_reduce_spark.operators.skew import salted_agg
+
+    events = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(38,6)")
+    out = salted_agg(
+        events,
+        ["event_type"],
+        [F.count("*").alias("_n"), F.sum(dec).alias("_s")],
+        [
+            F.sum("_n").alias("n_events"),
+            F.sum("_s").cast("double").alias("total_value"),
+        ],
+    )
+    return out.orderBy("event_type")
