@@ -56,21 +56,46 @@ def _load() -> None:
 # (dedup_simhash is oracle-checked since round 2 but stays late: its
 # DuckDB side recomputes the full 64-bit construction, the priciest
 # oracle in the suite).
+# Round-2 additions that have never had a driver correctness row run
+# FIRST (all cheap; dedup_simhash — newly oracle-checked but with the
+# priciest oracle — goes right after them), so a truncated driver pass
+# cuts into queries that were already green in round 1, not the new
+# information.
+_ORDER_FRONT = [
+    "q2_min_price_part",
+    "q4_priority_exists",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q12_priority_linecount",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_predicates",
+    "q22_dormant_customers",
+    "split_train_val_test",
+    "pii_redaction",
+    "doc_chunks",
+    "text_normalize_stats",
+    "tfidf_top_terms",
+    "skew_salted_agg",
+    "dedup_simhash",
+]
 _ORDER_HEAVY = ["dedup_ngram_jaccard", "dedup_minhash_lsh"]
 _ORDER_TAIL = [
     "pandas_wordcount",
     "mr_wordcount",
     "approx_distinct_users",
     "ann_ivf_topk",
-    "dedup_simhash",
 ]
 
 
 def _reorder() -> None:
+    front = [n for n in _ORDER_FRONT if n in QUERIES]
     late = _ORDER_HEAVY + _ORDER_TAIL
-    names = [n for n in QUERIES if n not in late] + [
-        n for n in late if n in QUERIES
-    ]
+    mid = [n for n in QUERIES if n not in front and n not in late]
+    names = front + mid + [n for n in late if n in QUERIES]
     snapshot = dict(QUERIES)
     QUERIES.clear()
     QUERIES.update({n: snapshot[n] for n in names})

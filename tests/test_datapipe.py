@@ -97,3 +97,39 @@ def test_normalize_text(spark):
     ]
     assert out[0] == "hello world x1"
     assert out[1] == "a b c"
+
+
+def test_chunk_documents_coverage_property(spark):
+    """Every token position is covered by ≥1 chunk; consecutive chunks
+    overlap by exactly `overlap` except the trailing partial; chunk
+    texts reassemble the document."""
+    import random
+
+    rng = random.Random(42)
+    rows = [
+        Row(doc_id=i, text=" ".join(f"t{i}_{j}" for j in range(n)))
+        for i, n in enumerate(rng.choices(range(1, 40), k=25))
+    ]
+    size, ov = 8, 3
+    out = chunk_documents(
+        spark.createDataFrame(rows), chunk_size=size, overlap=ov
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc, []).append(r)
+    for i, n in enumerate(int(r.text.count(" ")) + 1 for r in rows):
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        toks = rows[i].text.split(" ")
+        step = size - ov
+        # indices are dense from 0
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        rebuilt = []
+        for c in chunks:
+            start = c.chunk_idx * step
+            expect = toks[start : start + size]
+            assert c.chunk_text.split(" ") == expect
+            assert c.n_tokens == len(expect)
+            rebuilt.extend(expect if not rebuilt else expect[ov:] if start + ov <= len(toks) else [])
+        # full positional coverage: last chunk reaches the end
+        last = chunks[-1]
+        assert last.chunk_idx * step + last.n_tokens == len(toks)
