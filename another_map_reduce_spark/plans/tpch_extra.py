@@ -584,3 +584,485 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping between two nations (dual-aliased dim join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       YEAR(l_shipdate) AS l_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 verbatim shape: the same dimension (nation) joined
+    twice under different roles, with a disjunctive cross-role
+    predicate.
+
+    Both nation sides are pre-filtered to the two names BEFORE the
+    join (Catalyst can't split the OR across roles by itself, but the
+    implied superset filter n_name IN (...) is manually pushed), so
+    the fact join probes two broadcast maps of ≤2 rows each and only
+    the pair predicate runs post-join.  The shipdate range prunes the
+    lineitem scan.
+    """
+    pair = ("NATION_1", "NATION_2")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    nat = load_table(spark, sf_dir, "nation").where(F.col("n_name").isin(*pair))
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("_n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("_n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp_n = supp.join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("_n1_key")
+    ).select("s_suppkey", "supp_nation")
+    cust_n = cust.join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("_n2_key")
+    ).select("c_custkey", "cust_nation")
+    return (
+        li.join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — market share (conditional-sum ratio)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+SELECT o_year,
+       CAST(SUM(CASE WHEN nation = 'NATION_5' THEN dvol ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+         / CAST(SUM(dvol) AS DOUBLE) AS mkt_share
+FROM (
+    SELECT YEAR(o_orderdate) AS o_year,
+           CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) AS dvol,
+           n2.n_name AS nation
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+      AND p_type = 'ECONOMY'
+) t
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 verbatim shape: a nation's share of regional revenue,
+    as a ratio of two conditional sums over an 8-table join.
+
+    Every dimension (part-filter keys, supplier→nation, customer→
+    nation→region) broadcasts; the only shuffles are the orders⋈
+    lineitem hash join and the final tiny group-by-year.  Both sums
+    are exact decimals; the share divides two identically-derived
+    doubles so the quotient is bit-stable across engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asia_nations = nat.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("_asia_key"))
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("_asia_key"))
+        .select("c_custkey")
+    )
+    supp_n = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    dvol = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    zero = F.lit(0).cast("decimal(38,6)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("nation") == "NATION_5", dvol).otherwise(zero))
+                .cast("double")
+                / F.sum(dvol).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit (pseudo-cost adaptation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     - 0.5 * p_retailprice * l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+         AS sum_profit
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, o_year
+ORDER BY nation, o_year DESC
+""",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for a
+    part-name pattern.
+
+    ps_supplycost doesn't exist (no partsupp table); the cost term is
+    adapted to ``0.5 * p_retailprice * l_quantity``, keeping the
+    official two-sided profit expression and the LIKE-driven dimension
+    filter.  The name filter prunes part before broadcast; the profit
+    expression is a per-row double (identical IEEE eval both engines)
+    cast to decimal for order-independent summation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("%gear%")
+    ).select("p_partkey", "p_retailprice")
+    orders = load_table(spark, sf_dir, "orders")
+    nat = load_table(spark, sf_dir, "nation")
+    supp_n = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("nation"), F.year("o_orderdate").cast("long").alias("o_year")
+        )
+        .agg(dsum(profit, "sum_profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock value (HAVING vs global scalar)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+WITH sv AS (
+    SELECT l_partkey AS ps_partkey,
+           CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) AS val
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_7')
+)
+SELECT ps_partkey, CAST(SUM(val) AS DOUBLE) AS part_value
+FROM sv
+GROUP BY ps_partkey
+HAVING CAST(SUM(val) AS DOUBLE) > 0.001 * (SELECT CAST(SUM(val) AS DOUBLE) FROM sv)
+ORDER BY part_value DESC, ps_partkey
+""",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value for a nation group, HAVING
+    against a fraction of the global total (scalar subquery).
+
+    partsupp is absent; "stock value" is adapted to discounted
+    lineitem revenue from the group's suppliers.  The global total is
+    derived by re-aggregating the per-part decimal sums (exact, so it
+    equals the oracle's direct SUM over the CTE) — ONE scan of
+    lineitem instead of the naive two, and the one-row total joins
+    back as a broadcast.  Both engines compare in double after exact
+    decimal summation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    nat = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    per_part = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "_dval"
+            )
+        )
+    )
+    total = per_part.agg(
+        F.sum("_dval").cast("double").alias("_total")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("_dval").cast("double") > 0.001 * F.col("_total"))
+        .select(
+            "ps_partkey", F.col("_dval").cast("double").alias("part_value")
+        )
+        .orderBy(F.col("part_value").desc(), F.col("ps_partkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier relationship count (NOT IN + COUNT DISTINCT)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q16_parts_supplier",
+    oracle="""
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 3, 5, 7)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part group with a
+    NOT-IN supplier exclusion.
+
+    partsupp → lineitem (the observed part-supplier relation); the
+    "complaints" exclusion filters on s_acctbal < 0 (no comment
+    column).  s_suppkey is non-nullable so NOT IN is exactly a
+    left-anti join on the (tiny, broadcast) exclusion list; the
+    part-side predicates prune before the broadcast join, and COUNT
+    DISTINCT goes through Spark's two-phase distinct aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 3, 5, 7)
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — excess-volume suppliers (nested IN + correlated scalar)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q20_excess_suppliers",
+    oracle="""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_nationkey < 13
+  AND s_suppkey IN (
+    SELECT sp.l_suppkey FROM (
+        SELECT l_suppkey, l_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(38,6))) AS qty
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%gear%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey, l_partkey
+    ) sp
+    WHERE CAST(sp.qty AS DOUBLE) > 0.3 * (
+        SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        FROM lineitem l2
+        WHERE l2.l_partkey = sp.l_partkey
+          AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l2.l_shipdate <  TIMESTAMP '1997-01-01'
+    )
+)
+ORDER BY s_suppkey
+""",
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN-subquery whose inner HAVING compares
+    against a correlated per-part scalar.
+
+    ps_availqty is adapted to "this supplier shipped >30% of the
+    part's total 1996 volume".  The correlated scalar decorrelates to
+    a per-partkey aggregate joined back (the standard unnesting);
+    supplier qualification is a semi join, so supplier rows never
+    replicate.  Both quantity sums are exact decimals compared in
+    double.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    gear = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("%gear%")
+    ).select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier").where(F.col("s_nationkey") < 13)
+    sp = (
+        li.join(F.broadcast(gear), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("_qty"))
+    )
+    part_total = li.groupBy(F.col("l_partkey").alias("_tp")).agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("_part_qty")
+    )
+    qualifying = (
+        sp.join(part_total, F.col("l_partkey") == F.col("_tp"))
+        .where(F.col("_qty") > 0.3 * F.col("_part_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(
+            qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — waiting suppliers (EXISTS + NOT EXISTS self-joins)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey
+        AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole-blaming-supplier double EXISTS.
+
+    receiptdate/commitdate don't exist; "late" is adapted to
+    l_returnflag = 'R'.  Instead of two correlated self-joins of
+    lineitem (the official formulation — two extra shuffles of the
+    fact table), both EXISTS collapse into ONE per-order aggregate:
+    n_supp = COUNT(DISTINCT suppkey) ≥ 2 ⟺ the EXISTS, and
+    n_ret_supp = COUNT(DISTINCT suppkey WHERE 'R') = 1 ⟺ the NOT
+    EXISTS (l1 itself is 'R', so a unique returning supplier must be
+    l1's).  One lineitem shuffle on orderkey serves both sides.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    ord_stats = li.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.count_distinct("l_suppkey").alias("_n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("_n_ret_supp"),
+    )
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(ord_stats, F.col("l_orderkey") == F.col("_ok"))
+        .where((F.col("_n_supp") >= 2) & (F.col("_n_ret_supp") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )

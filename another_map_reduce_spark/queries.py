@@ -62,6 +62,13 @@ def _load() -> None:
 # cuts into queries that were already green in round 1, not the new
 # information.
 _ORDER_FRONT = [
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_parts_supplier",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
     "q2_min_price_part",
     "q4_priority_exists",
     "q5_local_supplier_volume",
