@@ -419,6 +419,69 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, sf_dir, "documents"), hasher="md5")
 
 
+# Pairs → clusters: transitively-closed near-dup groups.  The oracle
+# closes the exact-Jaccard pair graph with a recursive CTE (min-label
+# reachability ≡ connected components); the Spark side runs the SCALE
+# pipeline end-to-end — MinHash-LSH candidates → exact-Jaccard verify →
+# iterative min-label propagation — so one hash row proves the whole
+# dedup chain, not just the pair stage.
+_CC_SQL = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS doc, unnest({_SHINGLES}) AS shingle FROM documents
+), sizes AS (
+  SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc
+), inter AS (
+  SELECT a.doc AS d1, b.doc AS d2, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT d1, d2
+  FROM inter
+  JOIN sizes s1 ON d1 = s1.doc
+  JOIN sizes s2 ON d2 = s2.doc
+  WHERE inter / (s1.sz + s2.sz - inter) >= 0.8
+), edges AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION ALL
+  SELECT d2, d1 FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), reach AS (
+  SELECT node, node AS lbl FROM nodes
+  UNION
+  SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+), comp AS (
+  SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+)
+SELECT component, COUNT(*) AS n_docs, list_sort(list(node)) AS members
+FROM comp GROUP BY component ORDER BY component
+"""
+
+
+@register("dedup_cc_clusters", oracle=_CC_SQL)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash-LSH pairs closed under transitivity.
+
+    Pair detectors alone can't dedup a corpus — if A~B and B~C the
+    survivor must be chosen per {A,B,C}, so the pipeline needs the
+    connected components of the similarity graph.  Spark side: LSH
+    candidates → exact-Jaccard verify (≡ exact pairs, see
+    dedup_minhash_lsh) → operators.graph.connected_components
+    (min-label propagation, one shuffle/round, O(diameter) rounds).
+    Oracle: recursive-CTE reachability over the exact pair graph.
+    """
+    from another_map_reduce_spark.operators.dedup import minhash_lsh_pairs
+    from another_map_reduce_spark.operators.graph import (
+        cluster_stats,
+        connected_components,
+    )
+
+    pairs = minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8
+    ).select("d1", "d2")
+    return cluster_stats(connected_components(pairs, "d1", "d2"))
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -87,6 +87,7 @@ _ORDER_FRONT = [
     "text_normalize_stats",
     "tfidf_top_terms",
     "skew_salted_agg",
+    "dedup_cc_clusters",
     "dedup_simhash",
 ]
 _ORDER_HEAVY = ["dedup_ngram_jaccard", "dedup_minhash_lsh"]

@@ -96,3 +96,54 @@ def test_max_df_cap_returns_subset(spark, docs):
         for r in ngram_jaccard_pairs(docs, 0.8, max_df=1000).collect()
     }
     assert capped <= full
+
+
+def test_connected_components_shapes(spark):
+    """Chain, triangle, and isolated pair resolve to min-id components;
+    convergence needs diameter rounds and the label is partition-stable."""
+    from another_map_reduce_spark.operators.graph import (
+        cluster_stats,
+        connected_components,
+    )
+
+    # components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "src long, dst long",
+    )
+    got = {
+        (r.node, r.component)
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+    stats = {
+        (r.component, r.n_docs, tuple(r.members))
+        for r in cluster_stats(
+            connected_components(edges.repartition(7))
+        ).collect()
+    }
+    assert stats == {
+        (1, 4, (1, 2, 3, 4)),
+        (10, 3, (10, 11, 12)),
+        (20, 2, (20, 21)),
+    }
+
+
+def test_connected_components_diameter_guard(spark):
+    """A chain longer than max_iter raises instead of returning a
+    partial clustering."""
+    import pytest
+
+    from another_map_reduce_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="convergence"):
+        connected_components(chain, max_iter=2)
+    full = connected_components(chain, max_iter=15)
+    assert {r.component for r in full.collect()} == {0}
