@@ -419,6 +419,55 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, sf_dir, "documents"), hasher="md5")
 
 
+@register(
+    "inverted_index",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest(list_distinct({_TOKENS})) AS term FROM documents
+), inv AS (
+    SELECT term, COUNT(*) AS df, list_sort(list(doc_id)) AS postings
+    FROM tok GROUP BY term
+)
+SELECT term, df, list_slice(postings, 1, 20) AS postings_head
+FROM inv
+ORDER BY df DESC, term
+LIMIT 100
+""",
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index (term → sorted posting list) — the canonical
+    "other" MapReduce job next to word count, absent from the reference
+    (count-by-key only, src/worker.rs:36-38) but one map/shuffle away.
+
+    tokenize → per-doc distinct → explode → groupBy(term) builds the
+    postings with ONE hash shuffle; the query surface returns the 100
+    highest-df terms with a capped posting prefix so the result stays
+    bounded at every SF (TakeOrderedAndProject, no global sort).  At
+    scale the same frame, minus the top-k, is the real sink — written
+    ``partitionBy``/bucketed on term so lookups prune to one bucket;
+    posting arrays stay sorted because collect_list feeds sort_array
+    per group, never a global order.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from another_map_reduce_spark.operators.text_analysis import _ws_tokens
+
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_ws_tokens(F.col("text")))).alias("term"),
+    )
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias(
+                "postings_head"
+            ),
+        )
+        .orderBy(F.col("df").desc(), "term")
+        .limit(100)
+    )
+
+
 # Pairs → clusters: transitively-closed near-dup groups.  The oracle
 # closes the exact-Jaccard pair graph with a recursive CTE (min-label
 # reachability ≡ connected components); the Spark side runs the SCALE

@@ -740,6 +740,84 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_conversion",
+    oracle="""
+WITH tv AS (
+    SELECT user_id, MIN(ts) AS t_view FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), tc AS (
+    SELECT e.user_id, MIN(e.ts) AS t_click
+    FROM events e JOIN tv ON e.user_id = tv.user_id
+    WHERE e.event_type = 'click' AND e.ts > tv.t_view
+    GROUP BY e.user_id
+), tp AS (
+    SELECT e.user_id, MIN(e.ts) AS t_purchase
+    FROM events e JOIN tc ON e.user_id = tc.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > tc.t_click
+    GROUP BY e.user_id
+)
+SELECT * FROM (
+    SELECT 1 AS stage_idx, 'view' AS stage, (SELECT COUNT(*) FROM tv) AS n_users
+    UNION ALL
+    SELECT 2, 'view>click', (SELECT COUNT(*) FROM tc)
+    UNION ALL
+    SELECT 3, 'view>click>purchase', (SELECT COUNT(*) FROM tp)
+) ORDER BY stage_idx
+""",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel over the event stream: users who viewed,
+    then clicked AFTER their first view, then purchased after that
+    click.
+
+    The classic product-analytics operator the reference can't express
+    (count-by-key only).  Each stage is a conditional MIN keyed on the
+    previous stage's timestamp — per-user state chains through ordinary
+    equi-joins on user_id, so all three stages co-partition on the same
+    key and AQE collapses the (shrinking) stage frames to broadcasts.
+    No window over the raw stream and no per-user row_number sort —
+    O(events) work, O(users) state, the shape that survives 100 TB of
+    events.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    tv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    tc = (
+        ev.where(F.col("event_type") == "click")
+        .join(tv, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    tp = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(tc, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def stage(idx: int, name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(F.count("*").alias("n_users")).select(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_users",
+        )
+
+    return (
+        stage(1, "view", tv)
+        .unionByName(stage(2, "view>click", tc))
+        .unionByName(stage(3, "view>click>purchase", tp))
+        .orderBy("stage_idx")
+    )
+
+
+@register(
     "subquery_above_avg",
     oracle="""
 SELECT o_orderkey, o_totalprice

@@ -87,6 +87,8 @@ _ORDER_FRONT = [
     "text_normalize_stats",
     "tfidf_top_terms",
     "skew_salted_agg",
+    "funnel_conversion",
+    "inverted_index",
     "dedup_cc_clusters",
     "dedup_simhash",
 ]
