@@ -214,3 +214,20 @@ def normalize_text_sql(text_sql: str) -> str:
         + text_sql
         + r"), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"
     )
+
+
+def hash_sample(key: Column, rate_hex2: Column | str) -> Column:
+    """Deterministic Bernoulli sample predicate: keep rows whose
+    md5('amrs-sample-v1' || key) two-char hex prefix sorts below
+    ``rate_hex2`` (e.g. '80' ≈ 50%, '1a' ≈ 10.2%).
+
+    Same engine-portable construction as ``split_assign`` — the sample
+    is a pure projection (no shuffle, no rand()), stable under reruns,
+    repartitioning, and appends, and the threshold can vary per row
+    (stratified rates from a dimension column).
+    """
+    rate = F.lit(rate_hex2) if isinstance(rate_hex2, str) else rate_hex2
+    prefix = F.substring(
+        F.md5(F.concat(F.lit("amrs-sample-v1"), key.cast("string"))), 1, 2
+    )
+    return prefix < rate

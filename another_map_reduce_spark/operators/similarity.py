@@ -466,3 +466,36 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .orderBy("qid", "rank")
     )
+
+
+def vector_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group mean vector, one output row per (group, dim).
+
+    posexplode → groupBy(group, dim) → exact-decimal mean: the sums are
+    order-independent (decimal(38,9) after a deterministic float→double
+    cast), so the centroid hashes identically on any engine or
+    partitioning — this is the VERIFIABLE formulation.  It shuffles
+    N·d rows; for raw throughput at fixed d a grouped Arrow UDA with
+    numpy partial sums halves the traffic but float-sum order makes it
+    non-reproducible bit-for-bit — keep that variant for training, this
+    one for anything hashed or diffed.
+    """
+    groups = group_cols or ["label"]
+    exploded = df.select(
+        *groups,
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v"),
+    )
+    return (
+        exploded.groupBy(*groups, (F.col("pos") + 1).alias("dim"))
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(38,9)")).cast("double")
+                / F.count("v")
+            ).alias("centroid")
+        )
+        .orderBy(*groups, "dim")
+    )

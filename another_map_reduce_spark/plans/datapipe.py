@@ -167,3 +167,52 @@ def text_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(norm).alias("norm_len"),
         F.md5(norm).alias("norm_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+WITH sampled AS (
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE substring(md5('amrs-sample-v1' || CAST(doc_id AS VARCHAR)), 1, 2)
+          < CASE WHEN lang = 'en' THEN '80' ELSE '1a' END
+)
+SELECT lang, COUNT(*) AS n_sampled, SUM(n_chars) AS sampled_chars,
+       SUM(doc_id) AS id_checksum
+FROM sampled
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic corpus sampling: downsample dominant
+    languages harder (en ≈ 50%, everything else ≈ 10%) — the standard
+    rebalancing step before training-data mixing.
+
+    The keep/drop decision is a per-row md5-prefix threshold
+    (operators.datapipe.hash_sample) with the rate driven by the lang
+    column — no rand() (rerun/retry-stable), no shuffle (pure
+    projection pushed to the scan), rates adjustable per stratum
+    without re-hashing.  id_checksum pins the EXACT sampled row set,
+    not just its size.
+    """
+    from another_map_reduce_spark.operators.datapipe import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", "80").otherwise("1a")
+    return (
+        docs.where(hash_sample(F.col("doc_id"), rate))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )

@@ -746,3 +746,31 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return out.orderBy("event_type")
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+SELECT label, i AS dim,
+       CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE)
+         / COUNT(*) AS centroid
+FROM embeddings, range(1, 65) t(i)
+GROUP BY label, i
+ORDER BY label, dim
+""",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class centroids) — the vector
+    aggregation primitive behind IVF training, cluster drift checks,
+    and per-domain embedding stats.
+
+    Exact-decimal per-dimension sums make the centroid order-
+    independent, so the result hash-matches DuckDB's lateral-unnest
+    twin bit-for-bit (see operators.similarity.vector_centroids for
+    the shuffle shape and the non-hashable fast alternative).
+    """
+    from another_map_reduce_spark.operators.similarity import vector_centroids
+
+    return vector_centroids(
+        load_table(spark, sf_dir, "embeddings"), "embedding", ["label"]
+    )

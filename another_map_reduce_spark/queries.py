@@ -89,6 +89,8 @@ _ORDER_FRONT = [
     "skew_salted_agg",
     "funnel_conversion",
     "inverted_index",
+    "stratified_sample",
+    "embedding_centroids",
     "dedup_cc_clusters",
     "dedup_simhash",
 ]

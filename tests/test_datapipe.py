@@ -133,3 +133,23 @@ def test_chunk_documents_coverage_property(spark):
         # full positional coverage: last chunk reaches the end
         last = chunks[-1]
         assert last.chunk_idx * step + last.n_tokens == len(toks)
+
+
+def test_hash_sample_deterministic_and_stratified(spark):
+    """Same key set under repartitioning; rate column honored per row;
+    observed rates near the hex thresholds."""
+    from another_map_reduce_spark.operators.datapipe import hash_sample
+
+    df = spark.range(4000).select(F.col("id").alias("k"))
+    kept1 = {r.k for r in df.where(hash_sample(F.col("k"), "80")).collect()}
+    kept2 = {
+        r.k
+        for r in df.repartition(13)
+        .where(hash_sample(F.col("k"), "80"))
+        .collect()
+    }
+    assert kept1 == kept2
+    assert 0.45 < len(kept1) / 4000 < 0.55
+    small = {r.k for r in df.where(hash_sample(F.col("k"), "1a")).collect()}
+    assert small < kept1  # '1a' < '80' → strictly nested sample
+    assert 0.06 < len(small) / 4000 < 0.15

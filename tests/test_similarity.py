@@ -180,3 +180,24 @@ def test_ivf_train_mod_sampling(spark, emb):
     assert {r.qid for r in out} == {0, 1, 2}
     for r in out:
         assert 1 <= r.rank <= 5
+
+
+def test_vector_centroids_match_numpy(spark, emb):
+    """Per-label centroid equals numpy's mean to float tolerance, with
+    one row per (label, dim) and 1-based dims."""
+    import numpy as np
+
+    from another_map_reduce_spark.operators.similarity import vector_centroids
+
+    rows = emb.select("label", "embedding").collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r.embedding)
+    out = vector_centroids(emb, "embedding", ["label"]).collect()
+    dim = len(rows[0].embedding)
+    assert len(out) == len(by_label) * dim
+    got = {(r.label, r.dim): r.centroid for r in out}
+    for label, vecs in by_label.items():
+        want = np.mean(np.array(vecs, dtype=np.float64), axis=0)
+        for d in range(dim):
+            assert abs(got[(label, d + 1)] - want[d]) < 1e-9
