@@ -79,3 +79,77 @@ def sessionize(events: DataFrame, evict_after_ms: int | None = None) -> DataFram
             timeoutConf=timeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming funnel: per-user stage machine
+# ---------------------------------------------------------------------------
+
+FUNNEL_OUT_SCHEMA = "user_id long, stage_idx integer"
+# micros since epoch; -1 = stage not reached
+FUNNEL_STATE_SCHEMA = "t_view long, t_click long, t_purchase long"
+
+_UNSET = -1
+
+
+def _update_funnel(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold a micro-batch of one user's events into the funnel state
+    (first view → first later click → first later purchase).
+
+    Events are folded in event-time order within the batch; with
+    per-user event-time-ordered delivery across batches (the watermark
+    discipline upstream enforces) the fixed point equals the batch
+    ``funnel_conversion`` stages: processing in ts order makes "first
+    eligible seen" ≡ "MIN(ts) satisfying the predicate".
+    """
+    if state.hasTimedOut:  # pragma: no cover - no timeout configured
+        state.remove()
+        return
+    tv, tc, tp = state.get if state.exists else (_UNSET, _UNSET, _UNSET)
+    for pdf in pdfs:
+        for ts, etype in (
+            pdf[["ts", "event_type"]].sort_values("ts").itertuples(index=False)
+        ):
+            # pandas Timestamp (.value = ns) or raw int64 nanos (from
+            # nanosAsLong sessions) — either way: ns → µs
+            t = int(ts.value if hasattr(ts, "value") else ts) // 1000
+            if etype == "view" and tv == _UNSET:
+                tv = t
+            elif etype == "click" and tv != _UNSET and tc == _UNSET and t > tv:
+                tc = t
+            elif (
+                etype == "purchase"
+                and tc != _UNSET
+                and tp == _UNSET
+                and t > tc
+            ):
+                tp = t
+    state.update((tv, tc, tp))
+    stage = 3 if tp != _UNSET else 2 if tc != _UNSET else 1 if tv != _UNSET else 0
+    yield pd.DataFrame({"user_id": [key[0]], "stage_idx": [stage]})
+
+
+def funnel_stages(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``plans.relational.funnel_conversion``: one
+    (user_id, stage_idx) row per user per micro-batch, stage_idx the
+    deepest funnel stage reached so far (0 = none, 3 = full funnel).
+
+    State is three longs per user — O(users) state-store footprint, no
+    event retention — so the operator is watermark-friendly and the
+    state store stays bounded no matter how long the stream runs.
+    """
+    return (
+        events.select("user_id", "event_type", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_funnel,
+            outputStructType=FUNNEL_OUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -301,3 +301,54 @@ def test_streaming_dedup_drops_duplicates(spark, tmp_path):
         assert sorted(r.k for r in rows) == ["a", "b"]
     finally:
         q.stop()
+
+
+def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
+    """Stateful funnel over the event stream (fed in event-time order,
+    split across two micro-batch files) reaches the same per-stage user
+    counts as the batch funnel_conversion query."""
+    import pandas as pd
+
+    from another_map_reduce_spark.queries import QUERIES
+    from another_map_reduce_spark.streaming.stateful import funnel_stages
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .orderBy("ts")
+        .toPandas()
+    )
+    d = tmp_path / "funnel_stream"
+    d.mkdir()
+    half = len(ev) // 2
+    ev.iloc[:half].to_parquet(d / "b1.parquet")
+    ev.iloc[half:].to_parquet(d / "b2.parquet")
+    schema = spark.read.parquet(str(d)).schema
+    stream = funnel_stages(spark.readStream.schema(schema).parquet(str(d)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("funnel_state")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        final = {
+            r.user_id: r.stage_idx
+            for r in spark.sql(
+                "SELECT user_id, max(stage_idx) AS stage_idx"
+                " FROM funnel_state GROUP BY user_id"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    n_by_stage = {s: 0 for s in (1, 2, 3)}
+    for stage in final.values():
+        # deepest stage reached implies all shallower stages
+        for s in range(1, stage + 1):
+            n_by_stage[s] += 1
+    batch = {
+        r.stage_idx: r.n_users
+        for r in QUERIES["funnel_conversion"](spark, sf_dir).collect()
+    }
+    assert batch == n_by_stage
