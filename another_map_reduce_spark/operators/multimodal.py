@@ -79,3 +79,59 @@ def extract_image_metadata(
     return df.select(id_col, blob_col).mapInPandas(
         _extract, schema=IMAGE_META_SCHEMA
     )
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_bytes long, frame_fp string"
+
+
+def sample_frames(
+    df: DataFrame,
+    blob_col: str = "payload",
+    id_col: str = "doc_id",
+    frame_size: int = 128,
+    stride: int = 1,
+) -> DataFrame:
+    """Frame sampling over a binary column: split each blob into
+    fixed-size frames and keep every ``stride``-th one — the video
+    keyframe-extraction shape (1 blob row → N frame rows).
+
+    Real decoders would demux containers and decode frames; the
+    container has no media libs, so a "frame" is a byte window and the
+    per-frame payload stands in for decoded pixels.  The EXPLODE
+    plumbing is the real thing: Arrow batches stream in via
+    mapInPandas, each input row yields its frame rows into the same
+    output batch, and only (id, idx, size, fingerprint) leave the
+    stage — raw frame bytes never shuffle.
+
+    The fingerprint is md5 over the frame's UPPERCASE HEX encoding
+    (not the raw bytes) so engines without blob slicing (the DuckDB
+    oracle) can replay it exactly from ``hex(encode(text))``.
+    """
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            sizes: list[int] = []
+            fps: list[str] = []
+            for doc_id, blob in zip(batch[id_col], batch[blob_col]):
+                b = bytes(blob)
+                n_frames = -(-len(b) // frame_size) if b else 0
+                for i in range(0, n_frames, stride):
+                    frame = b[i * frame_size : (i + 1) * frame_size]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sizes.append(len(frame))
+                    fps.append(
+                        hashlib.md5(frame.hex().upper().encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame_bytes": sizes,
+                    "frame_fp": fps,
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(_frames, schema=FRAME_SCHEMA)

@@ -653,6 +653,45 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_frames",
+    oracle="""
+WITH b AS (
+    SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS nb
+    FROM documents
+), fr AS (
+    SELECT doc_id, h, nb,
+           unnest(range(0, CAST(ceil(nb / 128.0) AS BIGINT))) AS i
+    FROM b
+)
+SELECT doc_id, i AS frame_idx,
+       least(128, nb - i * 128) AS frame_bytes,
+       md5(substring(h, CAST(i * 256 + 1 AS BIGINT), 256)) AS frame_fp
+FROM fr
+WHERE i % 2 = 0
+ORDER BY doc_id, frame_idx
+""",
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: every 2nd 128-byte frame
+    per blob (the video keyframe-extraction shape — 1 row → N rows
+    inside an Arrow batch, raw frame bytes never leave the stage).
+
+    The oracle replays the byte windows from the hex encoding, which
+    is why the frame fingerprint is defined over hex (see
+    operators.multimodal.sample_frames).
+    """
+    from another_map_reduce_spark.operators.multimodal import (
+        attach_binary_payload,
+        sample_frames,
+    )
+
+    docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return sample_frames(docs, frame_size=128, stride=2).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+@register(
     "doc_winnowing_stats",
     oracle=r"""
 WITH norm AS (

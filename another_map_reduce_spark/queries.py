@@ -91,6 +91,7 @@ _ORDER_FRONT = [
     "inverted_index",
     "stratified_sample",
     "embedding_centroids",
+    "multimodal_frames",
     "dedup_cc_clusters",
     "dedup_simhash",
 ]

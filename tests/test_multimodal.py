@@ -40,3 +40,29 @@ def test_blob_column_not_in_output(spark):
     )
     out = extract_image_metadata(df)
     assert "payload" not in out.columns  # downstream shuffles metadata only
+
+
+def test_sample_frames_explode_and_stride(spark):
+    """Every stride-th fixed-size window appears with correct sizes and
+    fingerprints; trailing partial frame kept; empty blob yields none."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from another_map_reduce_spark.operators.multimodal import sample_frames
+
+    rows = [
+        Row(doc_id=1, payload=bytes(range(0, 10))),   # 3 frames of 4
+        Row(doc_id=2, payload=b""),                    # no frames
+        Row(doc_id=3, payload=bytes(range(0, 4))),     # exactly 1 frame
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = sample_frames(df, frame_size=4, stride=2).collect()
+    got = {(r.doc_id, r.frame_idx): (r.frame_bytes, r.frame_fp) for r in out}
+    b1 = bytes(range(0, 10))
+    fp = lambda fr: hashlib.md5(fr.hex().upper().encode()).hexdigest()
+    assert got == {
+        (1, 0): (4, fp(b1[0:4])),
+        (1, 2): (2, fp(b1[8:10])),   # stride skips idx 1; partial kept
+        (3, 0): (4, fp(bytes(range(0, 4)))),
+    }
