@@ -542,9 +542,7 @@ _DNORM_A = "sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embeddin
 _DNORM_B = "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))"
 
 
-@register(
-    "ann_cosine_topk",
-    oracle=f"""
+_ANN_TOPK_SQL = f"""
 WITH scored AS (
   SELECT a.vec_id AS qid, b.vec_id AS cid,
          {_DDOT} / ({_DNORM_A} * {_DNORM_B}) AS cos
@@ -557,8 +555,10 @@ WITH scored AS (
 )
 SELECT qid, cid, cos, rank FROM ranked WHERE rank <= 10
 ORDER BY qid, rank
-""",
-)
+"""
+
+
+@register("ann_cosine_topk", oracle=_ANN_TOPK_SQL)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-10 for queries vec_id < 10.
 
@@ -603,20 +603,25 @@ def ann_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_lsh(emb, threshold=0.3)
 
 
-@register("ann_ivf_topk")  # trained centroids → join-shape specific; recall-tested
+@register("ann_ivf_topk", oracle=_ANN_TOPK_SQL)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10 (nprobe=4/16 Lloyd-trained cells) for
-    vec_id < 10.
+    """IVF top-10 over 16 Lloyd-trained cells for vec_id < 10, probed
+    at nprobe = num_cells so the decomposition is LOSSLESS: every
+    corpus vector lives in exactly one cell and a full probe scores
+    every (query, candidate) pair once, so cell-partition → per-cell
+    scoring → global rank must equal the brute-force oracle exactly —
+    the hash row proves the IVF machinery (assignment, probe join,
+    rank merge), while the approximate regime (nprobe=4, recall 0.98
+    at sf0.1) is asserted separately in tests/test_similarity.py.
 
     Cell assignment is a broadcast-centroid argmax column expression
     (no window, no Exchange on the corpus side); centroids are Lloyd-
-    refined from a deterministic init.  Recall vs ann_cosine_topk
-    (measured 0.98 at sf0.1) is asserted in tests/test_similarity.py.
+    refined from a deterministic init.
     """
     from another_map_reduce_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=10)
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=10, nprobe=16)
 
 
 # ---------------------------------------------------------------------------

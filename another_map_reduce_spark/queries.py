@@ -92,6 +92,7 @@ _ORDER_FRONT = [
     "stratified_sample",
     "embedding_centroids",
     "multimodal_frames",
+    "ann_ivf_topk",
     "dedup_cc_clusters",
     "dedup_simhash",
 ]
@@ -100,7 +101,6 @@ _ORDER_TAIL = [
     "pandas_wordcount",
     "mr_wordcount",
     "approx_distinct_users",
-    "ann_ivf_topk",
 ]
 
 
