@@ -23,3 +23,32 @@ def test_whole_file_reading(spark, tmp_path):
     assert whole.count() == 2  # one row per file, like the reference map task
     lines = read_text_corpus(spark, str(tmp_path / "*.txt"), whole_files=False)
     assert lines.count() == 3
+
+
+def test_compressed_text_and_csv_roundtrip(spark, tmp_path):
+    """gzip'd text/CSV read transparently (codec from the extension) and
+    produce the same rows as the uncompressed file.
+
+    Scale note asserted implicitly: .gz is NOT splittable — one file =
+    one task — so large corpora should be many medium gz files (or zstd
+    parquet); the read path itself is identical.
+    """
+    import gzip
+
+    (tmp_path / "plain.txt").write_text("alpha beta\ngamma")
+    with gzip.open(tmp_path / "zipped.txt.gz", "wt") as f:
+        f.write("alpha beta\ngamma")
+    plain = {r.value for r in spark.read.text(str(tmp_path / "plain.txt")).collect()}
+    zipped = {
+        r.value for r in spark.read.text(str(tmp_path / "zipped.txt.gz")).collect()
+    }
+    assert plain == zipped == {"alpha beta", "gamma"}
+
+    with gzip.open(tmp_path / "t.csv.gz", "wt") as f:
+        f.write("k,v\n1,x\n2,y\n")
+    rows = (
+        spark.read.option("header", True)
+        .csv(str(tmp_path / "t.csv.gz"))
+        .collect()
+    )
+    assert {(r.k, r.v) for r in rows} == {("1", "x"), ("2", "y")}

@@ -352,3 +352,64 @@ def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
         for r in QUERIES["funnel_conversion"](spark, sf_dir).collect()
     }
     assert batch == n_by_stage
+
+
+def test_stateful_restart_from_checkpoint(spark, tmp_path):
+    """Stop a stateful query mid-stream and restart it from its
+    checkpoint: per-key state (the funnel stage machine) carries over —
+    a click arriving AFTER the restart still chains onto the view seen
+    BEFORE it."""
+    import pandas as pd
+
+    from another_map_reduce_spark.streaming.stateful import funnel_stages
+
+    src = tmp_path / "funnel_ckpt_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "funnel_ckpt")
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write_batch(name, rows):
+        pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "event_type": [r[1] for r in rows],
+                "ts": [t0 + pd.Timedelta(seconds=r[2]) for r in rows],
+            }
+        ).to_parquet(src / name)
+
+    write_batch("b1.parquet", [(1, "view", 0), (2, "view", 1)])
+    schema = spark.read.parquet(str(src)).schema
+
+    seen: list = []
+
+    def start():
+        # memory sink can't recover from a checkpoint; foreachBatch can.
+        return (
+            funnel_stages(spark.readStream.schema(schema).parquet(str(src)))
+            .writeStream.foreachBatch(
+                lambda df, _epoch: seen.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # restart: new events must fold into state recovered from checkpoint
+    write_batch("b2.parquet", [(1, "click", 10), (2, "purchase", 11)])
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got: dict[int, int] = {}
+    for r in seen:
+        got[r.user_id] = max(got.get(r.user_id, 0), r.stage_idx)
+    # user 1: view(before restart) + later click → stage 2.
+    # user 2: purchase without a click never advances past view.
+    assert got == {1: 2, 2: 1}
