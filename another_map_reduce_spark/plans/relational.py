@@ -332,6 +332,97 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_full_outer",
+    oracle="""
+WITH hv AS (
+    SELECT c_custkey FROM customer WHERE c_acctbal > 8000
+), big AS (
+    SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 480000
+)
+SELECT CASE WHEN c_custkey IS NULL THEN 'order_only'
+            WHEN o_custkey IS NULL THEN 'customer_only'
+            ELSE 'both' END AS side,
+       COUNT(*) AS n,
+       SUM(COALESCE(c_custkey, o_custkey)) AS key_checksum
+FROM hv FULL OUTER JOIN big ON c_custkey = o_custkey
+GROUP BY side
+ORDER BY side
+""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join between two overlapping-but-distinct key sets
+    (rich customers vs customers with a huge order), summarised by
+    which side survived — exercises null-extension on BOTH sides,
+    which no other join query does.
+
+    A full outer join can't broadcast either side (unmatched build
+    rows must be emitted), so Spark plans SortMerge — correct and
+    scale-safe; the key_checksum pins the exact surviving key sets.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    hv = cust.where(F.col("c_acctbal") > 8000).select("c_custkey")
+    big = (
+        orders.where(F.col("o_totalprice") > 480000)
+        .select("o_custkey")
+        .distinct()
+    )
+    side = (
+        F.when(F.col("c_custkey").isNull(), "order_only")
+        .when(F.col("o_custkey").isNull(), "customer_only")
+        .otherwise("both")
+    )
+    return (
+        hv.join(big, hv.c_custkey == big.o_custkey, "full_outer")
+        .select(
+            side.alias("side"),
+            F.coalesce("c_custkey", "o_custkey").alias("_k"),
+        )
+        .groupBy("side")
+        .agg(F.count("*").alias("n"), F.sum("_k").alias("key_checksum"))
+        .orderBy("side")
+    )
+
+
+@register(
+    "window_time_range_sum",
+    oracle="""
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS rolling_1h
+FROM events
+ORDER BY event_id
+""",
+)
+def window_time_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE window frame: per-user rolling 1-hour sum.
+
+    RANGE frames (unlike every ROWS frame in the suite) bound by the
+    ORDER-BY VALUE, so peers at the same timestamp aggregate together
+    and gaps shrink the frame.  Spark's rangeBetween needs a numeric
+    sort key — epoch MICROseconds, with the hour as exactly
+    3_600_000_000 µs, which makes the frame boundaries identical to
+    the oracle's INTERVAL arithmetic at µs precision.  One shuffle on
+    user_id; decimal-exact sums.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(_dec("value")).over(w).cast("double").alias("rolling_1h"),
+    ).orderBy("event_id")
+
+
+@register(
     "join_semi",
     oracle="""
 SELECT n_name, COUNT(*) AS n_customers

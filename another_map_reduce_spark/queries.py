@@ -93,6 +93,8 @@ _ORDER_FRONT = [
     "embedding_centroids",
     "multimodal_frames",
     "ann_ivf_topk",
+    "join_full_outer",
+    "window_time_range_sum",
     "dedup_cc_clusters",
     "dedup_simhash",
 ]

@@ -42,6 +42,7 @@ UNBOUNDED = {
     "json_struct_parse",
     "window_running_sum",
     "window_rank_family",
+    "window_time_range_sum",
     "window_lag_lead",
     "window_topk_per_group",
     "asof_last_purchase",
