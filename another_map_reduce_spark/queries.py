@@ -97,8 +97,17 @@ _ORDER_FRONT = [
     "window_time_range_sum",
     "dedup_cc_clusters",
     "dedup_simhash",
+    # The 5 queries VERDICT.md flagged as registered-but-unproven (no
+    # CORRECTNESS_r01 row; the r01 file truncated at 50 entries): they
+    # must land inside the first ~40 positions so a capped driver pass
+    # records them before re-proving queries that were green in r01.
+    "ann_cosine_topk",
+    "ann_cosine_pairs",
+    "multimodal_meta",
+    "doc_winnowing_stats",
+    "dedup_minhash_lsh",
 ]
-_ORDER_HEAVY = ["dedup_ngram_jaccard", "dedup_minhash_lsh"]
+_ORDER_HEAVY = ["dedup_ngram_jaccard"]
 _ORDER_TAIL = [
     "pandas_wordcount",
     "mr_wordcount",
