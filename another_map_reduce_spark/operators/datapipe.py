@@ -231,3 +231,114 @@ def hash_sample(key: Column, rate_hex2: Column | str) -> Column:
         F.md5(F.concat(F.lit("amrs-sample-v1"), key.cast("string"))), 1, 2
     )
     return prefix < rate
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document n-gram repetition signals (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 repetition filters — public):
+    boilerplate and generated spam repeat themselves, so the fraction
+    of duplicated n-grams and the mass of the single most frequent
+    n-gram are strong document-quality features.
+
+    Output: (doc, total_grams, distinct_grams, dup_gram_frac,
+    top_gram_frac), one row per document with ≥ n tokens.
+
+    Shape: tokenize once behind a repartition barrier (same staging
+    rule as dedup.shingle_docs — Catalyst has no let-binding, and the
+    gram fold reads the token array n× per element), explode the gram
+    MULTISET, then two partial-aggregated shuffles: (doc, gram) counts,
+    then per-doc rollup.  Both keys are bounded by document length —
+    no corpus-wide hot key, so the op scales linearly with corpus
+    size.  The reference has no per-document analysis at all
+    (/root/reference/src/worker.rs:23-38 is global count-by-key).
+    """
+    from another_map_reduce_spark.operators.dedup import ngram_list
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    staged = (
+        df.select(F.col(id_col).alias("doc"), toks.alias("_w"))
+        .where(F.size("_w") >= n)
+        .repartition(par)
+    )
+    grams = staged.select(
+        "doc", F.explode(ngram_list(F.col("_w"), n)).alias("gram")
+    )
+    per_gram = grams.groupBy("doc", "gram").agg(F.count("*").alias("c"))
+    return (
+        per_gram.groupBy("doc")
+        .agg(
+            F.sum("c").alias("total_grams"),
+            F.count("*").alias("distinct_grams"),
+            F.round(
+                1.0 - F.count("*") / F.sum("c").cast("double"), 6
+            ).alias("dup_gram_frac"),
+            F.round(F.max("c") / F.sum("c").cast("double"), 6).alias(
+                "top_gram_frac"
+            ),
+        )
+        .orderBy("doc")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/test decontamination (n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    corpus: DataFrame,
+    holdout: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Per-corpus-document overlap with a held-out evaluation set by
+    distinct token n-grams (the GPT-3 appendix-C decontamination
+    construction, Brown et al. 2020 — public; they used 13-grams, the
+    n here is a parameter).
+
+    Output: (doc, n_shared_grams, n_holdout_docs) for every corpus
+    document sharing ≥ 1 n-gram with any holdout document — the rows a
+    pipeline would drop (or flag) before training.
+
+    Shape: both sides shingle to DISTINCT grams (dedup.shingle_docs —
+    tokenization staged behind a barrier), explode, and equi-join on
+    the gram string.  Holdout/eval sets are small by nature, so the
+    gram join broadcasts the holdout side and the corpus side streams
+    map-side — zero corpus shuffle before the final per-doc aggregate.
+    At 100 TB the join key would be xxhash64(gram) (8 bytes vs the
+    gram string; collisions only ever ADD a flagged doc) — the string
+    key is kept here for bit-exact cross-engine oracle parity.
+    """
+    from another_map_reduce_spark.operators.dedup import shingle_docs
+
+    c = (
+        shingle_docs(corpus, text_col, id_col, n)
+        .select("doc", F.explode("shingles").alias("gram"))
+    )
+    h = (
+        shingle_docs(holdout, text_col, id_col, n)
+        .select(
+            F.col("doc").alias("hdoc"), F.explode("shingles").alias("gram")
+        )
+    )
+    return (
+        c.join(F.broadcast(h), "gram")
+        .groupBy("doc")
+        .agg(
+            F.count_distinct("gram").alias("n_shared_grams"),
+            F.count_distinct("hdoc").alias("n_holdout_docs"),
+        )
+        .orderBy("doc")
+    )

@@ -38,8 +38,8 @@ LONG_MAX = (1 << 63) - 1
 # ---------------------------------------------------------------------------
 
 
-def _ngrams_of(words: Column, n: int) -> Column:
-    """Distinct n-grams of an (ideally materialised) token-array column.
+def ngram_list(words: Column, n: int) -> Column:
+    """All n-grams (multiset, in position order) of a token-array column.
 
     Built as a zip of n SHIFTED SLICES of the token array folded with
     pairwise concat — not an index transform.  Higher-order lambdas
@@ -56,7 +56,13 @@ def _ngrams_of(words: Column, n: int) -> Column:
     grams = parts[-1]
     for p in reversed(parts[:-1]):
         grams = F.zip_with(p, grams, lambda x, y: F.concat_ws(" ", x, y))
-    return F.array_distinct(grams)
+    return grams
+
+
+def _ngrams_of(words: Column, n: int) -> Column:
+    """Distinct n-grams of an (ideally materialised) token-array column
+    (set semantics — the shingle form Jaccard/MinHash consume)."""
+    return F.array_distinct(ngram_list(words, n))
 
 
 def word_ngrams(text: Column, n: int = 3) -> Column:

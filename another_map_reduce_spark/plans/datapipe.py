@@ -216,3 +216,82 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals + decontamination
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+
+
+@register(
+    "doc_repetition_stats",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+cnt AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2)
+SELECT doc_id AS doc,
+       CAST(SUM(c) AS BIGINT) AS total_grams,
+       COUNT(*) AS distinct_grams,
+       ROUND(1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS dup_gram_frac,
+       ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_gram_frac
+FROM cnt GROUP BY doc_id ORDER BY doc
+""",
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document repetition quality signals: duplicate
+    bigram fraction and most-frequent-bigram mass (Rae et al. 2021
+    repetition filters).  Gram multiset explode → (doc, gram) partial-
+    aggregated counts → per-doc rollup; both shuffle keys bounded by
+    document length, so the op is linear in corpus size."""
+    from another_map_reduce_spark.operators.datapipe import repetition_stats
+
+    return repetition_stats(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", n=2
+    )
+
+
+@register(
+    "decontam_overlap",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
+  FROM toks, UNNEST(generate_series(1, len(w) - 3)) AS t(i)
+),
+h AS (SELECT doc_id AS hdoc, gram FROM grams WHERE doc_id % 97 = 0),
+c AS (SELECT doc_id, gram FROM grams WHERE doc_id % 97 <> 0)
+SELECT c.doc_id AS doc,
+       COUNT(DISTINCT gram) AS n_shared_grams,
+       COUNT(DISTINCT hdoc) AS n_holdout_docs
+FROM c JOIN h USING (gram)
+GROUP BY doc
+ORDER BY doc
+""",
+)
+def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination by token 4-gram overlap (the GPT-3
+    appendix-C construction; docs with doc_id % 97 = 0 stand in for
+    the held-out eval set).  Both sides shingle to distinct grams; the
+    small holdout side broadcasts, so the corpus never shuffles before
+    the per-doc aggregate."""
+    from another_map_reduce_spark.operators.datapipe import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.where(F.col("doc_id") % 97 != 0),
+        docs.where(F.col("doc_id") % 97 == 0),
+        "text",
+        "doc_id",
+        n=4,
+    )

@@ -97,6 +97,8 @@ _ORDER_FRONT = [
     "window_time_range_sum",
     "dedup_cc_clusters",
     "dedup_simhash",
+    "doc_repetition_stats",
+    "decontam_overlap",
     # The 5 queries VERDICT.md flagged as registered-but-unproven (no
     # CORRECTNESS_r01 row; the r01 file truncated at 50 entries): they
     # must land inside the first ~40 positions so a capped driver pass

@@ -153,3 +153,50 @@ def test_hash_sample_deterministic_and_stratified(spark):
     small = {r.k for r in df.where(hash_sample(F.col("k"), "1a")).collect()}
     assert small < kept1  # '1a' < '80' → strictly nested sample
     assert 0.06 < len(small) / 4000 < 0.15
+
+
+def test_repetition_stats_hand_computed(spark):
+    from another_map_reduce_spark.operators.datapipe import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a b a b"),   # bigrams: ab ba ab ba ab
+            Row(doc_id=2, text="x y z"),          # bigrams: xy yz — all unique
+            Row(doc_id=3, text="solo"),           # < 2 tokens → excluded
+        ]
+    )
+    rows = {r["doc"]: r for r in repetition_stats(df, "text", "doc_id", n=2).collect()}
+    assert set(rows) == {1, 2}
+    r1 = rows[1]
+    assert r1["total_grams"] == 5 and r1["distinct_grams"] == 2
+    assert r1["dup_gram_frac"] == pytest.approx(0.6)
+    assert r1["top_gram_frac"] == pytest.approx(0.6)  # "a b" ×3 of 5
+    r2 = rows[2]
+    assert r2["total_grams"] == 2 and r2["distinct_grams"] == 2
+    assert r2["dup_gram_frac"] == 0.0
+    assert r2["top_gram_frac"] == pytest.approx(0.5)
+
+
+def test_decontaminate_flags_only_overlapping_docs(spark):
+    from another_map_reduce_spark.operators.datapipe import decontaminate
+
+    holdout = spark.createDataFrame(
+        [Row(doc_id=100, text="the quick brown fox jumps")]
+    )
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="lazy dog saw the quick brown fox leave"),
+            Row(doc_id=2, text="completely unrelated words only here"),
+            Row(doc_id=3, text="quick brown fox jumps high today"),
+        ]
+    )
+    out = {
+        r["doc"]: r
+        for r in decontaminate(corpus, holdout, "text", "doc_id", n=3).collect()
+    }
+    # doc 1 shares "the quick brown" + "quick brown fox"; doc 3 shares
+    # "quick brown fox" + "brown fox jumps"; doc 2 shares nothing.
+    assert set(out) == {1, 3}
+    assert out[1]["n_shared_grams"] == 2
+    assert out[3]["n_shared_grams"] == 2
+    assert out[1]["n_holdout_docs"] == 1 and out[3]["n_holdout_docs"] == 1
