@@ -33,7 +33,7 @@ from another_map_reduce_spark.sources.tables import load_table
     oracle=f"""
 SELECT {split_assign_sql('doc_id')} AS split,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY split
 ORDER BY split
@@ -183,8 +183,8 @@ WITH sampled AS (
     WHERE substring(md5('amrs-sample-v1' || CAST(doc_id AS VARCHAR)), 1, 2)
           < CASE WHEN lang = 'en' THEN '80' ELSE '1a' END
 )
-SELECT lang, COUNT(*) AS n_sampled, SUM(n_chars) AS sampled_chars,
-       SUM(doc_id) AS id_checksum
+SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
 FROM sampled
 GROUP BY lang
 ORDER BY lang

@@ -428,7 +428,8 @@ WITH tok AS (
     SELECT term, COUNT(*) AS df, list_sort(list(doc_id)) AS postings
     FROM tok GROUP BY term
 )
-SELECT term, df, list_slice(postings, 1, 20) AS postings_head
+SELECT term, df,
+       array_to_string(list_slice(postings, 1, 20), ',') AS postings_head
 FROM inv
 ORDER BY df DESC, term
 LIMIT 100
@@ -459,9 +460,13 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.groupBy("term")
         .agg(
             F.count("*").alias("df"),
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias(
-                "postings_head"
-            ),
+            # concat_ws serialises the posting prefix: the driver's
+            # pandas canonicalizer cannot sort array cells (unhashable
+            # list), so the provable surface is the CSV string.
+            F.concat_ws(
+                ",",
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20),
+            ).alias("postings_head"),
         )
         .orderBy(F.col("df").desc(), "term")
         .limit(100)
@@ -502,7 +507,8 @@ WITH RECURSIVE sh AS (
 ), comp AS (
   SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
 )
-SELECT component, COUNT(*) AS n_docs, list_sort(list(node)) AS members
+SELECT component, COUNT(*) AS n_docs,
+       array_to_string(list_sort(list(node)), ',') AS members
 FROM comp GROUP BY component ORDER BY component
 """
 
@@ -528,7 +534,11 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.8
     ).select("d1", "d2")
-    return cluster_stats(connected_components(pairs, "d1", "d2"))
+    # Serialise the member array — the driver's pandas canonicalizer
+    # cannot sort array cells, so the provable surface is CSV.
+    return cluster_stats(connected_components(pairs, "d1", "d2")).withColumn(
+        "members", F.concat_ws(",", "members")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -343,7 +343,7 @@ SELECT CASE WHEN c_custkey IS NULL THEN 'order_only'
             WHEN o_custkey IS NULL THEN 'customer_only'
             ELSE 'both' END AS side,
        COUNT(*) AS n,
-       SUM(COALESCE(c_custkey, o_custkey)) AS key_checksum
+       CAST(SUM(COALESCE(c_custkey, o_custkey)) AS BIGINT) AS key_checksum
 FROM hv FULL OUTER JOIN big ON c_custkey = o_custkey
 GROUP BY side
 ORDER BY side
@@ -1178,16 +1178,47 @@ def percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_users")  # HLL estimate — no exact SQL equivalent
+@register(
+    "approx_distinct_users",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+           < 0.05 * COUNT(DISTINCT user_id) AS within_5pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per event type — the
-    sketch path for 100 TB cardinalities; tolerance vs exact counts is
-    asserted in tests/test_relational_ops.py."""
+    sketch path for 100 TB cardinalities.
+
+    The two engines' HLL sketches legitimately estimate different
+    values, so the raw estimate can't hash-match an oracle.  The
+    driver-provable surface is a TOLERANCE CONTRACT: each engine emits
+    its exact distinct count plus ``within_5pct`` = |approx − exact| <
+    5%·exact computed against ITS OWN sketch; both flags are true, so
+    the hash matches while still failing if either sketch drifts out
+    of tolerance.  (A tighter rsd-level check lives in
+    tests/test_relational_ops.py.)
+    """
+    exact = F.count_distinct("user_id")
+    approx = F.approx_count_distinct("user_id", rsd=0.02)
     return (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            exact.alias("exact_users"),
+            approx.alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                < 0.05 * F.col("exact_users")
+            ).alias("within_5pct"),
         )
         .orderBy("event_type")
     )
