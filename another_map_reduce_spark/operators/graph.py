@@ -17,13 +17,21 @@ Scale design:
   is re-used as-is, so edges shuffle once per round but never grow.
 - rounds = graph diameter.  Dedup-similarity graphs are overwhelmingly
   tiny dense clusters (diameter ≤ 3-4), so propagation converges in a
-  handful of rounds; for adversarially long chains at planetary scale,
-  the Kiveris et al. "Connected Components in MapReduce" (2014)
-  large-star/small-star alternation bounds rounds at O(log n) with the
-  same per-round shuffle shape — the hook point is this same loop body.
+  handful of rounds; when ``max_iter`` rounds don't converge (an
+  adversarially long chain), the loop FALLS BACK to the Kiveris et al.
+  "Connected Components in MapReduce and Beyond" (2014) large-star /
+  small-star alternation, which contracts any graph in O(log² n)
+  rounds (O(log n) in practice) with the same one-shuffle-per-round
+  shape — so pathological diameters degrade gracefully instead of
+  raising.
 - convergence is detected with a one-row aggregate per round: labels
   only ever DECREASE, so the global SUM(label) is strictly monotone and
   stalls exactly at the fixed point — no expensive old-vs-new anti-join.
+- ONE job per round: the round's frame is marked
+  ``localCheckpoint(eager=False)``, so the convergence aggregate both
+  materialises the checkpoint blocks and computes the sum in a single
+  action (eager checkpointing ran a separate materialisation job first,
+  doubling the per-round job count).
 - `localCheckpoint` truncates the lineage each round so the plan (and
   driver memory) stays O(1) in the number of iterations instead of
   growing a nested-union tree Catalyst would re-optimize every round.
@@ -49,8 +57,9 @@ def connected_components(
     component id is the component's minimum node id, independent of
     partitioning, iteration count, or engine.
 
-    Raises ``RuntimeError`` if ``max_iter`` rounds don't converge
-    (diameter > max_iter) rather than silently returning a partial
+    Falls back to the Kiveris large-star/small-star algorithm if
+    ``max_iter`` propagation rounds don't converge (diameter >
+    max_iter) rather than raising or silently returning a partial
     clustering.
     """
     sym = (
@@ -66,12 +75,13 @@ def connected_components(
         )
         .localCheckpoint()
     )
+    # eager=False throughout the loop: the convergence aggregate below
+    # is the action that materialises each round's checkpoint blocks,
+    # so every round costs exactly ONE Spark job.
     labels = (
         sym.select("node").distinct().withColumn("lbl", F.col("node"))
-    ).localCheckpoint()
-    prev_sum = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[
-        0
-    ][0]
+    ).localCheckpoint(eager=False)
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         msgs = sym.join(labels, "node").select(
             F.col("nbr").alias("node"), "lbl"
@@ -80,16 +90,110 @@ def connected_components(
             labels.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint()
-        cur_sum = labels.agg(
-            F.sum(F.col("lbl").cast("decimal(38,0)"))
-        ).collect()[0][0]
+        ).localCheckpoint(eager=False)
+        cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
             return labels.select("node", F.col("lbl").alias("component"))
         prev_sum = cur_sum
-    raise RuntimeError(
-        f"connected_components: no convergence in {max_iter} rounds "
-        "(graph diameter exceeds max_iter)"
+    return _kiveris_components(sym)
+
+
+def _label_sum(labels: DataFrame):
+    """Decimal SUM of the label column — the monotone convergence
+    scalar (labels only decrease, so the sum stalls exactly at the
+    fixed point).  One 1-row collect; the only driver-side data."""
+    return labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
+
+
+def _kiveris_components(sym: DataFrame, max_rounds: int = 60) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+    O(log² n)-round fallback for graphs whose diameter defeats plain
+    label propagation.
+
+    Each operation is one groupBy shuffle over the edge list:
+
+    - large-star: for every node u, link every STRICTLY LARGER
+      neighbour to m(u) = min(Γ(u) ∪ {u}).  Keeps the graph connected
+      while halving long chains.
+    - small-star: orient edges large→small, link every smaller-or-self
+      neighbour to the minimum.  Contracts stars onto their roots.
+
+    At the fixed point the edge list is exactly {(v, root(v)) : v ≠
+    root}; together with the isolated roots that is the (node,
+    component) labelling.  Convergence is detected with the same
+    monotone scalar trick as propagation: both operations only ever
+    REPLACE an endpoint with a smaller one, so SUM over all edge
+    endpoints is non-increasing and stalls iff the edge set is stable.
+
+    ``sym`` must be the symmetrised (node, nbr) edge list with no
+    self-loops required (they're harmless).
+    """
+    edges = sym.select(
+        F.least("node", "nbr").alias("u"), F.greatest("node", "nbr").alias("v")
+    ).where(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=False)
+    # Every node that ever appeared — needed at the end because star
+    # contraction drops nodes that become isolated roots.
+    all_nodes = sym.select("node").distinct().localCheckpoint()
+
+    def endpoint_sum(e: DataFrame):
+        return e.agg(
+            F.sum(F.col("u").cast("decimal(38,0)"))
+            + F.sum(F.col("v").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev = endpoint_sum(edges)
+    for _ in range(max_rounds):
+        # ---- large-star: u is the centre, neighbours are both dirs.
+        nbrs = edges.select("u", "v").union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = nbrs.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            nbrs.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("u"), F.col("v"))
+        )
+        # ---- small-star over the large-star output.
+        oriented = large.select(
+            F.greatest("u", "v").alias("c"), F.least("u", "v").alias("n")
+        )
+        sm = oriented.groupBy("c").agg(F.min("n").alias("m"))
+        small = (
+            oriented.join(sm, "c")
+            .select(F.col("m").alias("u"), F.col("n").alias("v"))
+            .union(oriented.join(sm, "c").select(F.col("m").alias("u"), F.col("c").alias("v")))
+        )
+        edges = (
+            small.select(
+                F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        cur = endpoint_sum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"kiveris_components: no convergence in {max_rounds} rounds"
+        )
+    # Fixed point: edges are (root, member) stars.  A member's root is
+    # the MIN over its star edges; roots (and isolated nodes) label
+    # themselves.
+    member_root = edges.groupBy(F.col("v").alias("node")).agg(
+        F.min("u").alias("component")
+    )
+    return (
+        all_nodes.join(member_root, "node", "left")
+        .select(
+            "node",
+            F.coalesce("component", F.col("node")).alias("component"),
+        )
     )
 
 
