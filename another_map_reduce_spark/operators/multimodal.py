@@ -3,10 +3,11 @@
 Treats image/audio/video payloads as opaque ``binary`` columns with
 typed metadata, processed in Arrow batches via ``mapInPandas``.  The
 Spark-side plumbing — schema, batching, partition behavior, UDF
-signatures — is real and tested; the actual media decoding is stubbed
-(this container has no image/audio libraries) behind
-``decode_image_stub``: a deterministic fake that derives metadata from
-the bytes, clearly marked and swappable for PIL/librosa/ffmpeg.
+signatures — is real and tested; media decoding probes for PIL at
+import time (``decode_image``) and uses it when both the library and a
+decodable payload are present, falling back to ``decode_image_stub``:
+a deterministic fake that derives metadata from the bytes, clearly
+marked and swappable for librosa/ffmpeg on the audio/video side.
 
 Scale notes: mapInPandas streams Arrow batches (bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch``), so blob columns
@@ -32,16 +33,54 @@ IMAGE_META_SCHEMA = (
 )
 
 
+def _probe_pil():
+    """Import PIL if this environment has it.  Runs once per process —
+    on executors the probe re-runs when the shipped package is first
+    imported, so a heterogeneous cluster uses PIL exactly where it
+    exists."""
+    try:
+        from PIL import Image  # type: ignore
+
+        return Image
+    except ImportError:
+        return None
+
+
+_PIL_IMAGE = _probe_pil()
+
+
 def decode_image_stub(blob: bytes) -> tuple[int, int]:
     """STUB — deterministic fake image decode.
 
-    Real implementation would be ``PIL.Image.open(io.BytesIO(blob)).size``;
-    that library is unavailable here, so dimensions are derived from the
-    payload deterministically (same contract: bytes → (width, height)).
+    Fallback when PIL is unavailable (this container) or the payload
+    isn't a decodable image (the test corpus stores utf-8 text in the
+    binary column): dimensions are derived from the payload
+    deterministically (same contract: bytes → (width, height)), which
+    is also what the DuckDB oracle replays.
     """
     if blob is None:
         raise NotImplementedError("no payload; real decoder would raise IOError")
     return (len(blob) % 64) + 1, (len(blob) % 32) + 1
+
+
+def decode_image(blob: bytes) -> tuple[int, int]:
+    """Real-when-possible image decode: PIL's ``Image.open(...).size``
+    if the library is importable AND the bytes parse as an image;
+    otherwise the deterministic stub.  The oracle-checked queries stay
+    consistent either way because the test corpus's payloads are utf-8
+    text that no real decoder accepts — PIL environments fall back to
+    the stub for them too."""
+    if blob is None:
+        raise NotImplementedError("no payload; real decoder would raise IOError")
+    if _PIL_IMAGE is not None:
+        import io
+
+        try:
+            with _PIL_IMAGE.open(io.BytesIO(bytes(blob))) as im:
+                return int(im.size[0]), int(im.size[1])
+        except Exception:
+            pass  # undecodable payload → deterministic fallback
+    return decode_image_stub(blob)
 
 
 def attach_binary_payload(
@@ -65,7 +104,7 @@ def extract_image_metadata(
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             blobs = batch[blob_col]
-            dims = [decode_image_stub(b) for b in blobs]
+            dims = [decode_image(b) for b in blobs]
             yield pd.DataFrame(
                 {
                     "doc_id": batch[id_col],

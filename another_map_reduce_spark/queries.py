@@ -56,12 +56,20 @@ def _load() -> None:
 # (dedup_simhash is oracle-checked since round 2 but stays late: its
 # DuckDB side recomputes the full 64-bit construction, the priciest
 # oracle in the suite).
-# Round-2 additions that have never had a driver correctness row run
-# FIRST (all cheap; dedup_simhash — newly oracle-checked but with the
-# priciest oracle — goes right after them), so a truncated driver pass
-# cuts into queries that were already green in round 1, not the new
-# information.
+# Round 3: the seven queries that were red-or-unproven in the r2
+# driver state run FIRST — six carried oracle-interface bugs fixed this
+# round (HUGEINT casts, array_join serialization) and
+# approx_distinct_users gained its first oracle (within-5pct tolerance
+# flag) — so even a heavily truncated driver pass records a fresh row
+# for every query whose status actually changed.
 _ORDER_FRONT = [
+    "q12_priority_linecount",
+    "split_train_val_test",
+    "stratified_sample",
+    "join_full_outer",
+    "inverted_index",
+    "dedup_cc_clusters",
+    "approx_distinct_users",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
@@ -73,7 +81,6 @@ _ORDER_FRONT = [
     "q4_priority_exists",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
-    "q12_priority_linecount",
     "q13_customer_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",
@@ -81,21 +88,16 @@ _ORDER_FRONT = [
     "q18_large_volume_customer",
     "q19_disjunctive_predicates",
     "q22_dormant_customers",
-    "split_train_val_test",
     "pii_redaction",
     "doc_chunks",
     "text_normalize_stats",
     "tfidf_top_terms",
     "skew_salted_agg",
     "funnel_conversion",
-    "inverted_index",
-    "stratified_sample",
     "embedding_centroids",
     "multimodal_frames",
     "ann_ivf_topk",
-    "join_full_outer",
     "window_time_range_sum",
-    "dedup_cc_clusters",
     "dedup_simhash",
     "doc_repetition_stats",
     "decontam_overlap",
@@ -113,7 +115,6 @@ _ORDER_HEAVY = ["dedup_ngram_jaccard"]
 _ORDER_TAIL = [
     "pandas_wordcount",
     "mr_wordcount",
-    "approx_distinct_users",
 ]
 
 

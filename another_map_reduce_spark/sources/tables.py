@@ -55,12 +55,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # It is runtime-settable, so set it defensively here.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long (see session.py); truncate to µs
-        # exactly as DuckDB does, so oracle comparisons agree.
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) read as long (older readers honouring
+            # nanosAsLong); truncate to µs exactly as DuckDB does.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Newer readers surface TIMESTAMP(NANOS) as TIMESTAMP_NTZ
+            # (µs-truncated, naive).  Cast to session-TZ TIMESTAMP: the
+            # session is pinned UTC above, so collected values are
+            # identical to the bigint path and functions that need an
+            # instant type (unix_micros, window()) keep working.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

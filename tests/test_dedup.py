@@ -134,16 +134,38 @@ def test_connected_components_shapes(spark):
 
 
 def test_connected_components_diameter_guard(spark):
-    """A chain longer than max_iter raises instead of returning a
-    partial clustering."""
-    import pytest
-
+    """A chain longer than max_iter no longer raises: propagation hands
+    off to the Kiveris large-star/small-star fallback, which contracts
+    the chain in O(log n) rounds and returns the SAME labelling the
+    plain propagation would have produced."""
     from another_map_reduce_spark.operators.graph import connected_components
 
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "src long, dst long"
     )
-    with pytest.raises(RuntimeError, match="convergence"):
-        connected_components(chain, max_iter=2)
+    via_fallback = connected_components(chain, max_iter=2)
+    assert {r.component for r in via_fallback.collect()} == {0}
+    assert via_fallback.count() == 13  # every node labelled, none dropped
     full = connected_components(chain, max_iter=15)
     assert {r.component for r in full.collect()} == {0}
+
+
+def test_kiveris_fallback_multi_component(spark):
+    """Kiveris fallback on a forest: two long chains + an isolated
+    2-node edge; labels must equal each component's min node id and
+    match plain propagation's output exactly."""
+    from another_map_reduce_spark.operators.graph import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(10, 25)]      # chain: component 10
+        + [(i, i + 1) for i in range(40, 52)]    # chain: component 40
+        + [(100, 101)]                            # pair: component 100
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    via_fallback = connected_components(df, max_iter=1).orderBy("node")
+    via_prop = connected_components(df, max_iter=40).orderBy("node")
+    assert [tuple(r) for r in via_fallback.collect()] == [
+        tuple(r) for r in via_prop.collect()
+    ]
+    comps = {r.component for r in via_fallback.collect()}
+    assert comps == {10, 40, 100}

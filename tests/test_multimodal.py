@@ -20,6 +20,44 @@ def test_stub_contract():
         decode_image_stub(None)
 
 
+def test_decode_image_fallback_without_pil():
+    """No PIL in this container → decode_image ≡ the deterministic stub."""
+    from another_map_reduce_spark.operators import multimodal as mm
+
+    blob = b"not an image"
+    assert mm.decode_image(blob) == decode_image_stub(blob)
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(None)
+
+
+def test_decode_image_uses_pil_when_present(monkeypatch):
+    """With a PIL-shaped module present, decode_image returns its real
+    dimensions for decodable payloads and still falls back to the stub
+    for undecodable ones."""
+    from another_map_reduce_spark.operators import multimodal as mm
+
+    class _FakeIm:
+        size = (640, 480)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class _FakeImageMod:
+        @staticmethod
+        def open(fp):
+            if fp.read(4) == b"GOOD":
+                return _FakeIm()
+            raise OSError("cannot identify image file")
+
+    monkeypatch.setattr(mm, "_PIL_IMAGE", _FakeImageMod)
+    assert mm.decode_image(b"GOOD...rest") == (640, 480)
+    bad = b"not decodable"
+    assert mm.decode_image(bad) == decode_image_stub(bad)
+
+
 def test_extract_metadata_roundtrip(spark):
     rows = [(1, "hello"), (2, "a longer document body"), (3, "")]
     df = attach_binary_payload(
