@@ -295,3 +295,231 @@ def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n=4,
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-quality gates + mixing (operators/quality.py)
+# ---------------------------------------------------------------------------
+
+def _gopher_oracle() -> str:
+    """Oracle generated from the SAME constants/rule fragment as the
+    Spark code (operators/quality.py) so thresholds can't drift."""
+    from another_map_reduce_spark.operators.quality import (
+        MAX_MEAN_WORD_LEN,
+        MAX_SYMBOL_RATIO,
+        MAX_WORDS,
+        MIN_ALPHA_WORD_RATIO,
+        MIN_MEAN_WORD_LEN,
+        MIN_STOPWORD_HITS,
+        MIN_WORDS,
+        gopher_flags_sql_columns,
+    )
+
+    return f"""
+WITH m AS (
+  SELECT lang, source, text,
+{gopher_flags_sql_columns()}
+  FROM documents
+),
+f AS (
+  SELECT lang, source, n_words, word_chars,
+    (n_words >= {MIN_WORDS} AND n_words <= {MAX_WORDS}) AS ok_word_count,
+    (mean_word_len >= {MIN_MEAN_WORD_LEN}
+       AND mean_word_len <= {MAX_MEAN_WORD_LEN}) AS ok_mean_word_len,
+    (alpha_word_ratio >= {MIN_ALPHA_WORD_RATIO}) AS ok_alpha_words,
+    (symbol_word_ratio <= {MAX_SYMBOL_RATIO}) AS ok_symbol_ratio,
+    (stopword_hits >= {MIN_STOPWORD_HITS}) AS ok_stopwords,
+    (NOT contains(text, '{{')) AS ok_no_braces
+  FROM m
+)
+SELECT lang, source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN ok_word_count AND ok_mean_word_len AND ok_alpha_words
+                 AND ok_symbol_ratio AND ok_stopwords AND ok_no_braces
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+  CAST(SUM(CASE WHEN ok_word_count THEN 0 ELSE 1 END) AS BIGINT)
+      AS fail_word_count,
+  CAST(SUM(CASE WHEN ok_mean_word_len THEN 0 ELSE 1 END) AS BIGINT)
+      AS fail_mean_word_len,
+  CAST(SUM(CASE WHEN ok_stopwords THEN 0 ELSE 1 END) AS BIGINT)
+      AS fail_stopwords,
+  round(CAST(SUM(word_chars) AS DOUBLE)
+        / greatest(CAST(SUM(n_words) AS BIGINT), 1), 4) AS avg_word_len
+FROM f
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+@register("quality_filter_gopher", oracle=_gopher_oracle())
+def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4 rule-filter report: per (lang, source) corpus slice,
+    how many documents pass all quality gates and which rules reject
+    the rest (Rae et al. 2021 A1.1 rule shapes; C4 §2.2 brace ban).
+
+    Per-document flags are pure column expressions over one tokenize
+    (no UDFs, no shuffle); the report is a single groupBy.  At 100 TB
+    the gates run at scan speed and the report output is |lang×source|
+    rows.  avg_word_len is SUM(int)/SUM(int) — one double division of
+    exact integers, so cross-engine bit-stable.
+    """
+    from another_map_reduce_spark.operators.quality import (
+        gopher_quality_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = gopher_quality_flags(docs)
+    return (
+        flags.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("pass_all").cast("long")).alias("n_pass"),
+            F.sum((~F.col("ok_word_count")).cast("long")).alias(
+                "fail_word_count"
+            ),
+            F.sum((~F.col("ok_mean_word_len")).cast("long")).alias(
+                "fail_mean_word_len"
+            ),
+            F.sum((~F.col("ok_stopwords")).cast("long")).alias(
+                "fail_stopwords"
+            ),
+            F.round(
+                F.sum("word_chars").cast("double")
+                / F.greatest(F.sum("n_words"), F.lit(1)),
+                4,
+            ).alias("avg_word_len"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "domain_mix_report",
+    oracle="""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\\s+') END))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+  round(CAST(n_tokens AS DOUBLE) / (SELECT SUM(n_tokens) FROM per), 6)
+      AS token_share,
+  round(pow(n_tokens, 0.5) / (SELECT SUM(pow(n_tokens, 0.5)) FROM per), 6)
+      AS mix_weight
+FROM per
+ORDER BY source
+""",
+)
+def domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix table: per-source doc/token counts, corpus token
+    share, and temperature-0.5 sampling weight (upsamples small
+    domains — the standard multi-domain smoothing; cf. The Pile's
+    epochs-per-domain table).  One corpus shuffle (the groupBy), then
+    1-row broadcast totals over |domains| rows."""
+    from another_map_reduce_spark.operators.quality import domain_mix_report
+
+    return domain_mix_report(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-substring spans (Lee et al. 2022 exact-substring dedup signal)
+# ---------------------------------------------------------------------------
+
+_DUP_W = 10  # window length in tokens
+
+
+@register(
+    "dup_substring_stats",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS w FROM documents
+),
+wins AS (
+  SELECT doc_id,
+         md5(array_to_string(w[i:i+{_DUP_W - 1}], ' ')) AS h
+  FROM t, UNNEST(generate_series(1, len(w) - {_DUP_W - 1})) AS s(i)
+  WHERE len(w) >= {_DUP_W}
+),
+dfreq AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS df_docs FROM wins GROUP BY h
+),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_windows,
+         SUM(CASE WHEN df_docs >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM wins JOIN dfreq USING (h) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_windows,
+       round(CAST(coalesce(n_dup, 0) AS DOUBLE)
+             / greatest(coalesce(n_windows, 0), 1), 6) AS dup_frac
+FROM documents d LEFT JOIN per USING (doc_id)
+ORDER BY d.doc_id
+""",
+)
+def dup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-substring fraction: the share of
+    W=10-token windows (stride 1, lowercased) that also occur in
+    at least one OTHER document — the document-level signal of Lee et
+    al. 2022's exact-substring deduplication, at token-window
+    granularity.
+
+    Scale shape: suffix arrays are the compact single-node structure;
+    the Spark-native equivalent is the window-hash explode — ×(n-W+1)
+    rows per doc but each row is a 32-byte digest, then three hash
+    exchanges ((hash, doc) dedup for the exact doc-frequency count;
+    hash → frequency; doc_id → per-doc fractions) — the window arrays
+    are recomputed per branch rather than persisted, since re-running
+    a scan-speed projection beats materialising an exploded frame
+    larger than its input.  Hot windows (boilerplate) skew the groupBy
+    as single hot keys — AQE splits them, and the df side of the join
+    is one row per DISTINCT window, so the join itself cannot fan out.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+    )
+    wins_arr = F.when(
+        F.size(toks) < _DUP_W, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - _DUP_W + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, _DUP_W))),
+        )
+    )
+    wins = docs.select("doc_id", F.explode(wins_arr).alias("h"))
+    dfreq = wins.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("df_docs")
+    )
+    # dfreq is one row per DISTINCT window — corpus-scale at real SF;
+    # pin shuffle_hash so the planner never tries to broadcast it
+    # (same corpus-broadcast guard as dedup.minhash_lsh_pairs).
+    per = (
+        wins.join(dfreq.hint("shuffle_hash"), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum((F.col("df_docs") >= 2).cast("long")).alias(
+                "n_dup_windows"
+            ),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    # `per` is one row per document — also corpus-scale; same guard.
+    return (
+        docs.select("doc_id")
+        .join(per.hint("shuffle_hash"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", zero).alias("n_windows"),
+            F.coalesce("n_dup_windows", zero).alias("n_dup_windows"),
+            F.round(
+                F.coalesce("n_dup_windows", zero).cast("double")
+                / F.greatest(F.coalesce("n_windows", zero), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )

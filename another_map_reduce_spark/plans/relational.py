@@ -712,7 +712,8 @@ SELECT o_orderkey,
        CONCAT(o_orderstatus, '-', o_orderpriority) AS status_pri,
        YEAR(o_orderdate) AS order_year,
        MONTH(o_orderdate) AS order_month,
-       CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS order_month_start,
+       CAST(CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS VARCHAR)
+           AS order_month_start,
        ABS(o_totalprice - 100000.0) AS price_dev,
        CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_k,
        ROUND(SQRT(o_totalprice), 6) AS price_sqrt
@@ -736,9 +737,12 @@ def scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.year("o_orderdate").cast("long").alias("order_year"),
             F.month("o_orderdate").cast("long").alias("order_month"),
-            F.date_trunc("month", "o_orderdate")
-            .cast("date")
-            .alias("order_month_start"),
+            # serialized ISO string, not DATE: pandas date handling
+            # differs across engine versions (datetime.date vs
+            # datetime64[us]) and the driver compares stringified cells
+            F.date_format(
+                F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd"
+            ).alias("order_month_start"),
             F.abs(F.col("o_totalprice") - 100000.0).alias("price_dev"),
             F.floor(F.col("o_totalprice") / 1000).alias("price_k"),
             F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),

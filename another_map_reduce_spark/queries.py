@@ -70,6 +70,10 @@ _ORDER_FRONT = [
     "inverted_index",
     "dedup_cc_clusters",
     "approx_distinct_users",
+    # round-3 additions — no driver row yet, so they run next:
+    "quality_filter_gopher",
+    "domain_mix_report",
+    "dup_substring_stats",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",

@@ -51,6 +51,7 @@ UNBOUNDED = {
     "text_token_stats",
     "multimodal_meta",
     "doc_winnowing_stats",
+    "dup_substring_stats",
 }
 
 

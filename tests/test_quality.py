@@ -1,0 +1,104 @@
+"""Corpus-quality gates + mixing (operators/quality.py) and the
+duplicate-substring span query."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from another_map_reduce_spark.operators.quality import (
+    GOPHER_STOPWORDS,
+    MIN_WORDS,
+    domain_mix_report,
+    gopher_quality_flags,
+)
+
+
+def _doc(text, lang="en", source="s0", doc_id=1):
+    return (doc_id, text, lang, source, len(text))
+
+SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def test_gopher_flags_rules(spark):
+    good = " ".join(
+        ["the", "cat", "sat", "with", "the", "dog", "and", "that", "was"]
+        + ["fine"] * (MIN_WORDS - 9)
+    )
+    short = "too short"
+    braces = good + " {code}"
+    no_stop = " ".join(["xyz"] * MIN_WORDS)
+    df = spark.createDataFrame(
+        [
+            _doc(good, doc_id=1),
+            _doc(short, doc_id=2),
+            _doc(braces, doc_id=3),
+            _doc(no_stop, doc_id=4),
+        ],
+        SCHEMA,
+    )
+    rows = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    assert rows[1].pass_all
+    assert not rows[2].ok_word_count and not rows[2].pass_all
+    assert not rows[3].ok_no_braces and not rows[3].pass_all
+    assert not rows[4].ok_stopwords and not rows[4].pass_all
+    # metric sanity: word_chars is the exact sum of token lengths
+    assert rows[2].n_words == 2 and rows[2].word_chars == len("tooshort")
+
+
+def test_gopher_flags_empty_doc(spark):
+    df = spark.createDataFrame([_doc(""), _doc("   ", doc_id=2)], SCHEMA)
+    rows = gopher_quality_flags(df).collect()
+    for r in rows:
+        assert r.n_words == 0 and r.word_chars == 0
+        assert r.mean_word_len == 0.0 and not r.pass_all
+
+
+def test_stopword_list_is_gopher():
+    assert GOPHER_STOPWORDS == (
+        "the", "be", "to", "of", "and", "that", "have", "with",
+    )
+
+
+def test_domain_mix_weights_sum_to_one(spark):
+    df = spark.createDataFrame(
+        [
+            _doc("a b c", source="big", doc_id=i) for i in range(8)
+        ]
+        + [_doc("a b c d e f", source="small", doc_id=100)],
+        SCHEMA,
+    )
+    rows = {r.source: r for r in domain_mix_report(df).collect()}
+    assert rows["big"].n_tokens == 24 and rows["small"].n_tokens == 6
+    assert abs(sum(r.mix_weight for r in rows.values()) - 1.0) < 1e-5
+    assert abs(sum(r.token_share for r in rows.values()) - 1.0) < 1e-5
+    # temperature 0.5 upsamples the small domain above its raw share
+    assert rows["small"].mix_weight > rows["small"].token_share
+
+
+def test_dup_substring_stats_planted(spark):
+    """Two docs sharing an exact 12-token span are both flagged; a
+    unique doc is not."""
+    from another_map_reduce_spark.plans.datapipe import dup_substring_stats
+
+    span = " ".join(f"tok{i}" for i in range(12))
+    uniq1 = " ".join(f"one{i}" for i in range(12))
+    uniq2 = " ".join(f"two{i}" for i in range(12))
+    uniq3 = " ".join(f"three{i}" for i in range(12))
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    df = spark.createDataFrame(
+        [
+            _doc(uniq1 + " " + span, doc_id=1),
+            _doc(span + " " + uniq2, doc_id=2),
+            _doc(uniq3, doc_id=3),
+        ],
+        SCHEMA,
+    )
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r.doc_id: r for r in dup_substring_stats(spark, d).collect()}
+    assert out[1].n_dup_windows >= 1 and out[2].n_dup_windows >= 1
+    assert out[3].n_dup_windows == 0
+    assert out[1].n_windows == 24 - 10 + 1  # 24 tokens, W=10, stride 1
+    assert 0.0 < out[1].dup_frac < 1.0
