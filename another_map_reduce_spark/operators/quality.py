@@ -133,6 +133,22 @@ def gopher_flags_sql_columns() -> str:
 """.strip()
 
 
+def gopher_pass_sql_predicate() -> str:
+    """WHERE-clause fragment over the ``gopher_flags_sql_columns()``
+    output columns (+ raw ``text``), true iff every rule passes —
+    generated from the same constants as the Spark flags so the two
+    engines cannot drift."""
+    return (
+        f"n_words >= {MIN_WORDS} AND n_words <= {MAX_WORDS} "
+        f"AND mean_word_len >= {MIN_MEAN_WORD_LEN} "
+        f"AND mean_word_len <= {MAX_MEAN_WORD_LEN} "
+        f"AND alpha_word_ratio >= {MIN_ALPHA_WORD_RATIO} "
+        f"AND symbol_word_ratio <= {MAX_SYMBOL_RATIO} "
+        f"AND stopword_hits >= {MIN_STOPWORD_HITS} "
+        "AND NOT contains(text, '{')"
+    )
+
+
 def domain_mix_report(
     df: DataFrame,
     group_col: str = "source",

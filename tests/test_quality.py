@@ -102,3 +102,44 @@ def test_dup_substring_stats_planted(spark):
     assert out[3].n_dup_windows == 0
     assert out[1].n_windows == 24 - 10 + 1  # 24 tokens, W=10, stride 1
     assert 0.0 < out[1].dup_frac < 1.0
+
+
+def test_corpus_build_report_consistency(spark, sf_dir):
+    """Survivor accounting: the report's doc total equals the number
+    of distinct fingerprints among gate-passing docs."""
+    from pyspark.sql import functions as F
+
+    from another_map_reduce_spark.operators.quality import (
+        gopher_quality_flags,
+    )
+    from another_map_reduce_spark.operators.text_analysis import fingerprint
+    from another_map_reduce_spark.plans.datapipe import corpus_build_report
+    from another_map_reduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    passed = gopher_quality_flags(docs).where(F.col("pass_all"))
+    expected = (
+        passed.select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .count()
+    )
+    report = corpus_build_report(spark, sf_dir)
+    assert report.agg(F.sum("n_docs")).collect()[0][0] == expected
+    splits = {r.split for r in report.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"}
+
+
+def test_semantic_dedup_conservation(spark, sf_dir):
+    """Per-label kept + removed == total, and something is removed at
+    the τ=0.4 planted-cluster threshold."""
+    from pyspark.sql import functions as F
+
+    from another_map_reduce_spark.plans.datapipe import semantic_dedup_stats
+    from another_map_reduce_spark.sources.tables import load_table
+
+    rep = semantic_dedup_stats(spark, sf_dir)
+    rows = rep.collect()
+    emb_n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vectors for r in rows) == emb_n
+    assert all(r.n_kept + r.n_dup_removed == r.n_vectors for r in rows)
+    assert all(r.n_kept >= 1 for r in rows)
