@@ -62,18 +62,17 @@ def connected_components(
     max_iter) rather than raising or silently returning a partial
     clustering.
     """
-    sym = (
-        edges.select(
-            F.col(src).cast("long").alias("node"),
-            F.col(dst).cast("long").alias("nbr"),
-        )
-        .union(
-            edges.select(
-                F.col(dst).cast("long").alias("node"),
-                F.col(src).cast("long").alias("nbr"),
-            )
-        )
-        .localCheckpoint()
+    # Checkpoint BEFORE symmetrising: the upstream edge pipeline (often
+    # an expensive LSH/verify join) is evaluated exactly once; the
+    # union's two branches then read the cached blocks.  Symmetrising
+    # first made the eager checkpoint evaluate the upstream twice —
+    # measured ~2× the LSH cost inside dedup_cc_clusters.
+    base = edges.select(
+        F.col(src).cast("long").alias("node"),
+        F.col(dst).cast("long").alias("nbr"),
+    ).localCheckpoint()
+    sym = base.union(
+        base.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
     )
     # eager=False throughout the loop: the convergence aggregate below
     # is the action that materialises each round's checkpoint blocks,

@@ -43,12 +43,13 @@ MIN_STOPWORD_HITS = 2
 
 
 def _ws_tokens(text: Column) -> Column:
-    """Whitespace tokens of trimmed text; [] for blank/empty docs.
-    Matches DuckDB's ``regexp_split_to_array(trim(text), '\\s+')``."""
-    t = F.trim(text)
-    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
-    )
+    """Whitespace tokens, empty tokens elided; [] for blank/empty or
+    all-whitespace docs.  ``trim`` strips only spaces (same in DuckDB),
+    so the empty-token filter — not the trim — is what guarantees
+    tab/newline-padded docs tokenize correctly.  Matches the SQL twin
+    ``list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')``.
+    """
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
 
 
 def gopher_quality_flags(
@@ -108,16 +109,15 @@ def gopher_quality_flags(
 
 
 # The same rules as one ANSI-SQL scalar fragment set, for oracle replay.
-_SQL_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+_SQL_TOKENS = (
+    "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
+)
 
 
 def gopher_flags_sql_columns() -> str:
     """SELECT fragment computing the identical metric/flag columns in
     DuckDB (list lambdas mirror the Column HOFs 1:1)."""
-    toks = (
-        "CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] "
-        f"ELSE {_SQL_TOKENS} END"
-    )
+    toks = _SQL_TOKENS
     stop_list = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
     return f"""
   len({toks}) AS n_words,

@@ -398,8 +398,8 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH per AS (
   SELECT source, COUNT(*) AS n_docs,
-         CAST(SUM(len(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                      ELSE regexp_split_to_array(trim(text), '\\s+') END))
+         CAST(SUM(len(list_filter(
+                regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')))
               AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
 )

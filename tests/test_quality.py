@@ -143,3 +143,60 @@ def test_semantic_dedup_conservation(spark, sf_dir):
     assert sum(r.n_vectors for r in rows) == emb_n
     assert all(r.n_kept + r.n_dup_removed == r.n_vectors for r in rows)
     assert all(r.n_kept >= 1 for r in rows)
+
+
+def test_gopher_flags_property_vs_python(spark):
+    """Property check: the Spark rule columns equal a direct Python
+    reimplementation of the Gopher/C4 rules on adversarial docs
+    (empty, whitespace-only, punctuation runs, unicode, long words)."""
+    import re
+
+    from another_map_reduce_spark.operators import quality as Q
+
+    docs = [
+        "",
+        "   ",
+        "\t\n  \n",
+        "the the the the " * 10,
+        "supercalifragilisticexpialidocious " * 30,
+        "a b c d e f g h i j k l m n o p q r s t u v w x y z " * 2,
+        "... ### ... ### " * 10,
+        "Ünïcödé wörds with the and of and that " * 5,
+        "{json: true} the be to of and that have with " * 5,
+        "word." + " word" * 40,
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)], SCHEMA
+    )
+    got = {r.doc_id: r for r in Q.gopher_quality_flags(df).collect()}
+
+    for i, text in enumerate(docs):
+        toks = re.split(r"\s+", text.strip()) if text.strip() else []
+        n_words = len(toks)
+        word_chars = sum(len(t) for t in toks)
+        nw = max(n_words, 1)
+        mean_wlen = round(word_chars / nw, 6)
+        alpha = round(
+            len([t for t in toks if re.search("[A-Za-z]", t)]) / nw, 6
+        )
+        symbol = round(
+            len([t for t in toks if re.search(r"#|\.\.\.", t)]) / nw, 6
+        )
+        stop = len([t for t in toks if t.lower() in Q.GOPHER_STOPWORDS])
+        r = got[i]
+        assert r.n_words == n_words, (i, r.n_words, n_words)
+        assert r.word_chars == word_chars
+        assert r.mean_word_len == mean_wlen
+        assert r.alpha_word_ratio == alpha
+        assert r.symbol_word_ratio == symbol
+        assert r.stopword_hits == stop
+        assert r.ok_no_braces == ("{" not in text)
+        expected_pass = (
+            Q.MIN_WORDS <= n_words <= Q.MAX_WORDS
+            and Q.MIN_MEAN_WORD_LEN <= mean_wlen <= Q.MAX_MEAN_WORD_LEN
+            and alpha >= Q.MIN_ALPHA_WORD_RATIO
+            and symbol <= Q.MAX_SYMBOL_RATIO
+            and stop >= Q.MIN_STOPWORD_HITS
+            and "{" not in text
+        )
+        assert r.pass_all == expected_pass, (i, text[:40])
