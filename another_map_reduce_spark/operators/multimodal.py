@@ -93,18 +93,29 @@ def attach_binary_payload(
 
 
 def extract_image_metadata(
-    df: DataFrame, blob_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame,
+    blob_col: str = "payload",
+    id_col: str = "doc_id",
+    decoder=None,
 ) -> DataFrame:
     """Arrow-batched metadata extraction over a binary column.
 
     One pandas batch in → one metadata batch out; the blob column is
     dropped on output so downstream stages shuffle only metadata.
+
+    ``decoder`` defaults to :func:`decode_image` (real decode when PIL
+    exists, stub otherwise).  Pass :func:`decode_image_stub` when the
+    output must be engine-independent regardless of installed libs —
+    e.g. the oracle-checked ``multimodal_meta`` query, whose DuckDB
+    side replays the stub formula and would diverge on any payload a
+    real decoder happens to accept (ASCII formats like Netpbm/XBM).
     """
+    decode = decoder or decode_image
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             blobs = batch[blob_col]
-            dims = [decode_image(b) for b in blobs]
+            dims = [decode(b) for b in blobs]
             yield pd.DataFrame(
                 {
                     "doc_id": batch[id_col],

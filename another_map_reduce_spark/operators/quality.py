@@ -41,6 +41,10 @@ MAX_SYMBOL_RATIO = 0.1
 MIN_ALPHA_WORD_RATIO = 0.80
 MIN_STOPWORD_HITS = 2
 
+# Temperature for domain-mix sampling weights (share^T / Σ share^T);
+# interpolated into the oracle SQL as well, so the two can't drift.
+MIX_TEMPERATURE = 0.5
+
 
 def _ws_tokens(text: Column) -> Column:
     """Whitespace tokens, empty tokens elided; [] for blank/empty or
@@ -98,7 +102,7 @@ def gopher_quality_flags(
         "ok_alpha_words": F.col("alpha_word_ratio") >= MIN_ALPHA_WORD_RATIO,
         "ok_symbol_ratio": F.col("symbol_word_ratio") <= MAX_SYMBOL_RATIO,
         "ok_stopwords": F.col("stopword_hits") >= MIN_STOPWORD_HITS,
-        "ok_no_braces": ~F.col("text").contains("{"),
+        "ok_no_braces": ~F.col(text_col).contains("{"),
     }
     for name, cond in rules.items():
         out = out.withColumn(name, cond)
@@ -153,7 +157,7 @@ def domain_mix_report(
     df: DataFrame,
     group_col: str = "source",
     text_col: str = "text",
-    temperature: float = 0.5,
+    temperature: float = MIX_TEMPERATURE,
 ) -> DataFrame:
     """Per-domain mixture table: docs, whitespace-token counts, corpus
     share, and temperature-scaled sampling weight

@@ -393,9 +393,10 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "domain_mix_report",
-    oracle="""
+def _domain_mix_oracle() -> str:
+    from another_map_reduce_spark.operators.quality import MIX_TEMPERATURE
+
+    return f"""
 WITH per AS (
   SELECT source, COUNT(*) AS n_docs,
          CAST(SUM(len(list_filter(
@@ -406,12 +407,15 @@ WITH per AS (
 SELECT source, n_docs, n_tokens,
   round(CAST(n_tokens AS DOUBLE) / (SELECT SUM(n_tokens) FROM per), 6)
       AS token_share,
-  round(pow(n_tokens, 0.5) / (SELECT SUM(pow(n_tokens, 0.5)) FROM per), 6)
+  round(pow(n_tokens, {MIX_TEMPERATURE})
+        / (SELECT SUM(pow(n_tokens, {MIX_TEMPERATURE})) FROM per), 6)
       AS mix_weight
 FROM per
 ORDER BY source
-""",
-)
+"""
+
+
+@register("domain_mix_report", oracle=_domain_mix_oracle())
 def domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix table: per-source doc/token counts, corpus token
     share, and temperature-0.5 sampling weight (upsamples small
@@ -477,10 +481,13 @@ def dup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     as single hot keys — AQE splits them, and the df side of the join
     is one row per DISTINCT window, so the join itself cannot fan out.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+    from another_map_reduce_spark.operators.text_analysis import (
+        _ws_tokens as _lower_ws_tokens,  # lowercased, empty-elided — the
+        # SAME tokenizer whose SQL twin is _TOKS_SQL (shared above)
     )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _lower_ws_tokens(F.col("text"))
     wins_arr = F.when(
         F.size(toks) < _DUP_W, F.array().cast("array<string>")
     ).otherwise(

@@ -654,17 +654,23 @@ ORDER BY doc_id
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode plumbing: blob → (bytes, md5, dims).
 
-    The decode itself is a deterministic stub (no media libs in this
-    container); the mapInPandas plumbing — Arrow batching, schema,
-    blob-column pruning — is the real, tested surface.
+    Pins the DETERMINISTIC stub decoder explicitly: the oracle replays
+    the stub's formula, and the default real-when-possible decoder
+    (operators.multimodal.decode_image) would diverge on any payload
+    PIL happens to accept (e.g. ASCII Netpbm) in a PIL-equipped
+    environment.  The mapInPandas plumbing — Arrow batching, schema,
+    blob-column pruning — is the surface under test either way.
     """
     from another_map_reduce_spark.operators.multimodal import (
         attach_binary_payload,
+        decode_image_stub,
         extract_image_metadata,
     )
 
     docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
-    return extract_image_metadata(docs).orderBy("doc_id")
+    return extract_image_metadata(docs, decoder=decode_image_stub).orderBy(
+        "doc_id"
+    )
 
 
 @register(

@@ -200,3 +200,22 @@ def test_gopher_flags_property_vs_python(spark):
             and "{" not in text
         )
         assert r.pass_all == expected_pass, (i, text[:40])
+
+
+def test_gopher_flags_custom_text_col(spark):
+    """All rules (including the brace ban) must read the configured
+    text column, not a hardcoded 'text'."""
+    from another_map_reduce_spark.operators.quality import (
+        gopher_quality_flags,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the cat {brace} sat"), (2, "plain words here")],
+        "doc_id long, body string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in gopher_quality_flags(df, text_col="body").collect()
+    }
+    assert not rows[1].ok_no_braces
+    assert rows[2].ok_no_braces
