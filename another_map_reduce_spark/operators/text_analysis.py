@@ -138,6 +138,12 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized.cast("binary"))
 
 
+# DuckDB twin of ``fingerprint`` (kept beside it so they can't drift;
+# plans modules import this instead of each other — avoids an import
+# cycle between plans.pipeline and plans.datapipe).
+FINGERPRINT_SQL = r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document stats frame: the full analysis battery in one pass."""
     t = F.col(text_col)

@@ -541,7 +541,9 @@ def _corpus_build_oracle() -> str:
         gopher_flags_sql_columns,
         gopher_pass_sql_predicate,
     )
-    from another_map_reduce_spark.plans.pipeline import _FP
+    from another_map_reduce_spark.operators.text_analysis import (
+        FINGERPRINT_SQL as _FP,
+    )
 
     return f"""
 WITH m AS (

@@ -56,7 +56,9 @@ list_distinct(list_transform(
 """
 
 # normalized md5 fingerprint (matches text_analysis.fingerprint)
-_FP = r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
+from another_map_reduce_spark.operators.text_analysis import (  # noqa: E402
+    FINGERPRINT_SQL as _FP,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -833,4 +835,88 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return vector_centroids(
         load_table(spark, sf_dir, "embeddings"), "embedding", ["label"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model table (count-based conditional probabilities)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bigram_lm_topk",
+    oracle=f"""
+WITH t AS (
+  SELECT {_TOKENS} AS w FROM documents
+), b AS (
+  SELECT w[i] AS w1, w[i+1] AS w2
+  FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+        FROM t WHERE len(w) >= 2)
+), c AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY w1, w2
+), tot AS (
+  SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+         CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1
+  FROM c
+)
+SELECT w1, w2, c12, c1,
+       round(CAST(c12 AS DOUBLE) / c1, 6) AS p_cond
+FROM tot
+ORDER BY c12 DESC, w1, w2
+LIMIT 100
+""",
+)
+def bigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram LM table: P(w2|w1) = c(w1,w2) / c(w1·) for
+    the 100 most frequent bigrams — the classic n-gram language-model
+    artifact a corpus pipeline materialises (the building block of
+    KN/Katz smoothing and of perplexity-based quality filters).
+
+    Scale shape: ONE corpus shuffle (the (w1,w2) count, with map-side
+    partial aggregation soaking up the Zipfian head), then a w1 window
+    over the AGGREGATED bigram table — skew there is bounded by
+    |vocab|, not corpus size, because each (w1,w2) is already one row.
+    Top-k is TakeOrderedAndProject with a total (count, w1, w2)
+    tie-break, so the result is deterministic cross-engine.  The
+    conditional probability is a single double division of exact
+    integer counts.
+    """
+    from pyspark.sql.window import Window
+
+    from another_map_reduce_spark.operators.text_analysis import _ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _ws_tokens(F.col("text"))
+    bigrams = F.when(
+        F.size(toks) < 2,
+        F.array().cast("array<struct<w1:string,w2:string>>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        )
+    )
+    counts = (
+        docs.select(F.explode(bigrams).alias("bg"))
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    w1_tot = Window.partitionBy("w1")
+    return (
+        counts.withColumn("c1", F.sum("c12").over(w1_tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            F.round(F.col("c12").cast("double") / F.col("c1"), 6).alias(
+                "p_cond"
+            ),
+        )
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(100)
     )

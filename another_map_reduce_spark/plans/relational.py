@@ -29,20 +29,13 @@ from another_map_reduce_spark.queries import register
 from another_map_reduce_spark.sources.tables import load_table
 
 
-def _dec(col: Column | str) -> Column:
-    """Exact summation dtype: see module docstring."""
-    c = F.col(col) if isinstance(col, str) else col
-    return c.cast("decimal(38,6)")
-
-
-def dsum(col: Column | str, alias: str) -> Column:
-    return F.sum(_dec(col)).cast("double").alias(alias)
-
-
-def davg(col: Column | str, alias: str) -> Column:
-    # sum exactly, divide two identical doubles → identical quotient
-    c = F.col(col) if isinstance(col, str) else col
-    return (F.sum(_dec(c)).cast("double") / F.count(c)).alias(alias)
+# Shared with plans.tpch_extra via functions.aggs (NOT via an
+# inter-plans import, which is a latent cycle — see functions/aggs.py).
+from another_map_reduce_spark.functions.aggs import (  # noqa: E402,F401
+    _dec,
+    davg,
+    dsum,
+)
 
 
 # ---------------------------------------------------------------------------

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from another_map_reduce_spark.plans.relational import davg, dsum, _dec
+from another_map_reduce_spark.functions.aggs import _dec, davg, dsum
 from another_map_reduce_spark.queries import register
 from another_map_reduce_spark.sources.tables import load_table
 

@@ -219,3 +219,31 @@ def test_gopher_flags_custom_text_col(spark):
     }
     assert not rows[1].ok_no_braces
     assert rows[2].ok_no_braces
+
+
+def test_bigram_lm_topk_planted(spark):
+    """Conditional probabilities from a tiny planted corpus."""
+    import os
+    import tempfile
+
+    from another_map_reduce_spark.queries import QUERIES
+
+    bigram_lm_topk = QUERIES["bigram_lm_topk"]
+    d = tempfile.mkdtemp()
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a c", "en", "s", 11),
+            (2, "a b", "en", "s", 3),
+            (3, "x", "en", "s", 1),  # single token: no bigrams
+        ],
+        SCHEMA,
+    )
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    rows = {(r.w1, r.w2): r for r in bigram_lm_topk(spark, d).collect()}
+    # corpus bigrams: doc1 -> (a,b)x2 (b,a)x2 (a,c); doc2 -> (a,b)
+    assert rows[("a", "b")].c12 == 3
+    assert rows[("a", "b")].c1 == 4           # a-starting bigrams: 3 + (a,c)
+    assert rows[("a", "b")].p_cond == 0.75
+    assert rows[("a", "c")].p_cond == 0.25
+    assert rows[("b", "a")].c12 == 2 and rows[("b", "a")].p_cond == 1.0
+    assert ("x", "x") not in rows
