@@ -828,6 +828,74 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_events_hourly",
+    oracle="""
+SELECT DATE_TRUNC('hour', ts) AS hour,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+""",
+)
+def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_hourly executed through Structured Streaming — the
+    driver-visible streaming correctness row.
+
+    The same tumbling aggregation as the batch twin, but run as a real
+    stream: file source over the events parquet, 1-hour ``window()``
+    buckets, complete-mode memory sink, ``Trigger.AvailableNow`` so
+    the stream drains the source and terminates.  Because complete
+    mode recomputes the full aggregate per epoch, the final table is
+    deterministic and hash-comparable against the SAME DuckDB oracle
+    as the batch query — proving the streaming execution path
+    (source → stateful agg → sink), not just its batch face.  At
+    scale the equivalent long-running job uses append mode + a
+    watermark (streaming/windows.py); AvailableNow is the standard
+    backfill/reprocessing trigger over the identical plan.
+    """
+    # batch load pins session TZ + nanos handling and yields the schema
+    batch = load_table(spark, sf_dir, "events")
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    elif dict(raw.dtypes).get("ts") == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    windowed = raw.groupBy(
+        F.window("ts", "1 hour").alias("w"), F.col("event_type")
+    ).agg(F.count("*").alias("n"), davg("value", "avg_value"))
+    qname = "_amrs_stream_events_hourly"
+    spark.catalog.dropTempView(qname)
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(qname)
+        .select(
+            F.col("w.start").alias("hour"),
+            "event_type",
+            "n",
+            "avg_value",
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+@register(
     "funnel_conversion",
     oracle="""
 WITH tv AS (
