@@ -896,6 +896,84 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cohort_retention",
+    oracle="""
+WITH first AS (
+  SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS active_week FROM events
+), agg AS (
+  SELECT cohort_week,
+         CAST(date_diff('day', CAST(cohort_week AS DATE),
+                        CAST(active_week AS DATE)) / 7 AS BIGINT)
+             AS week_offset,
+         COUNT(DISTINCT user_id) AS n_active
+  FROM first JOIN activity USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, n_active,
+       CAST(MAX(CASE WHEN week_offset = 0 THEN n_active END)
+            OVER (PARTITION BY cohort_week) AS BIGINT) AS cohort_size,
+       round(CAST(n_active AS DOUBLE)
+             / MAX(CASE WHEN week_offset = 0 THEN n_active END)
+               OVER (PARTITION BY cohort_week), 6) AS retention
+FROM agg
+ORDER BY cohort_week, week_offset
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention table: users bucketed by first-seen
+    week; per (cohort, week-offset) active-user counts and retention
+    ratios — the standard product-analytics cohort triangle.
+
+    Two aggregations over events (first-seen per user; distinct
+    user-weeks), an equi-join on user_id, and a cohort-size window
+    over the already-aggregated |cohorts × offsets| frame.  Offsets
+    divide an exact day difference of week-truncated dates by 7, so
+    every engine computes identical integers; retention is one double
+    division of exact counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    agg = (
+        first.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.col("active_week").cast("date"),
+                    F.col("cohort_week").cast("date"),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    w = Window.partitionBy("cohort_week")
+    size = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_active"))
+    ).over(w)
+    return (
+        agg.withColumn("cohort_size", size)
+        .withColumn(
+            "retention",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
     "funnel_conversion",
     oracle="""
 WITH tv AS (

@@ -247,3 +247,40 @@ def test_bigram_lm_topk_planted(spark):
     assert rows[("a", "c")].p_cond == 0.25
     assert rows[("b", "a")].c12 == 2 and rows[("b", "a")].p_cond == 1.0
     assert ("x", "x") not in rows
+
+
+def test_cohort_retention_planted(spark):
+    """Retention triangle on a hand-built event log: two cohorts, one
+    retained user."""
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from another_map_reduce_spark.queries import QUERIES
+
+    rows = [
+        # user 1: first seen week of Jan 1 (Mon), active again week+1
+        (1, datetime(2024, 1, 2, 10), 1, "view", 1.0, "{}"),
+        (2, datetime(2024, 1, 9, 10), 1, "view", 1.0, "{}"),
+        # user 2: same cohort, never returns
+        (3, datetime(2024, 1, 3, 10), 2, "view", 1.0, "{}"),
+        # user 3: next-week cohort
+        (4, datetime(2024, 1, 10, 10), 3, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {
+        (r.cohort_week.day, r.week_offset): r
+        for r in QUERIES["cohort_retention"](spark, d).collect()
+    }
+    # cohort of Mon Jan 1: 2 users at offset 0, 1 at offset 1
+    assert out[(1, 0)].n_active == 2 and out[(1, 0)].retention == 1.0
+    assert out[(1, 1)].n_active == 1 and out[(1, 1)].retention == 0.5
+    # cohort of Mon Jan 8: 1 user, offset 0 only
+    assert out[(8, 0)].cohort_size == 1
+    assert (8, 1) not in out
