@@ -887,16 +887,21 @@ def bigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = _ws_tokens(F.col("text"))
+    # zip the array with its own tail instead of per-index element_at:
+    # Catalyst has no let-binding, so `element_at(toks, i)` inside a
+    # transform() re-inlines the WHOLE tokenizer per element — O(n²)
+    # tokenizations per document (measured 8.3 s for 265k bigrams at
+    # sf0.1).  slice() evaluates the tokenizer once per call, so this
+    # form costs ~5 evaluations per ROW and runs in well under a
+    # second for the same data.
     bigrams = F.when(
         F.size(toks) < 2,
         F.array().cast("array<struct<w1:string,w2:string>>"),
     ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"),
-                F.element_at(toks, i + 1).alias("w2"),
-            ),
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
         )
     )
     counts = (
