@@ -1656,3 +1656,55 @@ def cross_join_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name", "n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sink round-trip: the write path, driver-visible
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_roundtrip_partitioned",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def sink_roundtrip_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-path fidelity, driver-proven: lineitem is WRITTEN to a
+    fresh parquet dataset partitioned by l_returnflag, read back, and
+    aggregated — the result must hash-match the oracle computed on the
+    ORIGINAL table, so any loss/duplication/type-mangling in the
+    partitioned write (hive-style directory encoding, partition-column
+    round-trip through the path, atomic task commit) is caught
+    cross-engine.
+
+    The partition column round-trips through directory names
+    (`l_returnflag=R/`), exercising partition discovery on read; the
+    aggregate then shuffles only post-scan rows.  A fresh temp dir per
+    invocation keeps concurrent evaluations (bench's two passes, the
+    driver) isolated; the dataset must outlive this function because
+    the returned frame reads it lazily.
+    """
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    path = tempfile.mkdtemp(prefix="amrs_sink_roundtrip_")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("l_quantity", "sum_qty"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy("l_returnflag")
+    )

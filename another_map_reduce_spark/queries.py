@@ -79,6 +79,7 @@ _ORDER_FRONT = [
     "bigram_lm_topk",
     "stream_events_hourly",
     "cohort_retention",
+    "sink_roundtrip_partitioned",
     # then the five that first got rows only in r2 — keep them well
     # inside the ~50-row driver cap (they sat at 44-48 after the r3
     # front insertions, two slots from falling off):
