@@ -1,0 +1,96 @@
+"""Frequency sketches — [extension]: sketch-then-verify heavy hitters.
+
+Misra–Gries (1982) keeps k counters per partition and is MERGEABLE
+(Agarwal et al., "Mergeable Summaries", PODS 2012): an item absent from
+EVERY partition's sketch has global count ≤ Σ n_p/(k+1) = n/(k+1), so
+the union of per-partition candidates provably contains every item
+with global frequency > n/(k+1).  With k ≥ 1/θ the candidate set
+covers all θ-heavy hitters, and an exact recount join turns the
+approximate sketch into an EXACT answer — the standard two-phase
+scale pattern (sketch prunes the long tail; the recount shuffles only
+candidate-matched rows).
+
+The reference has no sketch surface (its whole query capability is
+count-by-key, `/root/reference/src/worker.rs:23-38`).
+
+Spark shape: ONE corpus scan through an Arrow-batched mapInPandas
+that maintains the MG dict across batches within a partition and
+emits ≤ k candidate words per partition; candidates are tiny →
+broadcast back against the exploded corpus for the exact recount
+(second scan, one small shuffle).  Python touches ≤ k rows of output
+per partition — the heavy data path stays JVM-side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def misra_gries_candidates(
+    words: DataFrame, k: int, word_col: str = "word"
+) -> DataFrame:
+    """Distinct candidate words from a per-partition Misra–Gries sketch
+    with ``k`` counters.  Guaranteed superset of every word with global
+    count > n/(k+1); output size ≤ k × partitions."""
+
+    def _mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for batch in batches:
+            for w in batch[word_col]:
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < k:
+                    counters[w] = 1
+                else:
+                    # decrement-all step; drop zeroed counters
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({word_col: list(counters.keys())})
+
+    return (
+        words.select(word_col)
+        .mapInPandas(_mg, schema=f"{word_col} string")
+        .distinct()
+    )
+
+
+def heavy_hitters_exact(
+    words: DataFrame, theta: float, word_col: str = "word"
+) -> DataFrame:
+    """Exact θ-heavy hitters via sketch-then-verify.
+
+    Returns (word, cnt, freq) for every word with count > θ·n, ordered
+    by (cnt desc, word).  Correctness does not depend on the sketch:
+    with k = ⌈1/θ⌉ counters the Misra–Gries candidate union provably
+    contains all θ-heavy hitters, and the recount join computes exact
+    counts for the candidates only.
+    """
+    k = max(int(1.0 / theta) + 1, 1)
+    cands = misra_gries_candidates(words, k, word_col)
+    total = words.select(F.count("*").alias("_n"))
+    counted = (
+        words.join(F.broadcast(cands), word_col)  # candidates are ≤ k·parts
+        .groupBy(word_col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        counted.join(F.broadcast(total))
+        .where(F.col("cnt") > F.lit(theta) * F.col("_n"))
+        .select(
+            word_col,
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("_n"), 6).alias(
+                "freq"
+            ),
+        )
+        .orderBy(F.col("cnt").desc(), word_col)
+    )

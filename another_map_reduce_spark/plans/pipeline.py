@@ -925,3 +925,49 @@ def bigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c12").desc(), "w1", "w2")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-then-verify heavy hitters (Misra–Gries + exact recount)
+# ---------------------------------------------------------------------------
+
+_HH_THETA = 0.01
+
+
+@register(
+    "heavy_hitter_words",
+    oracle=f"""
+WITH w AS (
+  SELECT unnest({_TOKENS}) AS word FROM documents
+), tot AS (
+  SELECT COUNT(*) AS n FROM w
+)
+SELECT word, COUNT(*) AS cnt,
+       round(CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot), 6) AS freq
+FROM w
+GROUP BY word
+HAVING COUNT(*) > {_HH_THETA} * (SELECT n FROM tot)
+ORDER BY cnt DESC, word
+""",
+)
+def heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Words exceeding 1% of all corpus tokens, computed by the
+    sketch-then-verify pattern: per-partition Misra–Gries (k=101
+    counters, Arrow-batched mapInPandas holding state across batches)
+    → tiny candidate broadcast → exact recount join.  The sketch only
+    PRUNES — the mergeable-summaries bound guarantees every θ-heavy
+    word survives some partition's sketch, and the recount is exact —
+    so the result hash-matches the oracle's plain GROUP BY/HAVING.
+    At 100 TB the recount shuffles only candidate-matched rows and
+    the Python stage emits ≤ k rows per partition.
+    """
+    from another_map_reduce_spark.operators.sketches import (
+        heavy_hitters_exact,
+    )
+    from another_map_reduce_spark.operators.text_analysis import _ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(_ws_tokens(F.col("text"))).alias("word")
+    )
+    return heavy_hitters_exact(words, theta=_HH_THETA)

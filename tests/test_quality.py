@@ -284,3 +284,22 @@ def test_cohort_retention_planted(spark):
     # cohort of Mon Jan 8: 1 user, offset 0 only
     assert out[(8, 0)].cohort_size == 1
     assert (8, 1) not in out
+
+
+def test_misra_gries_capture_bound(spark):
+    """Adversarial partitioning cannot hide a theta-heavy word from
+    the candidate union, and the exact recount matches a plain
+    groupBy."""
+    from another_map_reduce_spark.operators.sketches import (
+        heavy_hitters_exact,
+        misra_gries_candidates,
+    )
+
+    # 1000 'hot' + long tail of singletons, sprayed across partitions
+    rows = [("hot",)] * 300 + [(f"tail{i}",) for i in range(5000)]
+    words = spark.createDataFrame(rows, "word string").repartition(16)
+    cands = {r.word for r in misra_gries_candidates(words, k=50).collect()}
+    assert "hot" in cands
+    hh = heavy_hitters_exact(words, theta=0.05)
+    got = {(r.word, r.cnt) for r in hh.collect()}
+    assert got == {("hot", 300)}  # 300/5300 ≈ 5.7% > θ; no tail word
