@@ -113,3 +113,41 @@ def pandas_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("key").alias("word"), F.col("value").alias("cnt")
     ).orderBy("word")
+
+
+@register("udtf_wordcount", oracle=_WORDCOUNT_SQL)
+def udtf_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count via a native Python UDTF — the FOURTH execution path
+    of the reference's map function (after declarative, RDD
+    flatMap, and Arrow-batched pandas), and the most literal: the
+    reference's ``fn map(String) -> Vec<(String, String)>``
+    (src/worker.rs:23-34) IS a user-defined table function — one input
+    row in, many (word) rows out — which PySpark 4 exposes directly as
+    ``@udtf`` + LATERAL join.
+
+    Row-at-a-time Python like the RDD path (the scale path remains the
+    declarative twin); registered to prove the UDTF API surface against
+    the same oracle as every other wordcount.
+    """
+    import re
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string")
+    class SplitWords:
+        def eval(self, text: str):  # noqa: D401 — UDTF contract method
+            for w in re.sub(r"[^A-Za-z]", " ", text or "").split():
+                yield (w,)
+
+    spark.udtf.register("amrs_split_words", SplitWords)
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    docs.createOrReplaceTempView("_amrs_udtf_docs")
+    return (
+        spark.sql(
+            "SELECT word FROM _amrs_udtf_docs, LATERAL amrs_split_words(text)"
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("word")
+    )

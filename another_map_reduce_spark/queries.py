@@ -81,6 +81,7 @@ _ORDER_FRONT = [
     "cohort_retention",
     "sink_roundtrip_partitioned",
     "heavy_hitter_words",
+    "udtf_wordcount",
     # then the five that first got rows only in r2 — keep them well
     # inside the ~50-row driver cap (they sat at 44-48 after the r3
     # front insertions, two slots from falling off):
