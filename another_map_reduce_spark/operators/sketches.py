@@ -30,16 +30,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def misra_gries_candidates(
+def misra_gries_sketch(
     words: DataFrame, k: int, word_col: str = "word"
 ) -> DataFrame:
-    """Distinct candidate words from a per-partition Misra–Gries sketch
-    with ``k`` counters.  Guaranteed superset of every word with global
-    count > n/(k+1); output size ≤ k × partitions."""
+    """Per-partition Misra–Gries sketch with ``k`` counters, emitted as
+    (word, pcount) rows: ≤ k candidate rows per partition (pcount
+    NULL) plus ONE partition-size row (word NULL) — so the same single
+    scan yields both the candidate set and the exact corpus total.
+    The candidate union is a guaranteed superset of every word with
+    global count > n/(k+1)."""
 
     def _mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
+        n_part = 0
         for batch in batches:
+            n_part += len(batch)
             for w in batch[word_col]:
                 if w in counters:
                     counters[w] += 1
@@ -54,13 +59,24 @@ def misra_gries_candidates(
                             dead.append(key)
                     for key in dead:
                         del counters[key]
-        yield pd.DataFrame({word_col: list(counters.keys())})
+        yield pd.DataFrame(
+            {
+                word_col: list(counters.keys()) + [None],
+                "pcount": [None] * len(counters) + [n_part],
+            }
+        )
 
-    return (
-        words.select(word_col)
-        .mapInPandas(_mg, schema=f"{word_col} string")
-        .distinct()
+    return words.select(word_col).mapInPandas(
+        _mg, schema=f"{word_col} string, pcount long"
     )
+
+
+def misra_gries_candidates(
+    words: DataFrame, k: int, word_col: str = "word"
+) -> DataFrame:
+    """Distinct candidate words from the per-partition sketch."""
+    sk = misra_gries_sketch(words, k, word_col)
+    return sk.where(F.col(word_col).isNotNull()).select(word_col).distinct()
 
 
 def heavy_hitters_exact(
@@ -75,8 +91,16 @@ def heavy_hitters_exact(
     counts for the candidates only.
     """
     k = max(int(1.0 / theta) + 1, 1)
-    cands = misra_gries_candidates(words, k, word_col)
-    total = words.select(F.count("*").alias("_n"))
+    # ONE sketch scan yields candidates AND the exact total (the
+    # partition-size rows) — a separate count() would re-tokenize the
+    # whole corpus a third time.  The sketch is checkpointed so its
+    # two derived frames (candidates, total) read cached rows instead
+    # of re-running the corpus scan each.
+    sketch = misra_gries_sketch(words, k, word_col).localCheckpoint()
+    cands = (
+        sketch.where(F.col(word_col).isNotNull()).select(word_col).distinct()
+    )
+    total = sketch.select(F.sum("pcount").alias("_n"))
     counted = (
         words.join(F.broadcast(cands), word_col)  # candidates are ≤ k·parts
         .groupBy(word_col)

@@ -855,21 +855,28 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark (streaming/windows.py); AvailableNow is the standard
     backfill/reprocessing trigger over the identical plan.
     """
+    from another_map_reduce_spark.sources.tables import normalize_events_ts
+
     # batch load pins session TZ + nanos handling and yields the schema
     batch = load_table(spark, sf_dir, "events")
-    raw = (
-        spark.readStream.schema(
-            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # The streaming file source only accepts DIRECTORIES.  Handle both
+    # events layouts: a directory of part files (what every Spark
+    # write produces — stream it directly; a pathGlobFilter on the
+    # parent would silently match nothing and return an empty
+    # aggregate) and the driver's single-file layout (stream the
+    # parent with a glob for just that file).
+    import os
+
+    events_path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(events_path).schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(events_path):
+        raw = reader.parquet(events_path)
+    else:
+        raw = reader.option("pathGlobFilter", "events.parquet").parquet(
+            sf_dir
         )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(raw.dtypes).get("ts") == "bigint":
-        raw = raw.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    elif dict(raw.dtypes).get("ts") == "timestamp_ntz":
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    raw = normalize_events_ts(raw)
     windowed = raw.groupBy(
         F.window("ts", "1 hour").alias("w"), F.col("event_type")
     ).agg(F.count("*").alias("n"), davg("value", "avg_value"))
@@ -1686,17 +1693,27 @@ def sink_roundtrip_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The partition column round-trips through directory names
     (`l_returnflag=R/`), exercising partition discovery on read; the
-    aggregate then shuffles only post-scan rows.  A fresh temp dir per
-    invocation keeps concurrent evaluations (bench's two passes, the
-    driver) isolated; the dataset must outlive this function because
-    the returned frame reads it lazily.
+    aggregate then shuffles only post-scan rows.  The target is a
+    DETERMINISTIC per-process, per-sf directory overwritten on each
+    invocation — repeated evaluations (bench's two passes, the driver)
+    reuse one bounded footprint instead of leaking a lineitem copy per
+    call, while the pid suffix isolates concurrent processes.  The
+    dataset must outlive this function because the returned frame
+    reads it lazily (sequential re-evaluations overwrite AFTER the
+    prior collect has consumed it).
     """
+    import hashlib
+    import os
     import tempfile
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_quantity"
     )
-    path = tempfile.mkdtemp(prefix="amrs_sink_roundtrip_")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"amrs_sink_roundtrip_{os.getpid()}_{tag}",
+    )
     li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
     back = spark.read.parquet(path)
     return (

@@ -56,20 +56,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        from pyspark.sql import functions as F
+        df = normalize_events_ts(df)
+    return df
 
-        if ts_type == "bigint":
-            # TIMESTAMP(NANOS) read as long (older readers honouring
-            # nanosAsLong); truncate to µs exactly as DuckDB does.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            # Newer readers surface TIMESTAMP(NANOS) as TIMESTAMP_NTZ
-            # (µs-truncated, naive).  Cast to session-TZ TIMESTAMP: the
-            # session is pinned UTC above, so collected values are
-            # identical to the bigint path and functions that need an
-            # instant type (unix_micros, window()) keep working.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+def normalize_events_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalise however this engine version surfaces the events
+    table's TIMESTAMP(NANOS) column to a session-TZ TIMESTAMP.
+
+    The ONE implementation for batch and streaming reads (duplicating
+    it is a silent drift hazard: both paths must convert identically
+    for the streaming query to hash-match the batch oracle).
+
+    - ``bigint``: older readers honouring nanosAsLong — truncate ns to
+      µs exactly as DuckDB does.
+    - ``timestamp_ntz``: newer readers surface nanos as TIMESTAMP_NTZ
+      (µs-truncated, naive) — cast to session-TZ TIMESTAMP; the
+      session is pinned UTC by the loaders, so collected values equal
+      the bigint path and instant-typed functions (unix_micros,
+      window()) keep working.
+    """
+    from pyspark.sql import functions as F
+
+    ts_type = dict(df.dtypes).get(ts_col)
+    if ts_type == "bigint":
+        return df.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        )
+    if ts_type == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
 
 

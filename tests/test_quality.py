@@ -295,7 +295,7 @@ def test_misra_gries_capture_bound(spark):
         misra_gries_candidates,
     )
 
-    # 1000 'hot' + long tail of singletons, sprayed across partitions
+    # 300 'hot' + a 5000-singleton tail, sprayed across partitions
     rows = [("hot",)] * 300 + [(f"tail{i}",) for i in range(5000)]
     words = spark.createDataFrame(rows, "word string").repartition(16)
     cands = {r.word for r in misra_gries_candidates(words, k=50).collect()}

@@ -79,21 +79,11 @@ def events_stream_dir(spark, sf_dir, tmp_path_factory):
 
 def _read_events_stream(spark, d):
     # schema must be declared for a file stream; derive it from a batch read
+    from another_map_reduce_spark.sources.tables import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(d).schema
-    stream = spark.readStream.schema(raw_schema).parquet(d)
-    ts_type = dict(stream.dtypes).get("ts")
-    if ts_type == "bigint":
-        # TIMESTAMP(NANOS) surfaced as long → truncate ns to µs
-        return stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    if ts_type == "timestamp_ntz":
-        # newer readers surface nanos as TIMESTAMP_NTZ (µs-truncated,
-        # naive); cast to session-TZ TIMESTAMP (session is UTC) —
-        # mirrors sources/tables.load_table
-        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream
+    return normalize_events_ts(spark.readStream.schema(raw_schema).parquet(d))
 
 
 def _rounded(rows):
