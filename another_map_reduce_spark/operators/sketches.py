@@ -90,6 +90,13 @@ def heavy_hitters_exact(
     contains all θ-heavy hitters, and the recount join computes exact
     counts for the candidates only.
     """
+    # Scale boundary of the forced candidate broadcast below: the
+    # candidate set is ≤ k × partitions, which stays broadcast-sized
+    # for thousands of partitions but not for hundreds of thousands
+    # (e.g. k=101 × 200k partitions ≈ 20M strings).  At that scale,
+    # insert a merge level first — MG summaries are mergeable, so a
+    # groupBy(word) SUM over the sketch rows followed by a top-(k)
+    # re-prune collapses candidates back to ≤ k before the recount.
     k = max(int(1.0 / theta) + 1, 1)
     # ONE sketch scan yields candidates AND the exact total (the
     # partition-size rows) — a separate count() would re-tokenize the
