@@ -827,6 +827,51 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SINK_SEQ = 0
+
+
+def _fresh_sink_name(tag: str) -> str:
+    """Unique memory-sink view name per invocation.
+
+    A fixed name meant a second invocation in the same session clobbered
+    the first result's backing table before it was collected (the same
+    hazard class sink_roundtrip_partitioned documents).  A monotonically
+    suffixed name makes concurrent/repeated invocations safe; the stale
+    views are tiny aggregate tables bounded by invocations-per-session.
+    """
+    global _SINK_SEQ
+    _SINK_SEQ += 1
+    return f"_amrs_{tag}_{_SINK_SEQ}"
+
+
+def _events_readstream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table, ts normalized.
+
+    The streaming file source only accepts DIRECTORIES.  Handle both
+    events layouts: a directory of part files (what every Spark write
+    produces — stream it directly; a pathGlobFilter on the parent would
+    silently match nothing and return an empty aggregate) and the
+    driver's single-file layout (stream the parent with a glob for just
+    that file).
+    """
+    import os
+
+    from another_map_reduce_spark.sources.tables import normalize_events_ts
+
+    # batch load pins session TZ + nanos handling and yields the schema
+    load_table(spark, sf_dir, "events")
+    events_path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(events_path).schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(events_path):
+        raw = reader.parquet(events_path)
+    else:
+        raw = reader.option("pathGlobFilter", "events.parquet").parquet(
+            sf_dir
+        )
+    return normalize_events_ts(raw)
+
+
 @register(
     "stream_events_hourly",
     oracle="""
@@ -855,37 +900,79 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark (streaming/windows.py); AvailableNow is the standard
     backfill/reprocessing trigger over the identical plan.
     """
-    from another_map_reduce_spark.sources.tables import normalize_events_ts
-
-    # batch load pins session TZ + nanos handling and yields the schema
-    batch = load_table(spark, sf_dir, "events")
-    # The streaming file source only accepts DIRECTORIES.  Handle both
-    # events layouts: a directory of part files (what every Spark
-    # write produces — stream it directly; a pathGlobFilter on the
-    # parent would silently match nothing and return an empty
-    # aggregate) and the driver's single-file layout (stream the
-    # parent with a glob for just that file).
-    import os
-
-    events_path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(events_path).schema
-    reader = spark.readStream.schema(schema)
-    if os.path.isdir(events_path):
-        raw = reader.parquet(events_path)
-    else:
-        raw = reader.option("pathGlobFilter", "events.parquet").parquet(
-            sf_dir
-        )
-    raw = normalize_events_ts(raw)
+    raw = _events_readstream(spark, sf_dir)
     windowed = raw.groupBy(
         F.window("ts", "1 hour").alias("w"), F.col("event_type")
     ).agg(F.count("*").alias("n"), davg("value", "avg_value"))
-    qname = "_amrs_stream_events_hourly"
-    spark.catalog.dropTempView(qname)
+    qname = _fresh_sink_name("stream_events_hourly")
     q = (
         windowed.writeStream.format("memory")
         .queryName(qname)
         .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(qname)
+        .select(
+            F.col("w.start").alias("hour"),
+            "event_type",
+            "n",
+            "avg_value",
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+@register(
+    "stream_events_hourly_append",
+    oracle="""
+WITH wm AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM events)
+SELECT DATE_TRUNC('hour', ts) AS hour,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_value
+FROM events
+GROUP BY 1, 2
+HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+ORDER BY hour, event_type
+""",
+)
+def stream_events_hourly_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The windowed aggregation under APPEND mode + a watermark — the
+    incremental-state streaming row.
+
+    ``stream_events_hourly`` proves the streaming execution path in
+    complete mode, which recomputes the full aggregate per epoch.  This
+    twin proves the *incremental* contract: ``withWatermark("ts", "30
+    minutes")`` + ``outputMode("append")`` means a window row is emitted
+    exactly once, only after the watermark passes its end, and its state
+    is then dropped — the long-running-job shape (streaming/windows.py)
+    on the driver-visible path.  ``Trigger.AvailableNow`` drains the
+    source; Spark's closing no-data micro-batch (on by default:
+    ``spark.sql.streaming.noDataMicroBatches.enabled``) then advances
+    the watermark to max(ts) − 30 min and flushes every closed window.
+
+    Windows still open at end-of-stream are correctly withheld, so the
+    oracle applies the same cutoff: groups with ``hour + 1h <= max(ts)
+    − 30min``.  The ``<=`` is Spark's actual eviction predicate — a
+    window whose end lands EXACTLY on the final watermark is emitted —
+    verified with a boundary-exact synthetic stream (max ts on :30:00
+    sharp), see tests/test_streaming.py::test_append_watermark_boundary.
+    The test data never hits the boundary (no hour end equals max(ts)
+    − 30min at sf0.001/0.01), so only that synthetic test pins the
+    comparator.
+    """
+    raw = _events_readstream(spark, sf_dir).withWatermark("ts", "30 minutes")
+    windowed = raw.groupBy(
+        F.window("ts", "1 hour").alias("w"), F.col("event_type")
+    ).agg(F.count("*").alias("n"), davg("value", "avg_value"))
+    qname = _fresh_sink_name("stream_events_hourly_append")
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )

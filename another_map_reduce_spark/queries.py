@@ -56,69 +56,77 @@ def _load() -> None:
 # (dedup_simhash is oracle-checked since round 2 but stays late: its
 # DuckDB side recomputes the full 64-bit construction, the priciest
 # oracle in the suite).
-# Round 3: the seven queries that were red-or-unproven in the r2
-# driver state run FIRST — six carried oracle-interface bugs fixed this
-# round (HUGEINT casts, array_join serialization) and
-# approx_distinct_users gained its first oracle (within-5pct tolerance
-# flag) — so even a heavily truncated driver pass records a fresh row
-# for every query whose status actually changed.
+# Round 4 rotation: the driver records exactly 50 rows per round, so
+# with 101+ registered queries every row goes stale after two rounds.
+# Round 3 spent its window on the 7 previously-red + 11 new queries;
+# that left 39 queries whose latest driver row dates from r1 and 12
+# from r2.  This round inverts the order: new r4 queries first (no row
+# at all yet), then the r1-era block oldest-first, then the r2-era
+# block — exactly 50 — so the union of r3+r4 driver rows gives every
+# informative query a row at most one round old.  The two sacrificed
+# entries are the redundant wordcount API-path twins (pandas/mr): they
+# re-prove the same `worker.rs:23-38` semantics as `wordcount` and
+# `udtf_wordcount` through a different API, the least new information
+# per driver row in the suite.  The 50 fresh-r3 rows move to the tail.
 _ORDER_FRONT = [
-    "q12_priority_linecount",
-    "split_train_val_test",
-    "stratified_sample",
-    "join_full_outer",
-    "inverted_index",
-    "dedup_cc_clusters",
-    "approx_distinct_users",
-    # round-3 additions — no driver row yet, so they run next:
-    "quality_filter_gopher",
-    "domain_mix_report",
-    "dup_substring_stats",
-    "corpus_build_report",
-    "semantic_dedup_stats",
-    "bigram_lm_topk",
-    "stream_events_hourly",
-    "cohort_retention",
-    "sink_roundtrip_partitioned",
-    "heavy_hitter_words",
-    "udtf_wordcount",
-    # then the five that first got rows only in r2 — keep them well
-    # inside the ~50-row driver cap (five twice-proven TPC-H queries
-    # were demoted to the mid block to make room; under a 50-row cap
-    # the demoted-but-twice-green rows are the right sacrifice):
-    "ann_cosine_topk",
-    "ann_cosine_pairs",
-    "multimodal_meta",
-    "doc_winnowing_stats",
-    "dedup_minhash_lsh",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q16_parts_supplier",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "q2_min_price_part",
-    "q4_priority_exists",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q15_top_supplier",
-    "q18_large_volume_customer",
-    "pii_redaction",
-    "doc_chunks",
-    "text_normalize_stats",
-    "tfidf_top_terms",
-    "skew_salted_agg",
-    "funnel_conversion",
-    "embedding_centroids",
-    "multimodal_frames",
-    "ann_ivf_topk",
-    "window_time_range_sum",
-    "dedup_simhash",
-    "doc_repetition_stats",
-    "decontam_overlap",
+    # round-4 additions — no driver row yet:
+    "stream_events_hourly_append",
+    # r1-era rows (driver record is three engine-stack drifts old):
+    "wordcount",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "window_topk_per_group",
+    "window_running_sum",
+    "window_lag_lead",
+    "topk_global",
+    "distinct_pairs",
+    "set_intersect",
+    "set_except",
+    "set_union_all",
+    "scalar_string_date_math",
+    "scalar_case_bucket",
+    "json_extract_agg",
+    "events_hourly",
+    "subquery_above_avg",
+    "asof_last_purchase",
+    "range_views_before_purchase",
+    "session_windows_batch",
+    "pivot_lang_source",
+    "grouping_sets",
+    "percentiles_by_priority",
+    "q3_shipping_priority",
+    "window_rank_family",
+    "array_functions",
+    "json_struct_parse",
+    "q10_returned_items",
+    "string_match_funcs",
+    "null_handling",
+    "cross_join_regions",
+    "text_token_stats",
+    "text_quality_by_lang",
+    "lang_id_confusion",
+    "dedup_exact_stats",
+    "dedup_fingerprint_stats",
+    "dedup_ngram_jaccard",
+    # r2-era rows:
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_predicates",
+    "q22_dormant_customers",
+    "q1_pricing_summary",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_having",
+    "join_broadcast_agg",
+    "join_multiway",
 ]
-_ORDER_HEAVY = ["dedup_ngram_jaccard"]
+# Everything with a fresh r3 driver row lands in the mid block in its
+# natural registration order; only the sacrificed API twins are pinned
+# to the absolute tail.
+_ORDER_HEAVY: list[str] = []
 _ORDER_TAIL = [
     "pandas_wordcount",
     "mr_wordcount",

@@ -414,3 +414,78 @@ def test_stateful_restart_from_checkpoint(spark, tmp_path):
     # user 1: view(before restart) + later click → stage 2.
     # user 2: purchase without a click never advances past view.
     assert got == {1: 2, 2: 1}
+
+
+def test_append_watermark_boundary(spark, tmp_path):
+    """Pin Spark's append-mode eviction comparator: a window whose end
+    lands EXACTLY on the final watermark IS emitted (``window.end <=
+    watermark``), and the still-open window is withheld.
+
+    stream_events_hourly_append's oracle encodes this ``<=``; the
+    parquet test data never produces a boundary-exact window, so this
+    synthetic stream (max ts on :30:00 sharp → watermark on the hour)
+    is the only thing pinning the comparator.
+    """
+    src = tmp_path / "bnd"
+    rows = [
+        ("2024-01-01 00:15:00",),  # [00:00,01:00) end < wm  -> emitted
+        ("2024-01-01 01:15:00",),  # [01:00,02:00) end == wm -> emitted
+        ("2024-01-01 02:30:00",),  # [02:00,03:00) end > wm  -> withheld
+    ]
+    (
+        spark.createDataFrame(rows, "ts string")
+        .select(F.col("ts").cast("timestamp").alias("ts"))
+        .write.parquet(str(src))
+    )
+    schema = spark.read.parquet(str(src)).schema
+    windowed = (
+        spark.readStream.schema(schema)
+        .parquet(str(src))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("wm_boundary")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ends = sorted(
+        r.e.strftime("%H:%M")
+        for r in spark.table("wm_boundary")
+        .select(F.col("w.end").alias("e"))
+        .collect()
+    )
+    assert ends == ["01:00", "02:00"]
+
+
+def test_append_query_is_batch_minus_open_windows(spark, sf_dir):
+    """The driver-visible append row equals the batch aggregation with
+    windows at-or-before the final watermark — nothing more, nothing
+    less, and every emitted row value-identical to its batch twin."""
+    from another_map_reduce_spark.plans.relational import (
+        events_hourly,
+        stream_events_hourly_append,
+    )
+
+    batch = {
+        (r.hour, r.event_type): (r.n, r.avg_value)
+        for r in events_hourly(spark, sf_dir).collect()
+    }
+    streamed = {
+        (r.hour, r.event_type): (r.n, r.avg_value)
+        for r in stream_events_hourly_append(spark, sf_dir).collect()
+    }
+    assert streamed  # watermark must not swallow everything
+    assert set(streamed) < set(batch)  # strictly fewer: open windows held
+    for k, v in streamed.items():
+        assert batch[k] == v
+    ev = load_table(spark, sf_dir, "events")
+    wm = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 30 MINUTES")).alias("w")
+    ).collect()[0].w
+    for hour, _etype in set(batch) - set(streamed):
+        assert not (hour + __import__("datetime").timedelta(hours=1) <= wm)
