@@ -38,27 +38,43 @@ def misra_gries_sketch(
     NULL) plus ONE partition-size row (word NULL) — so the same single
     scan yields both the candidate set and the exact corpus total.
     The candidate union is a guaranteed superset of every word with
-    global count > n/(k+1)."""
+    global count > n/(k+1), n counting NON-NULL words only: NULL words
+    are filtered before the scan (the word=NULL row is the partition
+    sentinel, so a null key would be unreportable; every caller
+    explodes non-null tokens, making the filter a no-op in practice).
+
+    Vectorized form of the classic per-token loop: each Arrow batch is
+    counted exactly with ``Series.value_counts()`` (C speed), the batch
+    counts merge into the running summary (per-UNIQUE-word Python cost,
+    not per-token), and the summary is re-pruned to k counters by
+    subtracting the (k+1)-th largest count — the mergeable-summaries
+    merge (Agarwal et al., PODS 2012, Fig. 1), which preserves the
+    n/(k+1) capture bound: an exact batch count is an error-free MG
+    summary, merging adds errors, and each prune's subtraction is
+    charged to the ≥ k+1 counters it decrements.
+    """
+    import numpy as np
 
     def _mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
         n_part = 0
         for batch in batches:
-            n_part += len(batch)
-            for w in batch[word_col]:
-                if w in counters:
-                    counters[w] += 1
-                elif len(counters) < k:
-                    counters[w] = 1
-                else:
-                    # decrement-all step; drop zeroed counters
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
+            col = batch[word_col]
+            n_part += len(col)
+            for w, c in col.value_counts(sort=False).items():
+                counters[w] = counters.get(w, 0) + int(c)
+            if len(counters) > k:
+                vals = np.fromiter(
+                    counters.values(), dtype=np.int64, count=len(counters)
+                )
+                # (k+1)-th largest = index len-k-1 ascending; at most k
+                # values exceed it, so the survivors fit the summary
+                sub = int(np.partition(vals, len(vals) - k - 1)[
+                    len(vals) - k - 1
+                ])
+                counters = {
+                    w: c - sub for w, c in counters.items() if c > sub
+                }
         yield pd.DataFrame(
             {
                 word_col: list(counters.keys()) + [None],
@@ -66,8 +82,10 @@ def misra_gries_sketch(
             }
         )
 
-    return words.select(word_col).mapInPandas(
-        _mg, schema=f"{word_col} string, pcount long"
+    return (
+        words.select(word_col)
+        .where(F.col(word_col).isNotNull())
+        .mapInPandas(_mg, schema=f"{word_col} string, pcount long")
     )
 
 
