@@ -104,7 +104,11 @@ def _label_sum(labels: DataFrame):
     return labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
 
 
-def _kiveris_components(sym: DataFrame, max_rounds: int = 60) -> DataFrame:
+def _kiveris_components(
+    sym: DataFrame,
+    max_rounds: int = 60,
+    stats: dict | None = None,
+) -> DataFrame:
     """Large-star/small-star connected components (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC 2014) — the
     O(log² n)-round fallback for graphs whose diameter defeats plain
@@ -126,7 +130,9 @@ def _kiveris_components(sym: DataFrame, max_rounds: int = 60) -> DataFrame:
     endpoints is non-increasing and stalls iff the edge set is stable.
 
     ``sym`` must be the symmetrised (node, nbr) edge list with no
-    self-loops required (they're harmless).
+    self-loops required (they're harmless).  ``stats``, when given, is
+    filled with {"rounds": r} — test instrumentation for the O(log n)
+    round-count contract.
     """
     edges = sym.select(
         F.least("node", "nbr").alias("u"), F.greatest("node", "nbr").alias("v")
@@ -142,7 +148,9 @@ def _kiveris_components(sym: DataFrame, max_rounds: int = 60) -> DataFrame:
         ).collect()[0][0]
 
     prev = endpoint_sum(edges)
+    rounds = 0
     for _ in range(max_rounds):
+        rounds += 1
         # ---- large-star: u is the centre, neighbours are both dirs.
         nbrs = edges.select("u", "v").union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -155,15 +163,19 @@ def _kiveris_components(sym: DataFrame, max_rounds: int = 60) -> DataFrame:
             .where(F.col("v") > F.col("u"))
             .select(F.col("m").alias("u"), F.col("v"))
         )
-        # ---- small-star over the large-star output.
+        # ---- small-star over the large-star output.  Checkpointed so
+        # the groupBy and the join below both read cached blocks
+        # instead of each re-deriving the large-star join; the two
+        # output edges per star member — (min, member) and (min,
+        # centre) — come from ONE join via explode, not a self-union
+        # of two identical joins.
         oriented = large.select(
             F.greatest("u", "v").alias("c"), F.least("u", "v").alias("n")
-        )
+        ).localCheckpoint(eager=False)
         sm = oriented.groupBy("c").agg(F.min("n").alias("m"))
-        small = (
-            oriented.join(sm, "c")
-            .select(F.col("m").alias("u"), F.col("n").alias("v"))
-            .union(oriented.join(sm, "c").select(F.col("m").alias("u"), F.col("c").alias("v")))
+        small = oriented.join(sm, "c").select(
+            F.col("m").alias("u"),
+            F.explode(F.array("n", "c")).alias("v"),
         )
         edges = (
             small.select(
@@ -174,6 +186,8 @@ def _kiveris_components(sym: DataFrame, max_rounds: int = 60) -> DataFrame:
             .localCheckpoint(eager=False)
         )
         cur = endpoint_sum(edges)
+        if stats is not None:
+            stats["rounds"] = rounds
         if cur == prev:
             break
         prev = cur

@@ -169,3 +169,35 @@ def test_kiveris_fallback_multi_component(spark):
     ]
     comps = {r.component for r in via_fallback.collect()}
     assert comps == {10, 40, 100}
+
+
+def test_kiveris_long_chain_log_rounds(spark):
+    """A 256-node path — the adversarial diameter case — must contract
+    in O(log n) large-star/small-star rounds, not O(diameter), and
+    still produce the exact min-id labelling.  Bound: Kiveris et al.
+    prove O(log² n) worst-case; on paths each round roughly halves the
+    chain, so 2·log₂(n) + a stall-detect round is a generous ceiling
+    (log₂ 256 = 8 → bound 17).  This test drives the fallback
+    DIRECTLY (stats instrumentation), so a regression that slipped
+    rounds back to O(n) fails fast instead of timing out."""
+    import math
+
+    from another_map_reduce_spark.operators.graph import (
+        _kiveris_components,
+    )
+
+    n = 256
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    base = edges.select(
+        F.col("src").alias("node"), F.col("dst").alias("nbr")
+    )
+    sym = base.union(
+        base.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
+    )
+    stats: dict = {}
+    got = _kiveris_components(sym, stats=stats)
+    assert {r.component for r in got.collect()} == {0}
+    assert got.count() == n
+    assert stats["rounds"] <= 2 * int(math.log2(n)) + 1, stats
