@@ -180,11 +180,20 @@ def domain_mix_report(
     everything = Window.partitionBy()
     scaled = F.pow(F.col("n_tokens"), F.lit(temperature))
     # one projection layer: totals from plain columns (no window
-    # nested inside a window argument)
+    # nested inside a window argument).  The scaled total is a DOUBLE
+    # sum, so a plain window SUM would be row-order dependent in the
+    # last ulps; fold a value-sorted list instead — a canonical
+    # ascending-order left fold both engines can reproduce bit-for-bit
+    # (the oracle sums `list(... ORDER BY ...)` the same way).  The
+    # list is |domains| rows, already post-aggregate.
     with_tot = per.select(
         "*",
         F.sum("n_tokens").over(everything).alias("_tot_tokens"),
-        F.sum(scaled).over(everything).alias("_tot_scaled"),
+        F.aggregate(
+            F.array_sort(F.collect_list(scaled).over(everything)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_tot_scaled"),
     )
     return with_tot.select(
         group_col,

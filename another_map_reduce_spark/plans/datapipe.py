@@ -408,7 +408,10 @@ SELECT source, n_docs, n_tokens,
   round(CAST(n_tokens AS DOUBLE) / (SELECT SUM(n_tokens) FROM per), 6)
       AS token_share,
   round(pow(n_tokens, {MIX_TEMPERATURE})
-        / (SELECT SUM(pow(n_tokens, {MIX_TEMPERATURE})) FROM per), 6)
+        / (SELECT list_aggregate(
+               list(pow(n_tokens, {MIX_TEMPERATURE})
+                    ORDER BY pow(n_tokens, {MIX_TEMPERATURE})),
+               'sum') FROM per), 6)
       AS mix_weight
 FROM per
 ORDER BY source
@@ -619,12 +622,14 @@ WITH RECURSIVE pairs AS (
   SELECT a.vec_id AS d1, b.vec_id AS d2
   FROM embeddings a
   JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-  WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                         CAST(b.embedding AS DOUBLE[]))
-        / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(a.embedding AS DOUBLE[])))
-         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[]))))
+  WHERE round(
+          list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[]))
+          / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(a.embedding AS DOUBLE[])))
+           * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])))),
+          9)
         >= {_SEM_TAU}
 ), edges AS (
   SELECT d1 AS src, d2 AS dst FROM pairs
@@ -715,7 +720,11 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n1") * F.col("n2"))
             ).alias("cos"),
         )
-        .where(F.col("cos") >= _SEM_TAU)
+        # round to 9 dp on BOTH engines before the τ comparison: the
+        # membership of a knife-edge pair must not hinge on Spark's HOF
+        # left-fold being bit-identical to DuckDB's list_dot_product
+        # (one flipped pair changes a whole connected component).
+        .where(F.round(F.col("cos"), 9) >= _SEM_TAU)
         .select("v1", "v2")
     )
     comp = connected_components(pairs, "v1", "v2")
