@@ -1,0 +1,127 @@
+"""Heavy-block scaling bench: wall time + shuffle bytes vs corpus size.
+
+Runs the expensive LLM-pipeline queries (the dedup trio, connected
+components, semantic dedup, heavy hitters, corpus build, ANN pairs) at
+the base sf0.1 corpus and at the 3x / 10x scale-ups produced by
+tools/make_scale_data.py, and records per-query wall time plus real
+shuffle read/write bytes (from the Spark status REST API, grouped via
+setJobGroup) so scaling claims are measured, not asserted.
+
+Quiet-host rule applies (see BASELINE.md): results are only valid with
+nothing else running.
+
+Usage: python tools/bench_scale.py [out.json]
+  (expects /tmp/scale3 and /tmp/scale10 to exist; builds them if not)
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+import urllib.request
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+QUERIES = [
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_cc_clusters",
+    "semantic_dedup_stats",
+    "heavy_hitter_words",
+    "corpus_build_report",
+    "ann_cosine_pairs",
+]
+
+SCALES = [
+    ("1x", "/root/testdata/sf0.1", 1),
+    ("3x", "/tmp/scale3", 3),
+    ("10x", "/tmp/scale10", 10),
+]
+
+
+def _rest(app_port: int, path: str):
+    with urllib.request.urlopen(
+        f"http://localhost:{app_port}/api/v1/{path}", timeout=10
+    ) as r:
+        return json.load(r)
+
+
+def _shuffle_bytes(port: int, app_id: str, group: str) -> dict:
+    jobs = _rest(port, f"applications/{app_id}/jobs")
+    stage_ids = {
+        sid
+        for j in jobs
+        if j.get("jobGroup") == group
+        for sid in j.get("stageIds", [])
+    }
+    rd = wr = 0
+    for s in _rest(port, f"applications/{app_id}/stages?status=complete"):
+        if s["stageId"] in stage_ids:
+            rd += s.get("shuffleReadBytes", 0)
+            wr += s.get("shuffleWriteBytes", 0)
+    return {"shuffle_read": rd, "shuffle_write": wr}
+
+
+def main() -> None:
+    for _, d, n in SCALES:
+        if n > 1 and not Path(f"{d}/documents.parquet").exists():
+            subprocess.run(
+                [
+                    sys.executable,
+                    str(Path(__file__).parent / "make_scale_data.py"),
+                    "/root/testdata/sf0.1",
+                    d,
+                    str(n),
+                ],
+                check=True,
+            )
+
+    from pyspark.sql import SparkSession
+
+    from another_map_reduce_spark import queries as Q
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    sc = spark.sparkContext
+    port = int(sc.uiWebUrl.rsplit(":", 1)[1]) if sc.uiWebUrl else 4040
+    app_id = sc.applicationId
+
+    out: dict = {"cpus": 32, "queries": {}}
+    for qname in QUERIES:
+        out["queries"][qname] = {}
+        for label, d, _n in SCALES:
+            group = f"{qname}@{label}"
+            sc.setJobGroup(group, group)
+            t0 = time.time()
+            n_rows = len(Q.QUERIES[qname](spark, d).collect())
+            dt = round(time.time() - t0, 2)
+            sc.setJobGroup("", "")
+            rec = {"sec": dt, "rows": n_rows}
+            try:
+                rec.update(_shuffle_bytes(port, app_id, group))
+            except Exception as e:  # REST hiccup → still record timing
+                rec["shuffle_err"] = str(e)
+            out["queries"][qname][label] = rec
+            print(
+                f"{qname:24s} {label:>3s}: {dt:7.2f}s  rows={n_rows:<8d}"
+                f" shw={rec.get('shuffle_write', -1)}",
+                file=sys.stderr,
+            )
+    dest = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_scale.json"
+    Path(dest).write_text(json.dumps(out, indent=2))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

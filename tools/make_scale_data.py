@@ -1,0 +1,136 @@
+"""Build scale-up corpora for the heavy-block scaling bench.
+
+Replicates the sf0.1 documents/embeddings tables N× in a way that
+preserves the per-replica workload SHAPE instead of manufacturing
+artificial cross-replica duplicates (naive replication would make every
+doc an exact/near dup of its 9 clones and every vector cosine-1.0 to
+its copies — a skew stress test, not a scaling measurement):
+
+- documents: replica r suffixes every NON-stopword token with ``~r{r}``
+  (replica 0 is the original).  Within a replica, the planted near-dup
+  structure is transformed identically, so pair/cluster counts scale
+  linearly with N.  Across replicas the content vocabulary is disjoint;
+  only Gopher stopwords are shared, so the quality gate's stopword-hit
+  selectivity — and therefore the corpus-build pipeline's stage sizes —
+  scale exactly.  (Stopword-only shingles that cross replicas are the
+  hot-shingle long tail the dedup operators' max_df cap already
+  handles.)  doc_id' = doc_id + r·1e7.
+- embeddings: replica r applies a deterministic permutation of the 64
+  dimensions — orthogonal, so within-replica cosines are bit-preserved
+  — and offsets vec_id (+r·1e7) and label (+r·1000) so label-blocked
+  operators never compare across replicas and cross-replica cosines of
+  the UNblocked operators are near-orthogonal noise.
+
+Writes {documents,embeddings}.parquet to the target dir.  The other
+tables are symlinked from the base dir so load_table finds them.
+
+Usage: python tools/make_scale_data.py BASE_SF_DIR OUT_DIR N_REPLICAS
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import re
+import sys
+from pathlib import Path
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from another_map_reduce_spark.operators.quality import GOPHER_STOPWORDS
+
+_TOKEN = re.compile(r"\S+")
+_ID_STRIDE = 10_000_000
+
+
+def _remap_text(text: str, r: int) -> str:
+    stop = set(GOPHER_STOPWORDS)
+
+    def sub(m: re.Match) -> str:
+        t = m.group(0)
+        return t if t.lower() in stop else f"{t}~r{r}"
+
+    return _TOKEN.sub(sub, text)
+
+
+def build(base: str, out: str, n: int) -> None:
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT * FROM read_parquet('{base}/documents.parquet')"
+    ).fetch_arrow_table()
+    embs = con.execute(
+        f"SELECT * FROM read_parquet('{base}/embeddings.parquet')"
+    ).fetch_arrow_table()
+
+    d_chunks, e_chunks = [], []
+    dim = len(embs.column("embedding")[0].as_py())
+    for r in range(n):
+        if r == 0:
+            d_chunks.append(docs)
+            e_chunks.append(embs)
+            continue
+        texts = [
+            _remap_text(t, r) for t in docs.column("text").to_pylist()
+        ]
+        d_chunks.append(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        [i + r * _ID_STRIDE for i in docs.column("doc_id").to_pylist()],
+                        pa.int64(),
+                    ),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": docs.column("lang"),
+                    "source": docs.column("source"),
+                    "n_chars": pa.array(
+                        [len(t) for t in texts], pa.int64()
+                    ),
+                }
+            )
+        )
+        perm = list(range(dim))
+        random.Random(r).shuffle(perm)
+        e_chunks.append(
+            pa.table(
+                {
+                    "vec_id": pa.array(
+                        [i + r * _ID_STRIDE for i in embs.column("vec_id").to_pylist()],
+                        pa.int64(),
+                    ),
+                    "embedding": pa.array(
+                        [
+                            [v[p] for p in perm]
+                            for v in embs.column("embedding").to_pylist()
+                        ],
+                        pa.list_(pa.float32()),
+                    ),
+                    "label": pa.array(
+                        [int(x) + r * 1000 for x in embs.column("label").to_pylist()],
+                        pa.int32(),
+                    ),
+                }
+            )
+        )
+    pq.write_table(pa.concat_tables(d_chunks), f"{out}/documents.parquet")
+    pq.write_table(pa.concat_tables(e_chunks), f"{out}/embeddings.parquet")
+    for f in Path(base).glob("*.parquet"):
+        if f.stem in ("documents", "embeddings"):
+            continue
+        dst = Path(out) / f.name
+        if not dst.exists():
+            os.symlink(f, dst)
+    print(
+        f"wrote {out}: documents x{n} "
+        f"({sum(len(c) for c in d_chunks)} rows), embeddings x{n} "
+        f"({sum(len(c) for c in e_chunks)} rows)"
+    )
+
+
+if __name__ == "__main__":
+    base, out, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    build(base, out, n)
