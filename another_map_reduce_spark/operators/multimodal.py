@@ -182,6 +182,93 @@ def decode_image(blob: bytes) -> tuple[int, int]:
     return decode_image_stub(blob)
 
 
+AUDIO_META_SCHEMA = (
+    "doc_id long, n_bytes long, content_md5 string, "
+    "sample_rate long, n_channels long, n_frames long, duration_ms long"
+)
+
+
+def decode_audio_stub(blob: bytes) -> tuple[int, int, int]:
+    """STUB — deterministic fake audio decode: (sample_rate, channels,
+    n_frames) derived from the payload bytes.  Fallback for payloads
+    that aren't parseable audio (the test corpus stores utf-8 text)."""
+    if blob is None:
+        raise NotImplementedError("no payload; real decoder would raise")
+    n = len(blob)
+    return 8000 + (n % 3) * 4050, (n % 2) + 1, n * 4
+
+
+def decode_wav_pure(blob: bytes) -> tuple[int, int, int] | None:
+    """Real WAV decode with only the stdlib ``wave`` module: parses the
+    RIFF container, reads (sample_rate, channels, n_frames) from the
+    fmt chunk, and READS EVERY FRAME so truncated or corrupt payloads
+    are rejected rather than measured.  Returns None for non-WAV or
+    unsupported encodings (caller falls through to the stub)."""
+    import io
+    import wave
+
+    b = bytes(blob)
+    if not (b[:4] == b"RIFF" and b[8:12] == b"WAVE"):
+        return None
+    try:
+        with wave.open(io.BytesIO(b)) as w:
+            n_frames = w.getnframes()
+            data = w.readframes(n_frames)
+            if len(data) != n_frames * w.getnchannels() * w.getsampwidth():
+                return None
+            return int(w.getframerate()), int(w.getnchannels()), int(n_frames)
+    except Exception:
+        return None
+
+
+def decode_audio(blob: bytes) -> tuple[int, int, int]:
+    """Real-when-possible audio decode: the stdlib WAV parser for
+    genuine RIFF/WAVE payloads (a REAL decode — container parse + full
+    frame read), the deterministic stub for everything else.  librosa/
+    soundfile would slot in as a first rung the way PIL does for
+    images; neither exists in this container."""
+    if blob is None:
+        raise NotImplementedError("no payload; real decoder would raise")
+    parsed = decode_wav_pure(blob)
+    if parsed is not None:
+        return parsed
+    return decode_audio_stub(blob)
+
+
+def extract_audio_metadata(
+    df: DataFrame,
+    blob_col: str = "payload",
+    id_col: str = "doc_id",
+    decoder=None,
+) -> DataFrame:
+    """Arrow-batched audio-metadata extraction over a binary column —
+    same plumbing contract as :func:`extract_image_metadata`: blobs
+    stay inside the stage, only typed metadata leaves it."""
+    decode = decoder or decode_audio
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            blobs = batch[blob_col]
+            meta = [decode(b) for b in blobs]
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch[id_col],
+                    "n_bytes": [len(b) for b in blobs],
+                    "content_md5": [hashlib.md5(b).hexdigest() for b in blobs],
+                    "sample_rate": [sr for sr, _, _ in meta],
+                    "n_channels": [ch for _, ch, _ in meta],
+                    "n_frames": [nf for _, _, nf in meta],
+                    "duration_ms": [
+                        (nf * 1000) // sr for sr, _, nf in meta
+                    ],
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        _extract, schema=AUDIO_META_SCHEMA
+    )
+
+
 def attach_binary_payload(
     df: DataFrame, text_col: str = "text", out_col: str = "payload"
 ) -> DataFrame:

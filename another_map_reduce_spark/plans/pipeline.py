@@ -676,6 +676,41 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_meta",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5,
+       8000 + (octet_length(encode(text)) % 3) * 4050 AS sample_rate,
+       (octet_length(encode(text)) % 2) + 1 AS n_channels,
+       octet_length(encode(text)) * 4 AS n_frames,
+       CAST((octet_length(encode(text)) * 4 * 1000)
+            // (8000 + (octet_length(encode(text)) % 3) * 4050)
+            AS BIGINT) AS duration_ms
+FROM documents
+ORDER BY doc_id
+""",
+)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-column decode plumbing: blob → (bytes, md5, sample_rate,
+    channels, frames, duration).  Pins the deterministic stub decoder
+    (the corpus payloads are utf-8 text, not RIFF/WAVE); the REAL
+    stdlib-wave rung is exercised on genuine WAV bytes in
+    tests/test_multimodal.py, end-to-end through the same Arrow stage.
+    """
+    from another_map_reduce_spark.operators.multimodal import (
+        attach_binary_payload,
+        decode_audio_stub,
+        extract_audio_metadata,
+    )
+
+    docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return extract_audio_metadata(docs, decoder=decode_audio_stub).orderBy(
+        "doc_id"
+    )
+
+
+@register(
     "multimodal_frames",
     oracle="""
 WITH b AS (

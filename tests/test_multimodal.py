@@ -219,3 +219,70 @@ def test_extract_metadata_real_png_through_spark(spark):
     assert got[1] == (6, 5)
     assert got[2] == (40, 3)
     assert got[3] == decode_image_stub(b"not an image at all")
+
+
+# ---------------------------------------------------------------------------
+# Real audio decode path: genuine WAV bytes through the stdlib parser
+# ---------------------------------------------------------------------------
+
+
+def _encode_wav(sample_rate=8000, channels=1, n_frames=800):
+    """Real WAV writer (stdlib wave module): deterministic 16-bit ramp."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        frames = b"".join(
+            struct.pack("<h", (i * 37) % 32768 - 16384)
+            for i in range(n_frames * channels)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_pure_wav_decode_real_audio():
+    from another_map_reduce_spark.operators import multimodal as mm
+
+    wav = _encode_wav(8000, 1, 800)
+    assert mm.decode_wav_pure(wav) == (8000, 1, 800)
+    assert mm.decode_audio(wav) == (8000, 1, 800)
+    stereo = _encode_wav(44100, 2, 441)
+    assert mm.decode_audio(stereo) == (44100, 2, 441)
+
+
+def test_pure_wav_decode_rejects_corruption():
+    from another_map_reduce_spark.operators import multimodal as mm
+
+    wav = _encode_wav(8000, 1, 800)
+    trunc = wav[: len(wav) // 2]  # header intact, frames missing
+    assert mm.decode_wav_pure(trunc) is None
+    assert mm.decode_audio(trunc) == mm.decode_audio_stub(trunc)
+    assert mm.decode_wav_pure(b"plain text") is None
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(None)
+
+
+def test_extract_audio_metadata_real_wav_through_spark(spark):
+    """Genuine WAV payloads flow through the Arrow-batched stage and
+    come back with their TRUE sample rate / channels / duration."""
+    from another_map_reduce_spark.operators import multimodal as mm
+
+    rows = [
+        (1, bytearray(_encode_wav(8000, 1, 800))),
+        (2, bytearray(_encode_wav(16000, 2, 1600))),
+        (3, bytearray(b"not audio")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.doc_id: (r.sample_rate, r.n_channels, r.n_frames, r.duration_ms)
+        for r in mm.extract_audio_metadata(df).collect()
+    }
+    assert got[1] == (8000, 1, 800, 100)
+    assert got[2] == (16000, 2, 1600, 100)
+    sr, ch, nf = mm.decode_audio_stub(b"not audio")
+    assert got[3] == (sr, ch, nf, nf * 1000 // sr)
