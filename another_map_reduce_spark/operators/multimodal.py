@@ -80,6 +80,12 @@ def decode_png_pure(blob: bytes) -> tuple[int, int] | None:
     through to the stub).  Per-pixel Python is fine here: this runs
     inside the Arrow-batched decode stage, the one place the plumbing
     hands a row to a real codec.
+
+    Hostile-input bounds (a corpus blob is attacker-controlled): the
+    declared pixel count is capped at 2^24 (a pure-Python unfilter of
+    more would pin a core), and the IDAT stream is inflated through a
+    decompressobj with max_length so a decompression bomb cannot
+    expand past the declared size before the length check runs.
     """
     import struct
     import zlib
@@ -112,9 +118,13 @@ def decode_png_pure(blob: bytes) -> tuple[int, int] | None:
             pos += 12 + ln
         if not width or not height or channels is None:
             return None
-        raw = zlib.decompress(bytes(idat))
+        if width * height > (1 << 24):
+            return None
         stride = width * channels
-        if len(raw) != height * (1 + stride):
+        expected = height * (1 + stride)
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
+        if len(raw) != expected or not d.eof:
             return None
         prev = bytearray(stride)
         for y in range(height):
@@ -212,6 +222,8 @@ def decode_wav_pure(blob: bytes) -> tuple[int, int, int] | None:
         return None
     try:
         with wave.open(io.BytesIO(b)) as w:
+            if w.getframerate() <= 0:  # wave doesn't validate; a rate
+                return None  # of 0 would crash duration math downstream
             n_frames = w.getnframes()
             data = w.readframes(n_frames)
             if len(data) != n_frames * w.getnchannels() * w.getsampwidth():

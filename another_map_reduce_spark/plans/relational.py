@@ -827,7 +827,9 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SINK_SEQ = 0
+import itertools as _itertools
+
+_SINK_SEQ = _itertools.count(1)  # count().__next__ is atomic under the GIL
 
 
 def _fresh_sink_name(tag: str) -> str:
@@ -839,9 +841,7 @@ def _fresh_sink_name(tag: str) -> str:
     suffixed name makes concurrent/repeated invocations safe; the stale
     views are tiny aggregate tables bounded by invocations-per-session.
     """
-    global _SINK_SEQ
-    _SINK_SEQ += 1
-    return f"_amrs_{tag}_{_SINK_SEQ}"
+    return f"_amrs_{tag}_{next(_SINK_SEQ)}"
 
 
 def _events_readstream(spark: SparkSession, sf_dir: str) -> DataFrame:

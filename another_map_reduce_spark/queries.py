@@ -62,15 +62,18 @@ def _load() -> None:
 # that left 39 queries whose latest driver row dates from r1 and 12
 # from r2.  This round inverts the order: new r4 queries first (no row
 # at all yet), then the r1-era block oldest-first, then the r2-era
-# block — exactly 50 — so the union of r3+r4 driver rows gives every
-# informative query a row at most one round old.  The two sacrificed
-# entries are the redundant wordcount API-path twins (pandas/mr): they
-# re-prove the same `worker.rs:23-38` semantics as `wordcount` and
-# `udtf_wordcount` through a different API, the least new information
-# per driver row in the suite.  The 50 fresh-r3 rows move to the tail.
+# block — so the union of r3+r4 driver rows gives every informative
+# query a row at most one round old.  With the two r4 additions the
+# sacrifices are: ONE r2-era row (join_multiway — trimmed from this
+# block to the mid block; a first-ever row for a new query outranks
+# refreshing a twice-proven r2 row) and the redundant wordcount
+# API-path twins (pandas/mr — they re-prove the same `worker.rs:23-38`
+# semantics as `wordcount` and `udtf_wordcount` through a different
+# API).  The 50 fresh-r3 rows move to the tail.
 _ORDER_FRONT = [
     # round-4 additions — no driver row yet:
     "stream_events_hourly_append",
+    "multimodal_audio_meta",
     # r1-era rows (driver record is three engine-stack drifts old):
     "wordcount",
     "join_left_outer",
@@ -121,7 +124,6 @@ _ORDER_FRONT = [
     "agg_cube",
     "agg_having",
     "join_broadcast_agg",
-    "join_multiway",
 ]
 # Everything with a fresh r3 driver row lands in the mid block in its
 # natural registration order; only the sacrificed API twins are pinned

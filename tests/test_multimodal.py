@@ -183,19 +183,100 @@ def test_pure_png_decode_all_filters():
 
 
 def test_pure_png_decode_rejects_corruption():
-    """Bit-flipped pixel data (CRC fails) and truncated streams fall
-    back to the stub instead of returning bogus real-looking dims."""
+    """Corruption at three layers falls back to the stub instead of
+    returning bogus real-looking dims: a CRC mismatch, a damaged
+    deflate stream WITH a recomputed (valid) CRC — exercising the
+    inflate-layer rejection, not just the checksum — and truncation.
+    Layout: signature 0-7, IHDR chunk 8-32, IDAT length 33-36, type
+    37-40, payload from 41."""
+    import struct
+    import zlib
+
     from another_map_reduce_spark.operators import multimodal as mm
 
     png = bytearray(_encode_png(6, 5))
-    png[40] ^= 0xFF  # somewhere inside IDAT payload → CRC mismatch
+    png[45] ^= 0xFF  # inside IDAT payload → CRC mismatch
     assert mm.decode_png_pure(bytes(png)) is None
     assert mm.decode_image(bytes(png)) == decode_image_stub(bytes(png))
+
+    # damage the deflate stream but FIX the CRC so the chunk walk
+    # passes and the inflate/length layer must do the rejecting
+    png2 = bytearray(_encode_png(6, 5))
+    (idat_len,) = struct.unpack(">I", png2[33:37])
+    png2[45] ^= 0xFF
+    body = bytes(png2[37 : 41 + idat_len])  # type + payload
+    png2[41 + idat_len : 45 + idat_len] = struct.pack(
+        ">I", zlib.crc32(body) & 0xFFFFFFFF
+    )
+    assert mm.decode_png_pure(bytes(png2)) is None
+
     trunc = _encode_png(6, 5)[:30]
     assert mm.decode_png_pure(trunc) is None
     assert mm.decode_image(b"plain text payload") == decode_image_stub(
         b"plain text payload"
     )
+
+
+def test_pure_png_decode_bounds_hostile_headers():
+    """A bomb-shaped PNG (valid CRCs, huge declared dimensions, tiny
+    high-ratio IDAT) is rejected by the pixel-count cap BEFORE any
+    inflate, and an IDAT inflating past the declared size is cut off
+    at max_length rather than expanded."""
+    import struct
+    import zlib
+
+    from another_map_reduce_spark.operators import multimodal as mm
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 100_000, 100_000, 8, 0, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10_000_000))
+        + chunk(b"IEND", b"")
+    )
+    assert len(bomb) < 20_000  # the whole point: tiny on disk
+    assert mm.decode_png_pure(bomb) is None
+
+    # declared 2x2 grey but IDAT inflates to far more than 2*(1+2)
+    ihdr2 = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    overlong = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr2)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 1_000_000))
+        + chunk(b"IEND", b"")
+    )
+    assert mm.decode_png_pure(overlong) is None
+
+
+def test_pure_wav_decode_rejects_zero_rate():
+    """A structurally valid WAV whose fmt chunk declares sample rate 0
+    (stdlib wave does not validate) must be rejected, not crash the
+    duration computation downstream."""
+    import io
+    import wave
+
+    from another_map_reduce_spark.operators import multimodal as mm
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(1)  # placeholder; patch the rate field below
+        w.writeframes(b"")
+    b = bytearray(buf.getvalue())
+    at = b.find(b"fmt ") + 12  # sample-rate field offset in fmt chunk
+    b[at : at + 4] = (0).to_bytes(4, "little")
+    assert mm.decode_wav_pure(bytes(b)) is None
+    sr, ch, nf = mm.decode_audio(bytes(b))
+    assert sr > 0  # stub path, safe for duration math
 
 
 def test_extract_metadata_real_png_through_spark(spark):

@@ -16,8 +16,12 @@ its copies — a skew stress test, not a scaling measurement):
   hot-shingle long tail the dedup operators' max_df cap already
   handles.)  doc_id' = doc_id + r·1e7.
 - embeddings: replica r applies a deterministic permutation of the 64
-  dimensions — orthogonal, so within-replica cosines are bit-preserved
-  — and offsets vec_id (+r·1e7) and label (+r·1000) so label-blocked
+  dimensions — orthogonal, so within-replica cosines are MATHEMATICALLY
+  preserved (not bit-preserved: a permuted dot product sums in a
+  different order, so a pair sitting exactly on a threshold can flip
+  by an ulp; fine for a perf corpus, don't oracle-compare across
+  replicas) — and offsets vec_id (+r·1e7) and label (+r·1000) so
+  label-blocked
   operators never compare across replicas and cross-replica cosines of
   the UNblocked operators are near-orthogonal noise.
 
@@ -122,8 +126,11 @@ def build(base: str, out: str, n: int) -> None:
         if f.stem in ("documents", "embeddings"):
             continue
         dst = Path(out) / f.name
-        if not dst.exists():
-            os.symlink(f, dst)
+        # resolve(): a relative BASE dir would otherwise be stored
+        # verbatim and dangle when resolved against OUT; is_symlink():
+        # exists() is False for a broken link, which would crash reruns
+        if not (dst.is_symlink() or dst.exists()):
+            os.symlink(f.resolve(), dst)
     print(
         f"wrote {out}: documents x{n} "
         f"({sum(len(c) for c in d_chunks)} rows), embeddings x{n} "
