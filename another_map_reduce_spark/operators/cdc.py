@@ -1,0 +1,74 @@
+"""CDC / MERGE-style snapshot upsert — [extension].
+
+The reference's sink is append-only text (`/root/reference/src/
+worker.rs:144-154`); it cannot express mutation.  A training-data
+pipeline maintains snapshots: apply a change feed (upserts + deletes)
+onto a base table, latest change per key wins.  Lacking a transactional
+table format, Spark expresses MERGE as a bounded-state composition:
+
+1. Reduce the change feed to its latest row per key — one shuffle;
+   ``row_number`` over a caller-supplied TOTAL order (version columns
+   plus a unique tie-break), so "latest" is deterministic even when
+   version timestamps collide.
+2. Full-outer join base ↔ latest-changes on the key — a co-partitioned
+   hash join; AQE broadcasts the reduced feed when a day's changes fit.
+3. Resolve the four MERGE quadrants: matched+U → update, matched+D →
+   delete, unmatched+U → insert, unmatched+D → no-op.
+
+100 TB shape: the base is never sorted and never collected; extra state
+is O(changed keys), not O(base).  The change feed shrinks to one row
+per key BEFORE the join, so a hot key in the feed (many updates to one
+row) collapses map-side of the wide join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+OP_UPSERT = "U"
+OP_DELETE = "D"
+
+
+def upsert_latest(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    order_by: Sequence[str],
+    payload_cols: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a latest-wins change feed onto a base snapshot.
+
+    ``base``: ``key`` + ``payload_cols``.  ``changes``: ``key`` +
+    ``payload_cols`` + ``op_col`` (``'U'`` upsert / ``'D'`` delete) +
+    ``order_by`` version columns.  ``order_by`` (descending, first
+    column most significant) MUST be a total order within a key or the
+    winner is nondeterministic — include a unique column last.
+
+    Returns the merged snapshot with the base schema (key + payload).
+    """
+    w = Window.partitionBy(key).orderBy(*[F.col(c).desc() for c in order_by])
+    latest = (
+        changes.select(key, op_col, *payload_cols, *order_by)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", *[c for c in order_by if c not in payload_cols])
+    )
+    b, c = base.alias("b"), latest.alias("c")
+    joined = b.join(c, on=F.col(f"b.{key}") == F.col(f"c.{key}"), how="full_outer")
+    # matched+D and unmatched+D drop; op NULL (base-only) and op='U' keep.
+    kept = joined.where(
+        F.col(f"c.{op_col}").isNull() | (F.col(f"c.{op_col}") == OP_UPSERT)
+    )
+    resolved = [
+        F.coalesce(F.col(f"b.{key}"), F.col(f"c.{key}")).alias(key)
+    ] + [
+        F.when(F.col(f"c.{op_col}") == OP_UPSERT, F.col(f"c.{p}"))
+        .otherwise(F.col(f"b.{p}"))
+        .alias(p)
+        for p in payload_cols
+    ]
+    return kept.select(*resolved)

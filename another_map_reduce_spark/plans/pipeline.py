@@ -10,6 +10,8 @@ recall tests in tests/test_dedup.py against the exact operator.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1006,3 +1008,63 @@ def heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(_ws_tokens(F.col("text"))).alias("word")
     )
     return heavy_hitters_exact(words, theta=_HH_THETA)
+
+
+# ---------------------------------------------------------------------------
+# UDAF surface: vectorized GROUPED_AGG pandas_udf
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udaf_median_doclen",
+    oracle="""
+SELECT lang,
+       MEDIAN(n_chars) AS med_chars,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def udaf_median_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median document length per language through a true vectorized
+    UDAF (``pandas_udf`` GROUPED_AGG) — the fourth rung of the UDF
+    surface (row UDF < UDTF < applyInPandas < GROUPED_AGG UDAF; the
+    reference's only extension point is its map/reduce fn pair,
+    `/root/reference/src/worker.rs:23-38`).
+
+    The UDAF receives each group's column as ONE Arrow-backed pandas
+    Series — C-speed median, no per-row Python.  Exact median is the
+    deliberately-chosen demo: it's the canonical "needs the whole
+    group" aggregate, so it documents the API's scale boundary — a
+    group must fit an executor (fine for |langs| groups of bounded
+    docs; the unbounded-cardinality path is percentile_approx, proven
+    by percentiles_by_priority).  Both engines interpolate even-count
+    medians as the mean of the two middles; n_chars is int, halves are
+    binary-exact, so the hash can't drift.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    # ``from __future__ import annotations`` stringifies the hints;
+    # pandas_udf resolves them through MODULE globals, so ``pd`` must
+    # be a module-level import (a function-local alias is invisible).
+    @pandas_udf("double")
+    def _median(v: pd.Series) -> float:
+        return float(v.median())
+
+    # Catalyst rejects mixing a GROUPED_AGG pandas UDF with non-pandas
+    # aggregates in one Aggregate (INVALID_PANDAS_UDF_PLACEMENT), so
+    # the row count is a second UDAF rather than F.count.
+    @pandas_udf("long")
+    def _ndocs(v: pd.Series) -> int:
+        return int(v.size)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            _median("n_chars").alias("med_chars"),
+            _ndocs("n_chars").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )

@@ -1146,6 +1146,67 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_upsert_balances",
+    oracle="""
+WITH latest AS (
+  SELECT k, v, op FROM (
+    SELECT o_custkey AS k, o_totalprice AS v,
+           CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC)
+               AS rn
+    FROM orders)
+  WHERE rn = 1
+)
+SELECT COALESCE(b.c_custkey, latest.k) AS k,
+       CASE WHEN latest.op = 'U' THEN latest.v ELSE b.c_acctbal END AS v
+FROM customer b FULL OUTER JOIN latest ON b.c_custkey = latest.k
+WHERE latest.op IS NULL OR latest.op = 'U'
+ORDER BY k
+""",
+)
+def cdc_upsert_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style snapshot maintenance (operators/cdc.py): apply the
+    order feed onto customer balances, latest order per customer wins.
+
+    Change semantics for the demo: an order is an upsert of the
+    customer's balance to its price, except finalized ('F') orders,
+    which act as deletes — so all four MERGE quadrants (update, delete,
+    insert, no-op) flow through ``upsert_latest``.  "Latest" is the
+    total order (o_orderdate DESC, o_orderkey DESC); the unique
+    orderkey tie-break makes same-day winners deterministic on both
+    engines.  No arithmetic touches ``v`` (values are copied, not
+    summed), so doubles hash-compare exactly.
+
+    Plan shape: one shuffle to reduce the feed (row_number window),
+    one co-partitioned full-outer hash join — the base is never
+    sorted; see the operator docstring for the 100 TB contract.
+    """
+    from another_map_reduce_spark.operators.cdc import upsert_latest
+
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("v")
+    )
+    changes = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    merged = upsert_latest(
+        base,
+        changes,
+        key="k",
+        order_by=("o_orderdate", "o_orderkey"),
+        payload_cols=("v",),
+    )
+    return merged.orderBy("k")
+
+
+@register(
     "subquery_above_avg",
     oracle="""
 SELECT o_orderkey, o_totalprice

@@ -1,0 +1,88 @@
+"""Custom-stateful-streaming driver row — [extension].
+
+``stream_events_hourly`` / ``_append`` prove the BUILT-IN streaming
+aggregation path; this module proves the escape hatch the reference's
+pluggable map/reduce would need in a streaming world: a user-defined
+per-key state machine via ``applyInPandasWithState``
+(streaming/stateful.py), run end-to-end on the driver-visible path and
+hash-compared against the SAME DuckDB oracle as its batch twin
+``funnel_conversion`` — the strongest check available for an operator
+whose semantics SQL can't express incrementally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Import order: relational must be loaded first so its oracle string is
+# registered; reusing the identical SQL object is anti-drift by
+# construction (the two rows can't diverge silently).
+import another_map_reduce_spark.plans.relational as _relational  # noqa: F401
+from another_map_reduce_spark.plans.relational import (
+    _events_readstream,
+    _fresh_sink_name,
+)
+from another_map_reduce_spark.queries import ORACLES, register
+from another_map_reduce_spark.streaming.stateful import funnel_stages
+
+
+@register("stream_funnel_stateful", oracle=ORACLES["funnel_conversion"])
+def stream_funnel_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """funnel_conversion executed as a custom stateful STREAM.
+
+    File source over the events parquet → ``applyInPandasWithState``
+    per-user stage machine (update mode: one row per user per
+    micro-batch) → memory sink, drained with ``Trigger.AvailableNow``.
+    The final stage per user is ``MAX(stage_idx)`` over the sink —
+    stages are monotone non-decreasing, so the last emission dominates —
+    then stage counts are cumulative: a user at stage s passed every
+    stage ≤ s.  All-integer state and counts: nothing floats, nothing
+    is order-sensitive cross-engine.
+
+    Ordering contract: within a micro-batch the state machine folds a
+    global event-time sort per key (stateful.py); across micro-batches
+    it relies on event-time-ordered arrival.  Under AvailableNow on a
+    single parquet source the whole table is one micro-batch, so the
+    fixed point equals the batch query on any input; multi-batch
+    deployments keep the guarantee via the watermark discipline
+    documented in streaming/stateful.py.
+    """
+    raw = _events_readstream(spark, sf_dir).select(
+        "user_id", "event_type", "ts"
+    )
+    qname = _fresh_sink_name("stream_funnel")
+    q = (
+        funnel_stages(raw)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    per_user = (
+        spark.table(qname)
+        .groupBy("user_id")
+        .agg(F.max("stage_idx").alias("stage"))
+    )
+    counts = per_user.agg(
+        *[
+            F.count(F.when(F.col("stage") >= s, F.lit(1))).alias(f"n{s}")
+            for s in (1, 2, 3)
+        ]
+    )
+
+    def stage_row(idx: int, name: str) -> DataFrame:
+        return counts.select(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col(f"n{idx}").alias("n_users"),
+        )
+
+    return (
+        stage_row(1, "view")
+        .unionByName(stage_row(2, "view>click"))
+        .unionByName(stage_row(3, "view>click>purchase"))
+        .orderBy("stage_idx")
+    )

@@ -43,6 +43,7 @@ def _load() -> None:
     import another_map_reduce_spark.plans.reference_parity  # noqa: F401
     import another_map_reduce_spark.plans.pipeline  # noqa: F401
     import another_map_reduce_spark.plans.datapipe  # noqa: F401
+    import another_map_reduce_spark.plans.streaming_state  # noqa: F401
 
 
 # The driver checks queries in iteration order and CORRECTNESS_r01
@@ -63,17 +64,23 @@ def _load() -> None:
 # from r2.  This round inverts the order: new r4 queries first (no row
 # at all yet), then the r1-era block oldest-first, then the r2-era
 # block — so the union of r3+r4 driver rows gives every informative
-# query a row at most one round old.  With the two r4 additions the
-# sacrifices are: ONE r2-era row (join_multiway — trimmed from this
-# block to the mid block; a first-ever row for a new query outranks
-# refreshing a twice-proven r2 row) and the redundant wordcount
-# API-path twins (pandas/mr — they re-prove the same `worker.rs:23-38`
-# semantics as `wordcount` and `udtf_wordcount` through a different
-# API).  The 50 fresh-r3 rows move to the tail.
+# query a row at most one round old.  With the five r4 additions the
+# sacrifices are: FOUR r2-era rows (join_multiway, agg_cube,
+# agg_having, join_broadcast_agg — trimmed from this block to the mid
+# block; a
+# first-ever row for a new query outranks refreshing a twice-proven
+# r2 row, and all four were re-verified green by the r3 judge's local
+# gate) and the redundant wordcount API-path twins (pandas/mr — they
+# re-prove the same `worker.rs:23-38` semantics as `wordcount` and
+# `udtf_wordcount` through a different API).  The 50 fresh-r3 rows
+# move to the tail.
 _ORDER_FRONT = [
     # round-4 additions — no driver row yet:
     "stream_events_hourly_append",
     "multimodal_audio_meta",
+    "stream_funnel_stateful",
+    "cdc_upsert_balances",
+    "udaf_median_doclen",
     # r1-era rows (driver record is three engine-stack drifts old):
     "wordcount",
     "join_left_outer",
@@ -121,9 +128,6 @@ _ORDER_FRONT = [
     "q1_pricing_summary",
     "agg_distinct",
     "agg_rollup",
-    "agg_cube",
-    "agg_having",
-    "join_broadcast_agg",
 ]
 # Everything with a fresh r3 driver row lands in the mid block in its
 # natural registration order; only the sacrificed API twins are pinned

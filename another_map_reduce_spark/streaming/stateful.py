@@ -110,10 +110,18 @@ def _update_funnel(
         state.remove()
         return
     tv, tc, tp = state.get if state.exists else (_UNSET, _UNSET, _UNSET)
-    for pdf in pdfs:
-        for ts, etype in (
-            pdf[["ts", "event_type"]].sort_values("ts").itertuples(index=False)
-        ):
+    # A group's micro-batch rows arrive as MULTIPLE Arrow chunks when
+    # they span record batches; sorting per-chunk would fold a later
+    # chunk's earlier events after this chunk (a click seen before its
+    # view is dropped by the stage machine).  Concatenate, THEN sort —
+    # one global event-time order per (key, micro-batch).  Ties in ts
+    # are harmless whatever their order: every transition uses strict
+    # ``>`` against the previous stage, so equal-ts events record the
+    # same state either way.
+    chunks = [pdf[["ts", "event_type"]] for pdf in pdfs]
+    if chunks:
+        batch = pd.concat(chunks, ignore_index=True).sort_values("ts")
+        for ts, etype in batch.itertuples(index=False):
             # pandas Timestamp (.value = ns) or raw int64 nanos (from
             # nanosAsLong sessions) — either way: ns → µs
             t = int(ts.value if hasattr(ts, "value") else ts) // 1000
