@@ -90,3 +90,72 @@ def test_funnel_fold_sorts_across_chunks():
     chunk2 = pd.DataFrame({"ts": [t], "event_type": ["view"]})
     out = list(_update_funnel((7,), iter([chunk1, chunk2]), _FakeState()))
     assert out[0]["stage_idx"].iloc[0] == 2
+
+
+# ---------------------------------------------------------------------------
+# Property: upsert_latest ≡ a sequential pure-Python MERGE replay
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_CHANGES = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=6),            # key
+        st.floats(allow_nan=False, allow_infinity=False,
+                  min_value=-1e6, max_value=1e6),         # value
+        st.sampled_from(["U", "D"]),                      # op
+        st.integers(min_value=0, max_value=3),            # version (collides)
+    ),
+    max_size=20,
+)
+_BASE = st.dictionaries(
+    st.integers(min_value=1, max_value=6),
+    st.floats(allow_nan=False, allow_infinity=False,
+              min_value=-1e6, max_value=1e6),
+    max_size=4,
+)
+
+
+def _py_merge(base: dict, changes: list) -> dict:
+    """Sequential replay in (ver, seq) order — the semantics MERGE has
+    when changes are applied one at a time."""
+    snap = dict(base)
+    for k, v, op, _ver in sorted(
+        changes, key=lambda c: (c[3], changes.index(c))
+    ):
+        if op == "U":
+            snap[k] = v
+        else:
+            snap.pop(k, None)
+    return snap
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(base=_BASE, changes=_CHANGES)
+def test_upsert_matches_sequential_replay(spark, base, changes):
+    """Latest-wins reduce ≡ full sequential replay: only the final
+    change per key can matter, so the one-window-one-join plan must
+    agree with applying every change in order."""
+    base_rows = [(k, v) for k, v in base.items()]
+    change_rows = [
+        (k, v, op, ver, seq) for seq, (k, v, op, ver) in enumerate(changes)
+    ]
+    expected = _py_merge(base, changes)
+    if not change_rows:
+        got = base
+    else:
+        b = spark.createDataFrame(base_rows, "k long, v double") if base_rows \
+            else spark.createDataFrame([], "k long, v double")
+        c = spark.createDataFrame(
+            change_rows, "k long, v double, op string, ver long, seq long"
+        )
+        out = upsert_latest(
+            b, c, key="k", order_by=("ver", "seq"), payload_cols=("v",)
+        )
+        got = {r.k: r.v for r in out.collect()}
+    assert got == expected
