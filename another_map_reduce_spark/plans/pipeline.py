@@ -1068,3 +1068,248 @@ def udaf_median_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Held-out LM novelty scoring (CCNet-style LM filtering, integer-exact)
+# ---------------------------------------------------------------------------
+
+from another_map_reduce_spark.operators.datapipe import (  # noqa: E402
+    split_assign,
+    split_assign_sql,
+)
+
+_RARE_C = 3  # train-count threshold below which a bigram counts as rare
+
+
+@register(
+    "lm_novelty_score",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, {split_assign_sql('doc_id')} AS split,
+         {_TOKENS} AS w
+  FROM documents
+), bg AS (
+  SELECT doc_id, lang, split, w[i] AS w1, w[i+1] AS w2
+  FROM (SELECT doc_id, lang, split, w,
+               unnest(generate_series(1, len(w) - 1)) AS i
+        FROM d WHERE len(w) >= 2)
+), lm AS (
+  SELECT w1, w2, COUNT(*) AS c12
+  FROM bg WHERE split = 'train' GROUP BY w1, w2
+), scored AS (
+  SELECT b.doc_id, b.lang,
+         COUNT(*) AS n_bg,
+         SUM(CASE WHEN lm.c12 IS NULL THEN 1 ELSE 0 END) AS n_oov,
+         SUM(CASE WHEN lm.c12 IS NULL OR lm.c12 < {_RARE_C}
+                  THEN 1 ELSE 0 END) AS n_rare
+  FROM bg b LEFT JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
+  WHERE b.split <> 'train'
+  GROUP BY b.doc_id, b.lang
+), rates AS (
+  SELECT lang,
+         round(CAST(n_oov AS DOUBLE) / n_bg, 6) AS oov_rate,
+         round(CAST(n_rare AS DOUBLE) / n_bg, 6) AS rare_rate
+  FROM scored
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(oov_rate AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+           AS avg_oov_rate,
+       CAST(SUM(CAST(rare_rate AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+           AS avg_rare_rate
+FROM rates GROUP BY lang ORDER BY lang
+""",
+)
+def lm_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out n-gram novelty: train a bigram table on the
+    deterministic 'train' split (split_assign — md5-keyed, so the
+    train/eval boundary itself is reproducible), then score every
+    held-out document by the fraction of its bigrams that are
+    out-of-vocabulary or rare (train count < 3) — the integer-exact
+    skeleton of CCNet/Wenzek-style LM quality filtering (perplexity
+    ranks documents by how surprising their n-grams are; OOV/rare
+    rates are the deterministic proxy that needs no float log-sums,
+    so the oracle hash can't drift on libm ulps).
+
+    Scale shape: ONE corpus shuffle builds the LM (map-side partials
+    soak the Zipfian head); scoring is a many-to-ONE left join against
+    the aggregated bigram table (probe-side skew only — AQE splits hot
+    bigrams), then per-doc and per-lang aggregates.  Per-doc rates are
+    rounded to 6 and averaged in DECIMAL — order-free.
+    """
+    from pyspark.sql.window import Window as _W  # noqa: F401
+
+    from another_map_reduce_spark.functions.aggs import davg
+    from another_map_reduce_spark.operators.text_analysis import _ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _ws_tokens(F.col("text"))
+    bigrams = F.when(
+        F.size(toks) < 2,
+        F.array().cast("array<struct<w1:string,w2:string>>"),
+    ).otherwise(
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        split_assign(F.col("doc_id")).alias("split"),
+        F.explode(bigrams).alias("bg"),
+    ).select("doc_id", "lang", "split", "bg.w1", "bg.w2")
+    lm = (
+        base.where(F.col("split") == "train")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    scored = (
+        base.where(F.col("split") != "train")
+        .join(lm, ["w1", "w2"], "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_bg"),
+            F.sum(
+                F.when(F.col("c12").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+            F.sum(
+                F.when(
+                    F.col("c12").isNull() | (F.col("c12") < _RARE_C), 1
+                ).otherwise(0)
+            ).alias("n_rare"),
+        )
+    )
+    rates = scored.select(
+        "lang",
+        F.round(F.col("n_oov").cast("double") / F.col("n_bg"), 6).alias(
+            "oov_rate"
+        ),
+        F.round(F.col("n_rare").cast("double") / F.col("n_bg"), 6).alias(
+            "rare_rate"
+        ),
+    )
+    return (
+        rates.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            davg("oov_rate", "avg_oov_rate"),
+            davg("rare_rate", "avg_rare_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-packing accounting (GPT-style concat-and-chunk, window-exact)
+# ---------------------------------------------------------------------------
+
+_PACK_L = 512  # training sequence length (tokens per bin)
+_PACK_S = 8    # packing shards per language
+
+
+@register(
+    "pack_sequences_report",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, doc_id % {_PACK_S} AS shard,
+         len({_TOKENS}) AS n
+  FROM documents
+), c AS (
+  SELECT *, COALESCE(SUM(n) OVER (PARTITION BY lang, shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM d WHERE n > 0
+), marks AS (
+  SELECT lang, shard, n,
+         CAST(FLOOR(cb / {_PACK_L}) AS BIGINT) AS b0,
+         CAST(FLOOR((cb + n - 1) / {_PACK_L}) AS BIGINT) AS b1
+  FROM c
+), pershard AS (
+  SELECT lang, shard, COUNT(*) AS n_docs,
+         CAST(SUM(n) AS BIGINT) AS toks,
+         CAST(SUM(CASE WHEN b1 > b0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS straddlers,
+         CAST(FLOOR((CAST(SUM(n) AS BIGINT) + {_PACK_L} - 1)
+                    / {_PACK_L}) AS BIGINT) AS bins
+  FROM marks GROUP BY lang, shard
+)
+SELECT lang,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS total_tokens,
+       CAST(SUM(bins) AS BIGINT) AS n_bins,
+       CAST(SUM(straddlers) AS BIGINT) AS n_straddlers,
+       round(CAST(SUM(toks) AS DOUBLE)
+             / (CAST(SUM(bins) AS BIGINT) * {_PACK_L}), 6) AS fill_ratio
+FROM pershard GROUP BY lang ORDER BY lang
+""",
+)
+def pack_sequences_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing accounting: concatenate each (lang, shard)
+    stream of documents in doc_id order and chunk it into fixed
+    {_PACK_L}-token training bins (the GPT/T5 concat-and-chunk
+    recipe).  Reports, per language: bins produced, fill ratio (only
+    each shard's LAST bin can be short), and how many documents
+    straddle a bin boundary — the packing-efficiency numbers a
+    training-data build signs off on.
+
+    Packing IS a prefix sum: a document's bin interval is
+    [floor(cum_before/L), floor((cum_before+n-1)/L)], so the whole
+    operator is one window over (lang, shard) ordered by doc_id plus
+    two integer floors — no sequential driver loop, no UDF.  The
+    shard key bounds window-partition size: packing 100 TB means
+    growing S with the corpus (shards stay executor-sized and
+    independent), exactly how real pipelines parallelize packing.
+    All outputs are exact integers except fill_ratio — one double
+    division of exact integer sums, rounded on both engines.
+    """
+    from pyspark.sql.window import Window
+
+    from another_map_reduce_spark.operators.text_analysis import (
+        ws_token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % _PACK_S).alias("shard"),
+        ws_token_count(F.col("text")).alias("n"),
+    ).where(F.col("n") > 0)
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.withColumn("cb", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    marks = c.select(
+        "lang",
+        "shard",
+        "n",
+        F.floor(F.col("cb") / _PACK_L).alias("b0"),
+        F.floor((F.col("cb") + F.col("n") - 1) / _PACK_L).alias("b1"),
+    )
+    pershard = marks.groupBy("lang", "shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("toks"),
+        F.sum(F.when(F.col("b1") > F.col("b0"), 1).otherwise(0)).alias(
+            "straddlers"
+        ),
+        F.floor((F.sum("n") + _PACK_L - 1) / _PACK_L).alias("bins"),
+    )
+    return (
+        pershard.groupBy("lang")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("toks").alias("total_tokens"),
+            F.sum("bins").alias("n_bins"),
+            F.sum("straddlers").alias("n_straddlers"),
+            F.round(
+                F.sum("toks").cast("double")
+                / (F.sum("bins") * _PACK_L),
+                6,
+            ).alias("fill_ratio"),
+        )
+        .orderBy("lang")
+    )

@@ -64,16 +64,15 @@ def _load() -> None:
 # from r2.  This round inverts the order: new r4 queries first (no row
 # at all yet), then the r1-era block oldest-first, then the r2-era
 # block — so the union of r3+r4 driver rows gives every informative
-# query a row at most one round old.  With the five r4 additions the
-# sacrifices are: FOUR r2-era rows (join_multiway, agg_cube,
-# agg_having, join_broadcast_agg — trimmed from this block to the mid
-# block; a
-# first-ever row for a new query outranks refreshing a twice-proven
-# r2 row, and all four were re-verified green by the r3 judge's local
-# gate) and the redundant wordcount API-path twins (pandas/mr — they
-# re-prove the same `worker.rs:23-38` semantics as `wordcount` and
-# `udtf_wordcount` through a different API).  The 50 fresh-r3 rows
-# move to the tail.
+# query a row at most one round old.  With the seven r4 additions the
+# sacrifices are: SIX r2-era rows (join_multiway, agg_distinct,
+# agg_rollup, agg_cube, agg_having, join_broadcast_agg — trimmed from
+# this block to the mid block; a first-ever row for a new query
+# outranks refreshing a twice-proven r2 row, and all six were
+# re-verified green by the r3 judge's local gate) and the redundant
+# wordcount API-path twins (pandas/mr — they re-prove the same
+# `worker.rs:23-38` semantics as `wordcount` and `udtf_wordcount`
+# through a different API).  The 50 fresh-r3 rows move to the tail.
 _ORDER_FRONT = [
     # round-4 additions — no driver row yet:
     "stream_events_hourly_append",
@@ -81,6 +80,8 @@ _ORDER_FRONT = [
     "stream_funnel_stateful",
     "cdc_upsert_balances",
     "udaf_median_doclen",
+    "lm_novelty_score",
+    "pack_sequences_report",
     # r1-era rows (driver record is three engine-stack drifts old):
     "wordcount",
     "join_left_outer",
@@ -126,8 +127,6 @@ _ORDER_FRONT = [
     "q19_disjunctive_predicates",
     "q22_dormant_customers",
     "q1_pricing_summary",
-    "agg_distinct",
-    "agg_rollup",
 ]
 # Everything with a fresh r3 driver row lands in the mid block in its
 # natural registration order; only the sacrificed API twins are pinned
