@@ -1135,8 +1135,14 @@ def lm_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE corpus shuffle builds the LM (map-side partials
     soak the Zipfian head); scoring is a many-to-ONE left join against
     the aggregated bigram table (probe-side skew only — AQE splits hot
-    bigrams), then per-doc and per-lang aggregates.  Per-doc rates are
-    rounded to 6 and averaged in DECIMAL — order-free.
+    bigrams), then per-doc and per-lang aggregates.  The join strategy
+    is stats-driven in the SAFE direction: Catalyst estimates the LM
+    side proportional to its corpus input, so at small SF it
+    broadcasts (observed) and at 100 TB — where the trained bigram
+    table itself can reach billions of rows — the estimate is large
+    and the planner falls back to a shuffle join; it cannot
+    mis-broadcast a corpus-scale LM.  Per-doc rates are rounded to 6
+    and averaged in DECIMAL — order-free.
     """
     from pyspark.sql.window import Window as _W  # noqa: F401
 

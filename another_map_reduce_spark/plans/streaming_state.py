@@ -86,3 +86,64 @@ def stream_funnel_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage_row(3, "view>click>purchase"))
         .orderBy("stage_idx")
     )
+
+
+@register(
+    "stream_join_purchase_view",
+    oracle="""
+SELECT p.event_id, COUNT(*) AS n_views
+FROM events p
+JOIN events v
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view'
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+ AND v.ts <  p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+ORDER BY p.event_id
+""",
+)
+def stream_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join on the driver-visible path: purchases
+    matched to same-user views in the preceding hour
+    (streaming/joins.py), both sides watermarked so view-state is
+    evicted past watermark + 1h.
+
+    The batch face is range_views_before_purchase (LEFT join — keeps
+    zero-view purchases); stream-stream outer joins must withhold
+    unmatched rows until the watermark closes them, so the streaming
+    row proves the INNER contract and the oracle applies the same
+    inner semantics.  Under AvailableNow on a single parquet source
+    the whole table is one micro-batch: the initial watermark is 0, so
+    nothing is late-dropped and every qualifying pair is emitted in
+    that batch (inner-join matches emit immediately; the watermark
+    only bounds state).  The drained pair table reduces to exact
+    per-purchase view counts — all integers.
+    """
+    from another_map_reduce_spark.streaming.joins import (
+        purchases_with_recent_view,
+    )
+
+    raw = _events_readstream(spark, sf_dir)
+    purchases = raw.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = raw.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    qname = _fresh_sink_name("stream_join_pv")
+    q = (
+        purchases_with_recent_view(purchases, views)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(qname)
+        .groupBy(F.col("purchase_id").alias("event_id"))
+        .agg(F.count("*").alias("n_views"))
+        .orderBy("event_id")
+    )

@@ -34,6 +34,9 @@ QUERIES = [
     "heavy_hitter_words",
     "corpus_build_report",
     "ann_cosine_pairs",
+    # round-4 additions (corpus-bound: LM build+probe join / window packing)
+    "lm_novelty_score",
+    "pack_sequences_report",
 ]
 
 SCALES = [
