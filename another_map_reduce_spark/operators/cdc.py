@@ -51,11 +51,16 @@ def upsert_latest(
     Returns the merged snapshot with the base schema (key + payload).
     """
     w = Window.partitionBy(key).orderBy(*[F.col(c).desc() for c in order_by])
+    # dedupe the projection: an order_by column may itself be a payload
+    # column (latest-value-wins keyed on the value), and a duplicated
+    # name would make the later c.<col> references ambiguous.
+    head = [key, op_col, *payload_cols]
+    extra_order = [c for c in order_by if c not in head]
     latest = (
-        changes.select(key, op_col, *payload_cols, *order_by)
+        changes.select(*head, *extra_order)
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .drop("_rn", *[c for c in order_by if c not in payload_cols])
+        .drop("_rn", *extra_order)
     )
     b, c = base.alias("b"), latest.alias("c")
     joined = b.join(c, on=F.col(f"b.{key}") == F.col(f"c.{key}"), how="full_outer")

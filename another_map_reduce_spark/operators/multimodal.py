@@ -65,6 +65,10 @@ def decode_image_stub(blob: bytes) -> tuple[int, int]:
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # grey, RGB, grey+A, RGBA
+# Pure-Python unfilter budget: bounds hostile-blob CPU to single-digit
+# seconds (see decode_png_pure docstring).  Bigger legit images take
+# the PIL rung when available.
+_PNG_MAX_PIXELS = 1 << 20
 
 
 def decode_png_pure(blob: bytes) -> tuple[int, int] | None:
@@ -82,8 +86,12 @@ def decode_png_pure(blob: bytes) -> tuple[int, int] | None:
     hands a row to a real codec.
 
     Hostile-input bounds (a corpus blob is attacker-controlled): the
-    declared pixel count is capped at 2^24 (a pure-Python unfilter of
-    more would pin a core), and the IDAT stream is inflated through a
+    declared pixel count is capped at ``_PNG_MAX_PIXELS`` = 2^20 — the
+    worst case (all-Paeth RGBA at the cap) is ~4M iterations of the
+    slowest pure-Python unfilter branch, single-digit seconds, so a
+    corpus salted with crafted kB-sized blobs cannot pin executor
+    cores for minutes each (larger legit images belong to the PIL
+    rung, which decodes in C).  The IDAT stream is inflated through a
     decompressobj with max_length so a decompression bomb cannot
     expand past the declared size before the length check runs.
     """
@@ -118,7 +126,7 @@ def decode_png_pure(blob: bytes) -> tuple[int, int] | None:
             pos += 12 + ln
         if not width or not height or channels is None:
             return None
-        if width * height > (1 << 24):
+        if width * height > _PNG_MAX_PIXELS:
             return None
         stride = width * channels
         expected = height * (1 + stride)

@@ -121,8 +121,11 @@ def _py_merge(base: dict, changes: list) -> dict:
     """Sequential replay in (ver, seq) order — the semantics MERGE has
     when changes are applied one at a time."""
     snap = dict(base)
-    for k, v, op, _ver in sorted(
-        changes, key=lambda c: (c[3], changes.index(c))
+    # sort by (ver, arrival position) — NOT changes.index(c), which
+    # returns the FIRST occurrence for duplicate tuples and would
+    # replay duplicates out of order.
+    for _pos, (k, v, op, _ver) in sorted(
+        enumerate(changes), key=lambda t: (t[1][3], t[0])
     ):
         if op == "U":
             snap[k] = v
@@ -159,3 +162,17 @@ def test_upsert_matches_sequential_replay(spark, base, changes):
         )
         got = {r.k: r.v for r in out.collect()}
     assert got == expected
+
+
+def test_upsert_order_by_overlaps_payload(spark):
+    """order_by may include a payload column (latest-VALUE-wins):
+    the projection must not duplicate the column name."""
+    base = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    changes = spark.createDataFrame(
+        [(1, 5.0, "U", 100), (1, 7.0, "U", 101)],
+        "k long, v double, op string, seq long",
+    )
+    out = upsert_latest(
+        base, changes, key="k", order_by=("v", "seq"), payload_cols=("v",)
+    )
+    assert {r.k: r.v for r in out.collect()} == {1: 7.0}
