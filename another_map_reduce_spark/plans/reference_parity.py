@@ -151,3 +151,39 @@ def udtf_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .orderBy("word")
     )
+
+
+@register("pysource_wordcount", oracle=_WORDCOUNT_SQL)
+def pysource_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference job fed through a CUSTOM CONNECTOR: the corpus is
+    materialised as a directory of text files (the reference's actual
+    input layout, `coordinator.rs:216-224`) and re-ingested via the
+    'reftext' Python DataSource (sources/pydatasource.py) — Spark 4's
+    official connector extension API, with the reference's
+    1-file-1-task partitioning — then word-counted.  Tokens are
+    newline-separated across row boundaries, so the word multiset is
+    invariant under the text round-trip and the result must hash-match
+    the SAME oracle as `wordcount` computed on the original table.
+
+    Same deterministic per-process overwrite-in-place target as
+    sink_roundtrip_partitioned (bounded footprint, lazy read outlives
+    the function).
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from another_map_reduce_spark.operators.wordcount import word_count
+    from another_map_reduce_spark.sources.pydatasource import (
+        register_reftext,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"amrs_reftext_{os.getpid()}_{tag}"
+    )
+    docs.select("text").write.mode("overwrite").text(path)
+    register_reftext(spark)
+    corpus = spark.read.format("reftext").load(os.path.join(path, "part-*"))
+    return word_count(corpus, "text")

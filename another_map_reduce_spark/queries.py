@@ -64,12 +64,12 @@ def _load() -> None:
 # from r2.  This round inverts the order: new r4 queries first (no row
 # at all yet), then the r1-era block oldest-first, then the r2-era
 # block — so the union of r3+r4 driver rows gives every informative
-# query a row at most one round old.  With the eight r4 additions the
-# sacrifices are: SEVEN r2-era rows (join_multiway, agg_distinct,
+# query a row at most one round old.  With the nine r4 additions the
+# sacrifices are: EIGHT r2-era rows (join_multiway, agg_distinct,
 # agg_rollup, agg_cube, agg_having, join_broadcast_agg,
-# q22_dormant_customers — trimmed from this block to the mid block; a
-# first-ever row for a new query outranks refreshing a twice-proven
-# r2 row, and all seven were
+# q22_dormant_customers, q17_small_qty_revenue — trimmed from this
+# block to the mid block; a first-ever row for a new query outranks
+# refreshing a twice-proven r2 row, and all eight were
 # re-verified green by the r3 judge's local gate) and the redundant
 # wordcount API-path twins (pandas/mr — they re-prove the same
 # `worker.rs:23-38` semantics as `wordcount` and `udtf_wordcount`
@@ -84,6 +84,7 @@ _ORDER_FRONT = [
     "lm_novelty_score",
     "pack_sequences_report",
     "stream_join_purchase_view",
+    "pysource_wordcount",
     # r1-era rows (driver record is three engine-stack drifts old):
     "wordcount",
     "join_left_outer",
@@ -125,7 +126,6 @@ _ORDER_FRONT = [
     # r2-era rows:
     "q13_customer_distribution",
     "q14_promo_revenue",
-    "q17_small_qty_revenue",
     "q19_disjunctive_predicates",
     "q1_pricing_summary",
 ]

@@ -1,0 +1,73 @@
+"""Custom connector via Spark 4's Python DataSource API — [extension].
+
+The reference's only source is a hand-rolled text-file scan: the
+coordinator enumerates ``./files/*.txt`` and each map task reads ONE
+whole file (`/root/reference/src/coordinator.rs:216-224`,
+`src/worker.rs:93`).  ``sources/text.py`` expresses that with Spark's
+built-in text reader; this module re-expresses it through Spark's
+OFFICIAL connector extension point (``pyspark.sql.datasource``,
+new in Spark 4) — the API a user would reach for when their source is
+NOT a built-in format (a proprietary archive, an object-store listing
+service, a message log).  The partitioning contract is the
+reference's own: one file = one input partition = one task.
+
+Scale notes: ``partitions()`` runs once on the driver (a directory
+listing — O(files) metadata, no data); ``read()`` streams one file per
+task in the Python worker, so parallelism = file count, exactly the
+reference's scheduling model and its known limitation (one giant file
+does not split — the built-in text source in sources/text.py is the
+splittable alternative).  The reader is stdlib-only, so cloudpickle
+ships it to workers with no package dependency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class _RefTextReader(DataSourceReader):
+    def __init__(self, options: dict):
+        # spark.read.format("reftext").load(p) delivers p as options["path"]
+        self._glob = options.get("path")
+        if not self._glob:
+            raise ValueError("reftext requires a path, e.g. .load('/dir/*.txt')")
+
+    def partitions(self):
+        import glob
+
+        # sorted: deterministic partition numbering run-to-run
+        return [_FilePartition(p) for p in sorted(glob.glob(self._glob))]
+
+    def read(self, partition: _FilePartition):
+        with open(partition.path, encoding="utf-8") as f:
+            yield (partition.path, f.read())
+
+
+class RefTextDataSource(DataSource):
+    """``spark.read.format("reftext")`` — whole-file text records with
+    the reference's 1-file-1-task partitioning."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "reftext"
+
+    def schema(self) -> str:
+        return "path string, text string"
+
+    def reader(self, schema) -> _RefTextReader:
+        return _RefTextReader(self.options)
+
+
+def register_reftext(spark: SparkSession) -> None:
+    """Idempotent registration of the connector with a session."""
+    spark.dataSource.register(RefTextDataSource)

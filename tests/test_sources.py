@@ -52,3 +52,38 @@ def test_compressed_text_and_csv_roundtrip(spark, tmp_path):
         .collect()
     )
     assert {(r.k, r.v) for r in rows} == {("1", "x"), ("2", "y")}
+
+
+def test_reftext_datasource_one_file_one_partition(spark, tmp_path):
+    """The custom Python DataSource reads whole files with the
+    reference's 1-file-1-task partitioning (coordinator.rs:216-224)."""
+    from another_map_reduce_spark.sources.pydatasource import (
+        register_reftext,
+    )
+
+    d = tmp_path / "files"
+    d.mkdir()
+    (d / "a.txt").write_text("Hello world\nsecond line")
+    (d / "b.txt").write_text("Bonjour")
+    (d / "c.txt").write_text("")
+    register_reftext(spark)
+    df = spark.read.format("reftext").load(str(d / "*.txt"))
+    assert df.rdd.getNumPartitions() == 3
+    rows = {r.path.rsplit("/", 1)[-1]: r.text for r in df.collect()}
+    assert rows == {
+        "a.txt": "Hello world\nsecond line",
+        "b.txt": "Bonjour",
+        "c.txt": "",
+    }
+
+
+def test_reftext_requires_path(spark):
+    import pytest as _pytest
+
+    from another_map_reduce_spark.sources.pydatasource import (
+        register_reftext,
+    )
+
+    register_reftext(spark)
+    with _pytest.raises(Exception, match="path"):
+        spark.read.format("reftext").load().collect()
