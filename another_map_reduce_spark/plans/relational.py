@@ -1873,3 +1873,110 @@ def sink_roundtrip_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark-4 SQL surface: recursive CTE + VARIANT (r4)
+# ---------------------------------------------------------------------------
+
+# One SQL text, two engines: the query IS its oracle (the strongest
+# anti-drift form — register_views mirrors the DuckDB environment).
+# The generator is DOUBLING recursion (each level maps n -> 2n, 2n+1),
+# so covering 8192 calendar days costs 13 iterations, not 8192 —
+# Spark executes recursive CTEs as iterated UNION ALL steps and
+# defaults to a 100-level guard, so linear +1 recursion over a
+# multi-year calendar would both crawl and trip the limit.
+_RCTE_CALENDAR_SQL = """
+WITH RECURSIVE idx(n) AS (
+  SELECT 0
+  UNION ALL
+  SELECT 1
+  UNION ALL
+  SELECT n * 2 + b
+  FROM idx CROSS JOIN (SELECT 0 AS b UNION ALL SELECT 1) bits
+  WHERE n >= 1 AND n * 2 + b < 8192
+), bounds AS (
+  SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+         MAX(CAST(o_orderdate AS DATE)) AS d1
+  FROM orders
+), days AS (
+  SELECT (SELECT d0 FROM bounds) + n AS day FROM idx
+  WHERE (SELECT d0 FROM bounds) + n <= (SELECT d1 FROM bounds)
+), per_day AS (
+  SELECT day, COUNT(o_orderkey) AS n_orders
+  FROM days LEFT JOIN orders ON CAST(o_orderdate AS DATE) = day
+  GROUP BY day
+)
+SELECT DATE_TRUNC('month', day) AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN n_orders = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_gap_days
+FROM per_day
+GROUP BY month
+ORDER BY month
+"""
+
+
+@register("recursive_calendar_gaps", oracle=_RCTE_CALENDAR_SQL)
+def recursive_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification via WITH RECURSIVE (new SQL surface in
+    Spark 4): generate every day in the orders date range with a
+    doubling recursive CTE, left-join the fact table, and report
+    order-free gap days per month — the dimension-generation idiom
+    recursive CTEs exist for.
+
+    The 8192-day generator bound is a CONSTANT (13 doubling levels
+    covers ~22 years), then the real [min, max] range filters it —
+    scalar-subquery bounds inside the recursion would tie the
+    iteration count to data and are not needed.  Deliberate contrast
+    with connected components (operators/graph.py): recursion depth
+    here is log2(days) and data-independent, which is when a recursive
+    CTE is the RIGHT tool; diameter-dependent recursion over
+    corpus-scale edges is when it is not (the CC docstring's argument,
+    from the other side).
+
+    All-integer outputs; the Spark query and the DuckDB oracle are the
+    SAME SQL string over identically-named views.
+    """
+    from another_map_reduce_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RCTE_CALENDAR_SQL)
+
+
+@register(
+    "variant_props_stats",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(k) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM (SELECT event_type, CAST(props ->> 'k' AS BIGINT) AS k FROM events)
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through the VARIANT type (new in Spark 4):
+    ``parse_json`` once into a variant column, then typed path
+    extraction with ``variant_get`` — the open-schema alternative to
+    ``from_json`` with a declared struct (json_struct_parse /
+    json_extract_agg prove that path).  At scale variant beats
+    re-parsing JSON text per field: one parse, binary-encoded values,
+    shredded field access.  The DuckDB oracle extracts the same path
+    with its JSON operators; all aggregates are exact integers.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -74,6 +74,13 @@ def _load() -> None:
 # wordcount API-path twins (pandas/mr — they re-prove the same
 # `worker.rs:23-38` semantics as `wordcount` and `udtf_wordcount`
 # through a different API).  The 50 fresh-r3 rows move to the tail.
+# Scoping: the front-block promotion applies to OPERATOR-capability
+# additions (streaming state, CDC, UDAF, LM/packing, connector); the
+# two pure SQL-surface demos (recursive_calendar_gaps,
+# variant_props_stats) stay mid-order for an r5 row rather than
+# hollowing out the last r2-era refreshes — they are fully proven by
+# the sf0.001 differential tests and the local driver-faithful gate
+# meanwhile.
 _ORDER_FRONT = [
     # round-4 additions — no driver row yet:
     "stream_events_hourly_append",
