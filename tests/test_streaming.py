@@ -489,3 +489,81 @@ def test_append_query_is_batch_minus_open_windows(spark, sf_dir):
     ).collect()[0].w
     for hour, _etype in set(batch) - set(streamed):
         assert not (hour + __import__("datetime").timedelta(hours=1) <= wm)
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas' state-server wire protocol is "
+    "protobuf-based (pyspark/sql/streaming/proto); protobuf is not "
+    "installed in this container and may not be added (environment "
+    "brief), so the modern-API twin can only run where protobuf "
+    "exists — the classic applyInPandasWithState twin above covers "
+    "the semantics here.",
+)
+def test_transform_with_state_funnel_matches_batch(spark, sf_dir, tmp_path):
+    """Spark 4's transformWithStateInPandas (RocksDB state store) runs
+    the same funnel machine as applyInPandasWithState and reaches the
+    batch funnel_conversion counts — three implementations, one fixed
+    point."""
+    from another_map_reduce_spark.queries import QUERIES
+    from another_map_reduce_spark.streaming.stateful_v2 import (
+        ROCKSDB_PROVIDER,
+        funnel_stages_v2,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .orderBy("ts")
+        .toPandas()
+    )
+    d = tmp_path / "tws_stream"
+    d.mkdir()
+    ev.to_parquet(d / "b1.parquet")
+    schema = spark.read.parquet(str(d)).schema
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        stream = funnel_stages_v2(
+            spark.readStream.schema(schema).parquet(str(d))
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("tws_funnel")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = {
+            r.user_id: r.stage_idx
+            for r in spark.sql(
+                "SELECT user_id, max(stage_idx) AS stage_idx"
+                " FROM tws_funnel GROUP BY user_id"
+            ).collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    n_by_stage = {s: 0 for s in (1, 2, 3)}
+    for stage in final.values():
+        for s in range(1, stage + 1):
+            n_by_stage[s] += 1
+    batch = {
+        r.stage_idx: r.n_users
+        for r in QUERIES["funnel_conversion"](spark, sf_dir).collect()
+    }
+    assert batch == n_by_stage
