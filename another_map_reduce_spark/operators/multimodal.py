@@ -66,9 +66,15 @@ def decode_image_stub(blob: bytes) -> tuple[int, int]:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # grey, RGB, grey+A, RGBA
 # Pure-Python unfilter budget: bounds hostile-blob CPU to single-digit
-# seconds (see decode_png_pure docstring).  Bigger legit images take
-# the PIL rung when available.
+# seconds (see decode_png_pure docstring).  Between this and the raw-
+# byte budget below, images are validated structurally (CRC + exact
+# inflate length) and report true dimensions but skip the per-byte
+# unfilter; beyond the byte budget they are rejected.
 _PNG_MAX_PIXELS = 1 << 20
+# Inflate budget: zlib runs in C (~100 MB/s), so 256 MB of declared
+# raw bytes caps hostile inflate work at a few seconds and admits
+# legit images up to ~16 Mpx RGBA on the no-library rung.
+_PNG_MAX_RAW_BYTES = 256 * (1 << 20)
 
 
 def decode_png_pure(blob: bytes) -> tuple[int, int] | None:
@@ -85,15 +91,19 @@ def decode_png_pure(blob: bytes) -> tuple[int, int] | None:
     inside the Arrow-batched decode stage, the one place the plumbing
     hands a row to a real codec.
 
-    Hostile-input bounds (a corpus blob is attacker-controlled): the
-    declared pixel count is capped at ``_PNG_MAX_PIXELS`` = 2^20 — the
-    worst case (all-Paeth RGBA at the cap) is ~4M iterations of the
-    slowest pure-Python unfilter branch, single-digit seconds, so a
-    corpus salted with crafted kB-sized blobs cannot pin executor
-    cores for minutes each (larger legit images belong to the PIL
-    rung, which decodes in C).  The IDAT stream is inflated through a
-    decompressobj with max_length so a decompression bomb cannot
-    expand past the declared size before the length check runs.
+    Hostile-input bounds (a corpus blob is attacker-controlled), two
+    tiers: up to ``_PNG_MAX_PIXELS`` = 2^20 pixels the decode is FULL
+    (worst case all-Paeth RGBA ≈ 4M iterations of the slowest
+    pure-Python unfilter branch — single-digit seconds); between that
+    and ``_PNG_MAX_RAW_BYTES`` of declared raw bytes the image is
+    still CRC-walked, inflated in C, and length-checked exactly, but
+    only the O(height) filter-type bytes are validated — true
+    dimensions without the per-byte Python loop, so legit 1-16 Mpx
+    images don't silently fall to the stub; past the byte budget the
+    blob is rejected before any inflate.  The IDAT stream is always
+    inflated through a decompressobj with max_length so a
+    decompression bomb cannot expand past the declared size before
+    the length check runs.
     """
     import struct
     import zlib
@@ -126,14 +136,29 @@ def decode_png_pure(blob: bytes) -> tuple[int, int] | None:
             pos += 12 + ln
         if not width or not height or channels is None:
             return None
-        if width * height > _PNG_MAX_PIXELS:
-            return None
         stride = width * channels
         expected = height * (1 + stride)
+        if expected > _PNG_MAX_RAW_BYTES:
+            # declared raw size beyond the inflate budget (and beyond
+            # any plausible legit corpus image for the no-library
+            # rung): reject rather than spend unbounded zlib CPU.
+            return None
         d = zlib.decompressobj()
         raw = d.decompress(bytes(idat), expected + 1)
         if len(raw) != expected or not d.eof:
             return None
+        if width * height > _PNG_MAX_PIXELS:
+            # Over the pure-Python unfilter budget but structurally
+            # valid AND pixel-data-complete (CRCs walked, inflate
+            # matched the declared size exactly): report the true
+            # dimensions, checking only the O(height) filter-type
+            # bytes.  Skipping ONLY the per-byte unfilter loop keeps
+            # 1-16 Mpx legit images from silently falling to the stub
+            # while still bounding hostile CPU (zlib inflates in C
+            # under the byte budget above).
+            if any(raw[y * (1 + stride)] > 4 for y in range(height)):
+                return None
+            return int(width), int(height)
         prev = bytearray(stride)
         for y in range(height):
             row = raw[y * (1 + stride) : (y + 1) * (1 + stride)]

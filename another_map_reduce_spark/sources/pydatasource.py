@@ -49,6 +49,12 @@ class _RefTextReader(DataSourceReader):
         return [_FilePartition(p) for p in sorted(glob.glob(self._glob))]
 
     def read(self, partition: _FilePartition):
+        # PySpark substitutes [None] when partitions() returns an empty
+        # list (zero files matched the glob) — yield nothing so an
+        # empty directory reads as an empty frame, not an executor
+        # AttributeError.
+        if partition is None:
+            return
         with open(partition.path, encoding="utf-8") as f:
             yield (partition.path, f.read())
 

@@ -110,14 +110,29 @@ def _update_funnel(
         state.remove()
         return
     tv, tc, tp = state.get if state.exists else (_UNSET, _UNSET, _UNSET)
-    # A group's micro-batch rows arrive as MULTIPLE Arrow chunks when
-    # they span record batches; sorting per-chunk would fold a later
-    # chunk's earlier events after this chunk (a click seen before its
-    # view is dropped by the stage machine).  Concatenate, THEN sort —
-    # one global event-time order per (key, micro-batch).  Ties in ts
-    # are harmless whatever their order: every transition uses strict
-    # ``>`` against the previous stage, so equal-ts events record the
-    # same state either way.
+    tv, tc, tp = fold_funnel(tv, tc, tp, pdfs)
+    state.update((tv, tc, tp))
+    stage = 3 if tp != _UNSET else 2 if tc != _UNSET else 1 if tv != _UNSET else 0
+    yield pd.DataFrame({"user_id": [key[0]], "stage_idx": [stage]})
+
+
+def fold_funnel(
+    tv: int, tc: int, tp: int, pdfs: Iterable[pd.DataFrame]
+) -> tuple[int, int, int]:
+    """Fold a micro-batch of (ts, event_type) chunks into the funnel
+    state — THE transition function, shared by both streaming APIs
+    (``_update_funnel`` here and stateful_v2.FunnelProcessor) so the
+    rules cannot drift between them.
+
+    A group's micro-batch rows arrive as MULTIPLE Arrow chunks when
+    they span record batches; sorting per-chunk would fold a later
+    chunk's earlier events after this chunk (a click seen before its
+    view is dropped by the stage machine).  Concatenate, THEN sort —
+    one global event-time order per (key, micro-batch).  Ties in ts
+    are harmless whatever their order: every transition uses strict
+    ``>`` against the previous stage, so equal-ts events record the
+    same state either way.
+    """
     chunks = [pdf[["ts", "event_type"]] for pdf in pdfs]
     if chunks:
         batch = pd.concat(chunks, ignore_index=True).sort_values("ts")
@@ -136,9 +151,7 @@ def _update_funnel(
                 and t > tc
             ):
                 tp = t
-    state.update((tv, tc, tp))
-    stage = 3 if tp != _UNSET else 2 if tc != _UNSET else 1 if tv != _UNSET else 0
-    yield pd.DataFrame({"user_id": [key[0]], "stage_idx": [stage]})
+    return tv, tc, tp
 
 
 def funnel_stages(events: DataFrame) -> DataFrame:

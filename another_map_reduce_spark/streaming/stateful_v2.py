@@ -38,9 +38,13 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessorHandle,
 )
 
-FUNNEL_OUT_SCHEMA = "user_id long, stage_idx integer"
-
-_UNSET = -1
+# One transition function, one schema, one sentinel — shared with the
+# classic-API twin so the two implementations cannot drift.
+from another_map_reduce_spark.streaming.stateful import (
+    FUNNEL_OUT_SCHEMA,
+    _UNSET,
+    fold_funnel,
+)
 
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -50,11 +54,11 @@ ROCKSDB_PROVIDER = (
 class FunnelProcessor(StatefulProcessor):
     """Per-user funnel stage machine on named value state.
 
-    Same transition rules as stateful._update_funnel: first view, then
-    first later click, then first later purchase — every transition a
-    strict ``>`` on event time, so equal-ts fold order cannot change
-    the state.  Rows are concatenated and sorted per (key, batch)
-    before folding (the multi-chunk hazard documented there).
+    Delegates every transition to ``stateful.fold_funnel`` — the one
+    shared implementation of the rules (first view, then first later
+    click, then first later purchase; strict ``>`` on event time;
+    concat-then-sort per (key, batch)) — so this API twin cannot
+    drift from the classic one.
     """
 
     def init(self, handle: StatefulProcessorHandle) -> None:
@@ -68,27 +72,7 @@ class FunnelProcessor(StatefulProcessor):
         tv, tc, tp = (
             self._state.get() if self._state.exists() else (_UNSET,) * 3
         )
-        chunks = [pdf[["ts", "event_type"]] for pdf in rows]
-        if chunks:
-            batch = pd.concat(chunks, ignore_index=True).sort_values("ts")
-            for ts, etype in batch.itertuples(index=False):
-                t = int(ts.value if hasattr(ts, "value") else ts) // 1000
-                if etype == "view" and tv == _UNSET:
-                    tv = t
-                elif (
-                    etype == "click"
-                    and tv != _UNSET
-                    and tc == _UNSET
-                    and t > tv
-                ):
-                    tc = t
-                elif (
-                    etype == "purchase"
-                    and tc != _UNSET
-                    and tp == _UNSET
-                    and t > tc
-                ):
-                    tp = t
+        tv, tc, tp = fold_funnel(tv, tc, tp, rows)
         self._state.update((tv, tc, tp))
         stage = (
             3 if tp != _UNSET else 2 if tc != _UNSET else 1 if tv != _UNSET else 0

@@ -367,3 +367,42 @@ def test_extract_audio_metadata_real_wav_through_spark(spark):
     assert got[2] == (16000, 2, 1600, 100)
     sr, ch, nf = mm.decode_audio_stub(b"not audio")
     assert got[3] == (sr, ch, nf, nf * 1000 // sr)
+
+
+def test_pure_png_over_unfilter_budget_reports_true_dims():
+    """A structurally-valid PNG above the pure-unfilter pixel budget
+    (but under the inflate byte budget) must report its TRUE header
+    dimensions — not fall through to the stub's fabricated ones."""
+    import struct
+    import zlib
+
+    from another_map_reduce_spark.operators import multimodal as mm
+
+    w = h = 1200  # 1.44 Mpx > _PNG_MAX_PIXELS, raw ~1.4 MB << byte budget
+    assert w * h > mm._PNG_MAX_PIXELS
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + bytes(w) for _ in range(h))  # grey, filter 0
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert mm.decode_png_pure(png) == (w, h)
+    # truncated pixel data at the same declared size must still reject
+    short = b"".join(b"\x00" + bytes(w) for _ in range(h - 1))
+    png_short = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(short))
+        + chunk(b"IEND", b"")
+    )
+    assert mm.decode_png_pure(png_short) is None

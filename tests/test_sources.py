@@ -87,3 +87,17 @@ def test_reftext_requires_path(spark):
     register_reftext(spark)
     with _pytest.raises(Exception, match="path"):
         spark.read.format("reftext").load().collect()
+
+
+def test_reftext_empty_glob_reads_empty(spark, tmp_path):
+    """Zero matched files must be an empty frame, not an executor
+    crash (PySpark hands read() a None partition for an empty
+    partitions() list)."""
+    from another_map_reduce_spark.sources.pydatasource import (
+        register_reftext,
+    )
+
+    d = tmp_path / "nothing_here"
+    d.mkdir()
+    register_reftext(spark)
+    assert spark.read.format("reftext").load(str(d / "*.txt")).count() == 0

@@ -304,14 +304,24 @@ def test_streaming_dedup_drops_duplicates(spark, tmp_path):
         q.stop()
 
 
-def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
-    """Stateful funnel over the event stream (fed in event-time order,
-    split across two micro-batch files) reaches the same per-stage user
-    counts as the batch funnel_conversion query."""
-    import pandas as pd
+def _assert_funnel_stream_matches_batch(
+    spark,
+    sf_dir,
+    tmp_path,
+    funnel_fn,
+    qname,
+    n_files=1,
+    conf=None,
+    available_now=False,
+):
+    """Shared scaffold for the streaming-funnel ≡ batch assertions:
+    feed the events table (event-time order, split over ``n_files``
+    source files) through ``funnel_fn``, drain to a memory sink, take
+    each user's deepest stage, and compare cumulative stage counts
+    with the batch funnel_conversion query."""
+    import pandas as pd  # noqa: F401
 
     from another_map_reduce_spark.queries import QUERIES
-    from another_map_reduce_spark.streaming.stateful import funnel_stages
 
     ev = (
         load_table(spark, sf_dir, "events")
@@ -319,30 +329,46 @@ def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
         .orderBy("ts")
         .toPandas()
     )
-    d = tmp_path / "funnel_stream"
+    d = tmp_path / f"{qname}_src"
     d.mkdir()
-    half = len(ev) // 2
-    ev.iloc[:half].to_parquet(d / "b1.parquet")
-    ev.iloc[half:].to_parquet(d / "b2.parquet")
+    step = max(1, -(-len(ev) // n_files))
+    for i in range(n_files):
+        ev.iloc[i * step : (i + 1) * step].to_parquet(d / f"b{i}.parquet")
     schema = spark.read.parquet(str(d)).schema
-    stream = funnel_stages(spark.readStream.schema(schema).parquet(str(d)))
-    q = (
-        stream.writeStream.format("memory")
-        .queryName("funnel_state")
-        .outputMode("update")
-        .start()
-    )
+    prev_conf = {}
+    for k, v in (conf or {}).items():
+        prev_conf[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
     try:
-        q.processAllAvailable()
-        final = {
-            r.user_id: r.stage_idx
-            for r in spark.sql(
-                "SELECT user_id, max(stage_idx) AS stage_idx"
-                " FROM funnel_state GROUP BY user_id"
-            ).collect()
-        }
+        stream = funnel_fn(spark.readStream.schema(schema).parquet(str(d)))
+        writer = (
+            stream.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        q = writer.start()
+        try:
+            if available_now:
+                q.awaitTermination()
+            else:
+                q.processAllAvailable()
+            final = {
+                r.user_id: r.stage_idx
+                for r in spark.sql(
+                    "SELECT user_id, max(stage_idx) AS stage_idx"
+                    f" FROM {qname} GROUP BY user_id"
+                ).collect()
+            }
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        for k, v in prev_conf.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     n_by_stage = {s: 0 for s in (1, 2, 3)}
     for stage in final.values():
         # deepest stage reached implies all shallower stages
@@ -353,6 +379,17 @@ def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
         for r in QUERIES["funnel_conversion"](spark, sf_dir).collect()
     }
     assert batch == n_by_stage
+
+
+def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
+    """Stateful funnel over the event stream (fed in event-time order,
+    split across two source files) reaches the same per-stage user
+    counts as the batch funnel_conversion query."""
+    from another_map_reduce_spark.streaming.stateful import funnel_stages
+
+    _assert_funnel_stream_matches_batch(
+        spark, sf_dir, tmp_path, funnel_stages, "funnel_state", n_files=2
+    )
 
 
 def test_stateful_restart_from_checkpoint(spark, tmp_path):
@@ -514,56 +551,19 @@ def test_transform_with_state_funnel_matches_batch(spark, sf_dir, tmp_path):
     the same funnel machine as applyInPandasWithState and reaches the
     batch funnel_conversion counts — three implementations, one fixed
     point."""
-    from another_map_reduce_spark.queries import QUERIES
     from another_map_reduce_spark.streaming.stateful_v2 import (
         ROCKSDB_PROVIDER,
         funnel_stages_v2,
     )
 
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .select("user_id", "event_type", "ts")
-        .orderBy("ts")
-        .toPandas()
+    _assert_funnel_stream_matches_batch(
+        spark,
+        sf_dir,
+        tmp_path,
+        funnel_stages_v2,
+        "tws_funnel",
+        conf={
+            "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER
+        },
+        available_now=True,
     )
-    d = tmp_path / "tws_stream"
-    d.mkdir()
-    ev.to_parquet(d / "b1.parquet")
-    schema = spark.read.parquet(str(d)).schema
-    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
-    try:
-        stream = funnel_stages_v2(
-            spark.readStream.schema(schema).parquet(str(d))
-        )
-        q = (
-            stream.writeStream.format("memory")
-            .queryName("tws_funnel")
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        final = {
-            r.user_id: r.stage_idx
-            for r in spark.sql(
-                "SELECT user_id, max(stage_idx) AS stage_idx"
-                " FROM tws_funnel GROUP BY user_id"
-            ).collect()
-        }
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev
-            )
-    n_by_stage = {s: 0 for s in (1, 2, 3)}
-    for stage in final.values():
-        for s in range(1, stage + 1):
-            n_by_stage[s] += 1
-    batch = {
-        r.stage_idx: r.n_users
-        for r in QUERIES["funnel_conversion"](spark, sf_dir).collect()
-    }
-    assert batch == n_by_stage
