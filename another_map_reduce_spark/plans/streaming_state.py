@@ -147,3 +147,52 @@ def stream_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_views"))
         .orderBy("event_id")
     )
+
+
+@register(
+    "stream_dedup_counts",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup on the driver-visible path:
+    ``dropDuplicatesWithinWatermark`` on event_id (streaming/joins.py —
+    the exactly-once-ingestion primitive; the streaming face of
+    operators/dedup.dedup_exact) drained with AvailableNow, then
+    per-type counts of the emitted stream.
+
+    Every emitted row is the FIRST arrival of its key and every key
+    within the watermark horizon is emitted exactly once, so the
+    drained count per type equals the batch COUNT(DISTINCT event_id)
+    regardless of how many duplicates the source holds (the synthetic
+    events table is duplicate-free, making pass-through the expected
+    case — the suppression side is pinned by
+    tests/test_streaming.py's two-batch duplicate test).  State is
+    bounded: key fingerprints older than the watermark are evicted.
+    """
+    from another_map_reduce_spark.streaming.joins import dedup_stream
+
+    raw = _events_readstream(spark, sf_dir).select(
+        "event_id", "event_type", "ts"
+    )
+    qname = _fresh_sink_name("stream_dedup")
+    q = (
+        dedup_stream(raw, ["event_id"])
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(qname)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+        .orderBy("event_type")
+    )
