@@ -567,3 +567,15 @@ def test_transform_with_state_funnel_matches_batch(spark, sf_dir, tmp_path):
         },
         available_now=True,
     )
+
+
+def test_stream_drain_restores_shuffle_width(spark, sf_dir):
+    """The narrowed stateful-drain width must not leak into the
+    session: spark.sql.shuffle.partitions is restored after the
+    streaming query drains."""
+    from another_map_reduce_spark.queries import QUERIES
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    QUERIES["stream_events_hourly"](spark, sf_dir).collect()
+    assert spark.conf.get(key) == before
