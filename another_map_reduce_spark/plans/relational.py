@@ -1971,17 +1971,11 @@ def recursive_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from another_map_reduce_spark.sources.tables import register_views
 
     register_views(spark, sf_dir)
-    # 13 recursion micro-jobs over a ≤8192-row working set: a narrow
-    # shuffle width trims per-iteration scheduling (3.2 → 2.7 s at
-    # sf0.1).  NOTE: spark.sql() only ANALYZES here — the plan binds
-    # the conf at collect time, after the context restores it, so the
-    # narrow width must wrap the caller-side action to matter; keep
-    # the result eager (a tiny 80-row frame) instead.
-    with _stream_shuffle_partitions(spark):
-        rows = spark.sql(_RCTE_CALENDAR_SQL)
-        return spark.createDataFrame(
-            rows.collect(), schema=rows.schema
-        )
+    # Measured: narrowing the shuffle width for the 13 recursion
+    # micro-jobs saves only ~0.5 s at sf0.1 (AQE already coalesces the
+    # tiny shuffles), and binding it would require materializing
+    # eagerly — hiding the real plan from the audit.  Stay lazy.
+    return spark.sql(_RCTE_CALENDAR_SQL)
 
 
 @register(
