@@ -176,3 +176,60 @@ def test_upsert_order_by_overlaps_payload(spark):
         base, changes, key="k", order_by=("v", "seq"), payload_cols=("v",)
     )
     assert {r.k: r.v for r in out.collect()} == {1: 7.0}
+
+
+# ---------------------------------------------------------------------------
+# Property: fold_funnel is chunking-invariant and matches a replay oracle
+# ---------------------------------------------------------------------------
+
+_EVENTS = st.lists(
+    st.tuples(
+        st.sampled_from(["view", "click", "purchase"]),
+        st.integers(min_value=0, max_value=9),  # seconds; collisions likely
+    ),
+    max_size=12,
+)
+
+
+def _py_funnel(events):
+    """Sequential oracle: fold ts-sorted events through the stage rules."""
+    UNSET = -1
+    tv = tc = tp = UNSET
+    for etype, t in sorted(events, key=lambda e: e[1]):
+        if etype == "view" and tv == UNSET:
+            tv = t
+        elif etype == "click" and tv != UNSET and tc == UNSET and t > tv:
+            tc = t
+        elif etype == "purchase" and tc != UNSET and tp == UNSET and t > tc:
+            tp = t
+    return 3 if tp != UNSET else 2 if tc != UNSET else 1 if tv != UNSET else 0
+
+
+@settings(max_examples=60, deadline=None)
+@given(events=_EVENTS, data=st.data())
+def test_fold_funnel_chunking_invariant(events, data):
+    """fold_funnel must reach the sequential oracle's stage regardless
+    of how the micro-batch is split into Arrow-chunk DataFrames —
+    the multi-chunk hazard, property-tested (ts ties included: the
+    strict-> transitions make tie order irrelevant)."""
+    from another_map_reduce_spark.streaming.stateful import (
+        _UNSET,
+        fold_funnel,
+    )
+
+    # random chunking of the event list
+    chunks, rest = [], list(events)
+    while rest:
+        k = data.draw(st.integers(min_value=1, max_value=len(rest)))
+        head, rest = rest[:k], rest[k:]
+        chunks.append(
+            pd.DataFrame(
+                {
+                    "ts": [t * 1000 for _, t in head],  # int64 nanos path
+                    "event_type": [e for e, _ in head],
+                }
+            )
+        )
+    tv, tc, tp = fold_funnel(_UNSET, _UNSET, _UNSET, iter(chunks))
+    got = 3 if tp != _UNSET else 2 if tc != _UNSET else 1 if tv != _UNSET else 0
+    assert got == _py_funnel([(e, t * 1000 // 1000) for e, t in events])

@@ -43,6 +43,8 @@ SCALES = [
     ("1x", "/root/testdata/sf0.1", 1),
     ("3x", "/tmp/scale3", 3),
     ("10x", "/tmp/scale10", 10),
+    # third decade-and-a-half point: near-linearity over 1.5 orders
+    ("30x", "/tmp/scale30", 30),
 ]
 
 
