@@ -156,7 +156,11 @@ def decode_png_pure(blob: bytes) -> tuple[int, int] | None:
             # 1-16 Mpx legit images from silently falling to the stub
             # while still bounding hostile CPU (zlib inflates in C
             # under the byte budget above).
-            if any(raw[y * (1 + stride)] > 4 for y in range(height)):
+            # step-slice extracts exactly the filter bytes at C speed —
+            # a per-row Python loop here would let a tall-skinny PNG
+            # (width=1, huge height) pin a core for ~20 s inside the
+            # byte budget.
+            if max(raw[:: 1 + stride]) > 4:
                 return None
             return int(width), int(height)
         prev = bytearray(stride)

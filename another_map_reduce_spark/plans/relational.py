@@ -22,6 +22,8 @@ Cross-engine determinism rules (the DuckDB oracle hash-compares):
 
 from __future__ import annotations
 
+import contextlib as _contextlib
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -842,9 +844,6 @@ def _fresh_sink_name(tag: str) -> str:
     views are tiny aggregate tables bounded by invocations-per-session.
     """
     return f"_amrs_{tag}_{next(_SINK_SEQ)}"
-
-
-import contextlib as _contextlib
 
 
 @_contextlib.contextmanager

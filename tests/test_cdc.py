@@ -232,4 +232,6 @@ def test_fold_funnel_chunking_invariant(events, data):
         )
     tv, tc, tp = fold_funnel(_UNSET, _UNSET, _UNSET, iter(chunks))
     got = 3 if tp != _UNSET else 2 if tc != _UNSET else 1 if tv != _UNSET else 0
-    assert got == _py_funnel([(e, t * 1000 // 1000) for e, t in events])
+    # the DataFrame side's ns scaling (t*1000) is undone by the fold's
+    # ns→µs division, so the oracle folds the raw seconds directly
+    assert got == _py_funnel(events)

@@ -319,8 +319,6 @@ def _assert_funnel_stream_matches_batch(
     source files) through ``funnel_fn``, drain to a memory sink, take
     each user's deepest stage, and compare cumulative stage counts
     with the batch funnel_conversion query."""
-    import pandas as pd  # noqa: F401
-
     from another_map_reduce_spark.queries import QUERIES
 
     ev = (
