@@ -25,6 +25,7 @@ from another_map_reduce_spark.plans.relational import (
     _stream_shuffle_partitions,
 )
 from another_map_reduce_spark.queries import ORACLES, register
+from another_map_reduce_spark.sources.tables import load_table
 from another_map_reduce_spark.streaming.stateful import funnel_stages
 
 
@@ -201,4 +202,59 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_unique"))
         .orderBy("event_type")
+    )
+
+
+@register(
+    "stream_static_join_segments",
+    oracle="""
+SELECT c.c_mktsegment AS mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY mktsegment
+""",
+)
+def stream_static_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join — the third join class Structured Streaming
+    supports (beyond batch joins and stream-stream joins): the event
+    STREAM enriched against the static customer dimension, then
+    per-segment counts over the drained result.
+
+    Stream-static joins are stateless on the stream side — each
+    micro-batch hash-joins against the (re-readable) static relation,
+    so there is no watermark, no state store, and the static side can
+    be broadcast; this is the standard shape for dimension enrichment
+    in ingestion pipelines (the CDC-maintained snapshot from
+    operators/cdc.py is exactly what the static side would be in
+    production).  Inner join semantics: events whose user_id has no
+    customer row are dropped on both engines.  All-integer outputs.
+    """
+    static_cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    raw = _events_readstream(spark, sf_dir).select("user_id", "event_id")
+    joined = raw.join(
+        static_cust, raw["user_id"] == static_cust["c_custkey"], "inner"
+    )
+    qname = _fresh_sink_name("stream_static")
+    with _stream_shuffle_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(qname)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("mktsegment")
     )
