@@ -77,11 +77,14 @@ def _load() -> None:
 # Scoping: the front-block promotion applies to OPERATOR-capability
 # additions (streaming state, CDC, UDAF, LM/packing, connector); the
 # two pure SQL-surface demos (recursive_calendar_gaps,
-# variant_props_stats) and the fourth streaming row
-# (stream_dedup_counts — three streaming rows are already in front)
-# stay mid-order for an r5 row rather than hollowing out the last
-# r2-era refreshes — they are fully proven by the sf0.001
-# differential tests and the local driver-faithful gate meanwhile.
+# variant_props_stats) and the fourth/fifth streaming rows
+# (stream_dedup_counts, stream_static_join_segments — three streaming
+# rows are already in front) stay mid-order for an r5 row rather than
+# hollowing out the last r2-era refreshes — they are fully proven by
+# the sf0.001 differential tests and the local driver-faithful gate
+# meanwhile.  r5 rotation plan: front-order those four, any new r5
+# queries, then the eight trimmed r2-era rows listed above, then the
+# oldest r3-era rows to fill the 50.
 _ORDER_FRONT = [
     # round-4 additions — no driver row yet:
     "stream_events_hourly_append",
