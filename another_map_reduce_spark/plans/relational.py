@@ -2013,3 +2013,62 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "sink_sorted_skipping",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+           AS sum_price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def sink_sorted_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-on-write data layout: lineitem is rewritten ORDERED BY
+    l_shipdate (repartitionByRange + sortWithinPartitions — the
+    Z-order-lite for a single predicate column), then a date-range
+    aggregate reads it back and must hash-match the oracle computed on
+    the ORIGINAL table.
+
+    Why this is a first-class operator at 100 TB: parquet stores
+    min/max statistics per row group, and a range predicate over a
+    SORTED column prunes whole row groups (and, via
+    repartitionByRange, whole FILES) instead of scanning everything —
+    the dominant cost lever for time-filtered scans after partition
+    pruning.  The correctness contract is that layout changes NOTHING
+    about results: same rows, same aggregate, proven cross-engine.
+    Same deterministic per-process overwrite-in-place target as
+    sink_roundtrip_partitioned.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_returnflag", "l_extendedprice"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"amrs_sorted_layout_{os.getpid()}_{tag}"
+    )
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.where(F.col("l_shipdate") >= "1998-06-01")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -134,3 +134,24 @@ def test_salted_join_matches_plain(spark, kv):
         )
     )
     assert salted == plain
+
+
+def test_sorted_layout_pushes_range_filter(spark, sf_dir, tmp_path):
+    """The sorted-layout read-back must push the range predicate to
+    the parquet scan (row-group min/max skipping depends on it)."""
+    from another_map_reduce_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_returnflag", "l_extendedprice"
+    )
+    path = str(tmp_path / "sorted_li")
+    (
+        li.repartitionByRange(4, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.parquet(path)
+    )
+    back = spark.read.parquet(path).where("l_shipdate >= '1998-06-01'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split(
+        "PushedFilters"
+    )[1][:200]
