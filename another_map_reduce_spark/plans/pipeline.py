@@ -1319,3 +1319,76 @@ def pack_sequences_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding quantization (int8 storage path) — reconstruction quality
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_quantize_stats",
+    oracle="""
+WITH b AS (
+  SELECT label,
+         CAST(embedding AS DOUBLE[]) AS e,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                 x -> abs(x))) AS s
+  FROM embeddings
+), q AS (
+  SELECT label, e,
+         list_transform(e, x -> round(x * 127.0 / s) * s / 127.0) AS d
+  FROM b
+), c AS (
+  SELECT label,
+         round(list_dot_product(e, d)
+               / (sqrt(list_dot_product(e, e))
+                  * sqrt(list_dot_product(d, d))), 6) AS cos
+  FROM q
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CAST(cos AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+           AS avg_cos,
+       MIN(cos) AS min_cos
+FROM c GROUP BY label ORDER BY label
+""",
+)
+def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (per-vector
+    max-abs scale, the standard ANN storage recipe) scored by
+    reconstruction cosine per label — the accept/reject report a
+    pipeline signs before swapping float32 vectors for int8 + one
+    scale (4× storage/bandwidth cut for 100 TB ANN; recall shifts
+    track reconstruction cosine).
+
+    All column HOFs, JVM-side, one scan + one |labels|-row aggregate.
+    The quantizer round(x·127/s) and dequantizer q·s/127 are IEEE
+    mult/div (bit-identical both engines); the reconstruction cosine
+    is rounded to 6 before aggregation and averaged in DECIMAL, the
+    suite's standard absorption of fold-order ulps.
+    """
+    from another_map_reduce_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    s = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    deq = F.transform(e, lambda x: F.round(x * 127.0 / s) * s / 127.0)
+    scored = emb.select(
+        "label",
+        F.round(cosine_similarity(e, deq), 6).alias("cos"),
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            (
+                F.sum(F.col("cos").cast("decimal(38,6)")).cast("double")
+                / F.count("*")
+            ).alias("avg_cos"),
+            F.min("cos").alias("min_cos"),
+        )
+        .orderBy("label")
+    )

@@ -92,7 +92,7 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every table as a temp view; returns name → DataFrame.
 
     Mirrors the DuckDB oracle environment, where the same names are
-    pre-registered, so ANSI ``oracle_sql()`` strings (65 of 115 — the
+    pre-registered, so ANSI ``oracle_sql()`` strings (65 of 116 — the
     rest use DuckDB list lambdas / md5-replay constructs) run verbatim
     via ``spark.sql`` against these views; value parity is asserted in
     tests/test_sql_entrypoint.py.
