@@ -143,8 +143,28 @@ def decode_png_pure(blob: bytes) -> tuple[int, int] | None:
             # any plausible legit corpus image for the no-library
             # rung): reject rather than spend unbounded zlib CPU.
             return None
+        # Inflate in 1 MB slices with a running byte count: output can
+        # never outrun the declared size by more than one slice, and a
+        # zlib bomb whose stream keeps producing past `expected` is
+        # abandoned at the first over-budget slice instead of being
+        # buffered whole.  Peak transient allocation is therefore
+        # min(actual inflated, expected) + 1 MB — i.e. bounded by the
+        # size the *header* declares (≤ _PNG_MAX_RAW_BYTES, checked
+        # above); that declared-size transient is part of the
+        # documented hostile-input budget, and deployments with tight
+        # Python-worker memory should lower _PNG_MAX_RAW_BYTES
+        # (r4 advisory).
         d = zlib.decompressobj()
-        raw = d.decompress(bytes(idat), expected + 1)
+        raw = bytearray()
+        buf = bytes(idat)
+        while True:
+            piece = d.decompress(buf, 1 << 20)
+            raw += piece
+            if len(raw) > expected:
+                return None
+            buf = d.unconsumed_tail
+            if d.eof or (not piece and not buf):
+                break
         if len(raw) != expected or not d.eof:
             return None
         if width * height > _PNG_MAX_PIXELS:

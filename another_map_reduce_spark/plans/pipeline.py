@@ -1336,14 +1336,16 @@ WITH b AS (
                                  x -> abs(x))) AS s
   FROM embeddings
 ), q AS (
-  SELECT label, e,
+  SELECT label, e, s,
          list_transform(e, x -> round(x * 127.0 / s) * s / 127.0) AS d
   FROM b
 ), c AS (
   SELECT label,
-         round(list_dot_product(e, d)
-               / (sqrt(list_dot_product(e, e))
-                  * sqrt(list_dot_product(d, d))), 6) AS cos
+         CASE WHEN s IS NULL OR s = 0 THEN 1.0
+              ELSE round(list_dot_product(e, d)
+                         / (sqrt(list_dot_product(e, e))
+                            * sqrt(list_dot_product(d, d))), 6)
+         END AS cos
   FROM q
 )
 SELECT label,
@@ -1366,7 +1368,11 @@ def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     The quantizer round(x·127/s) and dequantizer q·s/127 are IEEE
     mult/div (bit-identical both engines); the reconstruction cosine
     is rounded to 6 before aggregation and averaged in DECIMAL, the
-    suite's standard absorption of fold-order ulps.
+    suite's standard absorption of fold-order ulps.  A zero (or
+    empty) vector has scale s=0, which would make the quantizer and
+    cosine NaN — and NaN handling then diverges cross-engine — so
+    both sides pin cos=1.0 for that case (an all-zero vector is
+    reconstructed exactly; r4 advisory).
     """
     from another_map_reduce_spark.functions.vectors import (
         cosine_similarity,
@@ -1376,10 +1382,10 @@ def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     s = F.array_max(F.transform(e, lambda x: F.abs(x)))
     deq = F.transform(e, lambda x: F.round(x * 127.0 / s) * s / 127.0)
-    scored = emb.select(
-        "label",
-        F.round(cosine_similarity(e, deq), 6).alias("cos"),
+    cos = F.when(s.isNull() | (s == 0.0), F.lit(1.0)).otherwise(
+        F.round(cosine_similarity(e, deq), 6)
     )
+    scored = emb.select("label", cos.alias("cos"))
     return (
         scored.groupBy("label")
         .agg(

@@ -861,6 +861,15 @@ def _stream_shuffle_partitions(spark: SparkSession, n: int = 8):
     At scale the same knob is sized to state VOLUME per partition —
     the point is that stateful width is a deliberate choice, not an
     inherited batch constant.
+
+    NOT reentrant / thread-safe: this mutates the session-global conf
+    for the drain window, so a query planned concurrently on the same
+    session would pick up the narrowed width or race the restore.
+    The driver, bench, and test harnesses all run queries serially,
+    which is the contract this helper assumes; if concurrent drains
+    ever share a session, give each drain its own
+    ``spark.newSession()`` (confs are per-SparkSession clone) instead
+    of flipping the shared value (r4 advisory).
     """
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)

@@ -178,8 +178,14 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of how many duplicates the source holds (the synthetic
     events table is duplicate-free, making pass-through the expected
     case — the suppression side is pinned by
-    tests/test_streaming.py's two-batch duplicate test).  State is
-    bounded: key fingerprints older than the watermark are evicted.
+    tests/test_streaming.py's two-batch duplicate test).  The dedup
+    key is (event_id, event_type), not event_id alone: the oracle
+    counts DISTINCT event_id WITHIN each type group, so an id that
+    ever arrived under two types must be emitted once per type for
+    the equivalence to hold unconditionally — keying on event_id
+    alone would keep only the first arrival's type (r4 advisory).
+    State is bounded: key fingerprints older than the watermark are
+    evicted.
     """
     from another_map_reduce_spark.streaming.joins import dedup_stream
 
@@ -189,7 +195,7 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = _fresh_sink_name("stream_dedup")
     with _stream_shuffle_partitions(spark):
         q = (
-            dedup_stream(raw, ["event_id"])
+            dedup_stream(raw, ["event_id", "event_type"])
             .writeStream.format("memory")
             .queryName(qname)
             .outputMode("append")
