@@ -1,0 +1,507 @@
+"""Round-5 analytics suite — [extension] operators (SURVEY.md §2b).
+
+The reference implements count-by-key only
+(`/root/reference/src/worker.rs:36-38`); everything here is
+[extension] surface a warehouse user expects of an analytics engine
+and an LLM-data pipeline leans on daily:
+
+* one-scan column profiling (the "what is in this 100 TB table"
+  first query of every data audit);
+* time-series resampling with gap-fill / LOCF (metrics pipelines);
+* equi-width histograms (distribution sketching without collect);
+* exact-arithmetic Pearson correlation + OLS regression per group
+  (drift/quality monitoring with cross-engine bit determinism);
+* PageRank — the canonical ITERATIVE distributed algorithm — over a
+  bipartite supplier↔customer graph, with exact-decimal mass sums so
+  a hash-compared oracle is possible at all.
+
+Determinism rules are the suite's standard ones (see
+plans/relational.py docstring): double SUMs go through
+DECIMAL(38,x); products/quotients/sqrt of identical doubles are
+exactly-rounded IEEE ops (identical bits on both engines); libm
+transcendentals are avoided entirely; every top-k sorts by the
+ROUNDED value plus a unique key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from another_map_reduce_spark.functions.aggs import _dec, davg, dsum
+from another_map_reduce_spark.queries import register
+from another_map_reduce_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# One-scan column profiling
+# ---------------------------------------------------------------------------
+
+# (column, kind) spec drives BOTH the Spark plan and the oracle SQL —
+# the same anti-drift construction quality.py uses for its rule table.
+_PROFILE_COLS: list[tuple[str, str]] = [
+    ("l_orderkey", "num"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+]
+
+
+def _profile_oracle() -> str:
+    selects = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn, mx = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
+            ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        else:
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            ms, xs = f"MIN({c})", f"MAX({c})"
+        selects.append(
+            f"SELECT '{c}' AS col_name,"
+            f" CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,"
+            f" CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+            f" {mn} AS min_num, {mx} AS max_num,"
+            f" {ms} AS min_str, {xs} AS max_str FROM lineitem"
+        )
+    return "\nUNION ALL\n".join(selects) + "\nORDER BY col_name"
+
+
+@register("data_profile_summary", oracle=_profile_oracle())
+def data_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile of lineitem in ONE scan: null count,
+    exact distinct count, min/max — the first query every audit of an
+    unknown 100 TB table runs.
+
+    Spark shape: a single wide aggregate computes every metric for
+    every profiled column in one pass (the multiple exact
+    COUNT(DISTINCT)s plan as one Expand — input rows are replicated
+    once per distinct-aggregate, the documented cost of exactness;
+    the at-scale variant swaps in approx_count_distinct and the
+    Expand disappears), then ``stack`` unpivots the 1-row result into
+    a row per column.  The oracle is a UNION ALL of per-column
+    aggregates generated from the SAME column spec, so the two sides
+    cannot drift.
+
+    Numeric min/max surface as double (bit-exact cross-engine — no
+    arithmetic, just comparison), string min/max as the strings
+    themselves; each kind NULLs the other's slots.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c, kind in _PROFILE_COLS:
+        aggs.append(
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"nn_{c}")
+        )
+        aggs.append(F.countDistinct(c).cast("long").alias(f"nd_{c}"))
+        if kind == "num":
+            aggs.append(F.min(c).cast("double").alias(f"mn_{c}"))
+            aggs.append(F.max(c).cast("double").alias(f"mx_{c}"))
+        else:
+            aggs.append(F.min(c).alias(f"ms_{c}"))
+            aggs.append(F.max(c).alias(f"xs_{c}"))
+    one = li.agg(*aggs)
+    rows = []
+    for c, kind in _PROFILE_COLS:
+        mn, mx = (f"mn_{c}", f"mx_{c}") if kind == "num" else ("null", "null")
+        ms, xs = (f"ms_{c}", f"xs_{c}") if kind == "str" else ("null", "null")
+        rows.append(
+            f"('{c}', nn_{c}, nd_{c}, CAST({mn} AS DOUBLE),"
+            f" CAST({mx} AS DOUBLE), CAST({ms} AS STRING),"
+            f" CAST({xs} AS STRING))"
+        )
+    stacked = one.select(
+        F.expr(
+            f"stack({len(rows)}, "
+            + ", ".join(r[1:-1] for r in rows)
+            + ") AS (col_name, n_nulls, n_distinct, min_num, max_num,"
+            " min_str, max_str)"
+        )
+    )
+    return stacked.orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
+# Time-series resample + gap fill (LOCF)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_gapfill_locf",
+    oracle="""
+WITH p AS (
+  SELECT user_id, hour, v FROM (
+    SELECT user_id, DATE_TRUNC('hour', ts) AS hour, value AS v,
+           ROW_NUMBER() OVER (
+             PARTITION BY user_id, DATE_TRUNC('hour', ts)
+             ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase' AND user_id <= 10)
+  WHERE rn = 1
+), span AS (
+  SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM p GROUP BY user_id
+), spine AS (
+  SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM span
+)
+SELECT s.user_id, s.hour,
+       LAST_VALUE(p.v IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+       CAST(CASE WHEN p.v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+FROM spine s LEFT JOIN p ON s.user_id = p.user_id AND s.hour = p.hour
+ORDER BY s.user_id, s.hour
+""",
+)
+def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample of a per-user metric with gap fill by LOCF
+    (last observation carried forward) — the standard time-series
+    densification every metrics/feature pipeline needs and plain SQL
+    GROUP BY can't produce (missing hours simply aren't rows).
+
+    Three declarative stages, all built-ins: (1) per (user, hour)
+    last-by-event-time value — a row_number window with a (ts,
+    event_id) tie-break so duplicate timestamps can't flip the hash;
+    (2) a dense hour spine per user via sequence() + explode between
+    that user's own min/max hour — spine size is span-bounded (the
+    events table covers a fixed 30-day window at every SF, and the
+    user filter bounds the partition count), NOT corpus-bounded;
+    (3) a forward-fill via last(ignorenulls) over an unbounded
+    preceding frame.  The filled value is carried, never computed —
+    doubles pass through bit-exact.
+
+    Scale shape: the spine explode is per-user and runs after the
+    per-user aggregate, so state is O(users x span-hours), and the
+    LOCF window sorts each user's spine independently — no global
+    sort anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    w_last = Window.partitionBy("user_id", "hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    p = (
+        ev.where((F.col("event_type") == "purchase") & (F.col("user_id") <= 10))
+        .select("user_id", hour.alias("hour"), F.col("value").alias("v"),
+                "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w_last))
+        .where(F.col("rn") == 1)
+        .select("user_id", "hour", "v")
+    )
+    spine = (
+        p.groupBy("user_id")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(p, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.last("v", ignorenulls=True).over(w_fill).alias("value_filled"),
+            F.when(F.col("v").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("is_gap"),
+        )
+        .orderBy("user_id", "hour")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram
+# ---------------------------------------------------------------------------
+
+_HIST_LO, _HIST_W, _HIST_NB = 0.0, 25000.0, 20
+
+
+@register(
+    "histogram_order_totals",
+    oracle=f"""
+SELECT LEAST(CAST(FLOOR((o_totalprice - {_HIST_LO}) / {_HIST_W}) AS BIGINT),
+             {_HIST_NB - 1}) AS bucket,
+       CAST(LEAST(CAST(FLOOR((o_totalprice - {_HIST_LO}) / {_HIST_W}) AS BIGINT),
+                  {_HIST_NB - 1}) * {_HIST_W} AS DOUBLE) AS bucket_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_total
+FROM orders
+GROUP BY 1, 2
+ORDER BY bucket
+""",
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals — distribution sketching
+    as a pure aggregate (no collect, no sampling): bucket id is
+    floor((v - lo)/width) clamped to the last bucket, so the whole
+    histogram is one hash aggregate with |buckets| output rows at any
+    scale.
+
+    The bucket expression is spelled with the same exactly-rounded
+    double ops on both engines (subtract, divide, floor — no
+    width_bucket builtin, which DuckDB lacks and whose edge semantics
+    differ subtly across engines anyway); totals sum in DECIMAL.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.lit(_HIST_LO)) / F.lit(_HIST_W)),
+        F.lit(_HIST_NB - 1),
+    ).cast("long")
+    return (
+        o.select(
+            bucket.alias("bucket"),
+            (bucket * F.lit(_HIST_W)).cast("double").alias("bucket_lo"),
+            "o_totalprice",
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum("o_totalprice", "sum_total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-arithmetic correlation / OLS regression per group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "regression_by_flag",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+             AS sxx,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                       AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity * l_extendedprice
+                       AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+           AS corr_qty_price,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+           AS intercept
+FROM s ORDER BY l_returnflag
+""",
+)
+def regression_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation and OLS fit of extendedprice on quantity,
+    per returnflag — the drift-monitoring aggregate, built for
+    cross-engine bit determinism.
+
+    The built-in corr()/regr_slope() stream doubles in partition
+    order (non-reproducible last ulps), so this computes the five
+    moment sums exactly in DECIMAL(38,6) — the per-row products are
+    single IEEE multiplications, identical on both engines — and then
+    evaluates the closed forms in double arithmetic, where every op
+    (multiply, subtract, divide, sqrt) is exactly rounded and
+    therefore bit-identical given identical inputs.  One shuffle,
+    |groups| rows out.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(_dec(x)).cast("double").alias("sx"),
+        F.sum(_dec(y)).cast("double").alias("sy"),
+        F.sum(_dec(x * x)).cast("double").alias("sxx"),
+        F.sum(_dec(y * y)).cast("double").alias("syy"),
+        F.sum(_dec(x * y)).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    return s.select(
+        "l_returnflag",
+        n.cast("long").alias("n_rows"),
+        F.round(cov_n / (F.sqrt(var_x) * F.sqrt(var_y)), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# PageRank — iterative graph algorithm with an exact-decimal oracle
+# ---------------------------------------------------------------------------
+
+_PR_OFF = 1_000_000_000  # customer node id offset (disjoint from suppliers)
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+
+
+def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
+    """Unrolled-iteration PageRank SQL: recursive CTEs can't aggregate
+    in the recursive term (DuckDB/Postgres restriction), but a FIXED
+    iteration count unrolls into plain chained CTEs — one join+group
+    per step, exactly mirroring the Spark loop."""
+    parts = [
+        f"""
+WITH e0 AS (
+  SELECT DISTINCT l_suppkey AS src, {_PR_OFF} + o_custkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+), deg AS (
+  SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src
+), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+r0 AS (
+  SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM deg
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", s{i} AS (
+  SELECT e.dst AS node,
+         SUM(CAST(r.rank / d.d AS DECIMAL(38,18))) AS m
+  FROM edges e
+  JOIN r{i - 1} r ON e.src = r.node
+  JOIN deg d ON e.src = d.node
+  GROUP BY e.dst
+), r{i} AS (
+  SELECT node,
+         {1 - _PR_DAMP} / (SELECT n FROM nn)
+           + {_PR_DAMP} * CAST(m AS DOUBLE) AS rank
+  FROM s{i}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, round(rank, 6) AS pagerank,
+       CASE WHEN node >= {_PR_OFF} THEN 'customer' ELSE 'supplier' END
+           AS node_type
+FROM r{iters}
+ORDER BY round(rank, 6) DESC, node
+LIMIT 20"""
+    )
+    return "".join(parts)
+
+
+def pagerank(
+    edges: DataFrame, iters: int = _PR_ITERS, damp: float = _PR_DAMP
+) -> DataFrame:
+    """PageRank over a directed edge list (src, dst) → (node, rank).
+
+    Requires every node to have out-degree ≥ 1 (symmetrize the graph
+    or add self-loops first) — with no dangling nodes the damped
+    update conserves total mass at 1 without a correction term.
+    Each iteration is ONE shuffle (contributions grouped by dst);
+    shares are summed in DECIMAL(38,18) so the result is
+    fold-order-free (see pagerank_suppliers for the full determinism
+    argument).  Callers looping more than a handful of iterations
+    should localCheckpoint the rank table every few rounds exactly as
+    operators/graph.py does for connected components.
+    """
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ranks = deg.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(
+                deg.withColumnRenamed("node", "src_node"),
+                edges.src == F.col("src_node"),
+            )
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("d"))
+                .cast("decimal(38,18)")
+                .alias("share"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(F.sum("share").alias("m"))
+        ranks = sums.crossJoin(F.broadcast(nn)).select(
+            "node",
+            (
+                F.lit(1 - damp) / F.col("n")
+                + F.lit(damp) * F.col("m").cast("double")
+            ).alias("rank"),
+        )
+    return ranks
+
+
+@register("pagerank_suppliers", oracle=_pagerank_oracle())
+def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite supplier↔customer trade graph —
+    the canonical iterative distributed algorithm, shaped for both
+    scale and a hash-compared oracle.
+
+    Graph: distinct (supplier, customer) pairs from lineitem⋈orders,
+    symmetrized (customer ids offset into a disjoint range), so every
+    node has out-degree ≥ 1 and no dangling-mass correction is
+    needed.  Three fixed iterations of rank = 0.15/N + 0.85·Σ
+    rank(src)/deg(src) over in-edges.
+
+    Determinism: the per-edge share rank/deg is one IEEE division
+    (bit-identical both engines); shares are cast to DECIMAL(38,18)
+    and SUMmed exactly — order-free — then one multiply+add in double
+    re-derives the rank.  The final top-20 sorts by the ROUNDED rank
+    with the node id as tie-break, so a sub-ulp cross-engine
+    difference cannot reorder the cut.  The oracle unrolls the same
+    three iterations as chained CTEs (recursive CTEs can't aggregate
+    in the recursive term).
+
+    Scale shape: each iteration is ONE shuffle (group contributions
+    by dst); the rank and degree tables are node-sized and join the
+    edge table on its existing src hash partitioning; N arrives via a
+    1-row broadcast (BroadcastNestedLoop of a scalar — the suite's
+    documented pattern), never a driver collect.  At 100 TB the loop
+    adds localCheckpoint every few rounds exactly as
+    operators/graph.py does for connected components; 3 rounds of
+    lineage need none.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.lit(_PR_OFF) + F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank(edges)
+    return (
+        ranks.select(
+            "node",
+            F.round("rank", 6).alias("pagerank"),
+            F.when(F.col("node") >= _PR_OFF, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+        )
+        .orderBy(F.col("pagerank").desc(), "node")
+        .limit(20)
+    )

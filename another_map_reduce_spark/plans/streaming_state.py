@@ -264,3 +264,68 @@ def stream_static_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mktsegment")
     )
+
+
+@register(
+    "stream_sliding_counts",
+    oracle="""
+WITH wm AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM events),
+a AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS win_start, event_type
+  FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE
+             AS win_start,
+         event_type
+  FROM events
+)
+SELECT win_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM a
+GROUP BY win_start, event_type
+HAVING win_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+ORDER BY win_start, event_type
+""",
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING windows on the incremental streaming path: 1-hour
+    windows sliding every 30 minutes (each event lands in exactly two
+    windows), APPEND mode + 30-minute watermark, drained with
+    ``Trigger.AvailableNow`` — the overlapping-window complement to
+    ``stream_events_hourly_append``'s tumbling row.
+
+    Sliding state is the interesting part at scale: the store holds
+    window/slide = 2 concurrent window rows per key instead of one,
+    and append-mode eviction closes them in slide-sized steps — same
+    ``<=`` end-comparator as the tumbling row (pinned by the
+    boundary-exact synthetic test there).  The oracle materializes
+    Spark's window-assignment rule directly: an event at t belongs to
+    the slide-aligned windows starting at bucket30(t) and
+    bucket30(t) − 30 min, both engines aligning buckets on :00/:30
+    (epoch-aligned in Spark, origin-2000 time_bucket in DuckDB — both
+    origins sit on a whole hour), then applies the same
+    end ≤ max(ts) − 30 min cutoff.
+    """
+    raw = _events_readstream(spark, sf_dir)
+    windowed = (
+        raw.withWatermark("ts", "30 minutes")
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    qname = _fresh_sink_name("stream_sliding")
+    with _stream_shuffle_partitions(spark):
+        q = (
+            windowed.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(qname)
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+        .orderBy("win_start", "event_type")
+    )

@@ -44,6 +44,7 @@ def _load() -> None:
     import another_map_reduce_spark.plans.pipeline  # noqa: F401
     import another_map_reduce_spark.plans.datapipe  # noqa: F401
     import another_map_reduce_spark.plans.streaming_state  # noqa: F401
+    import another_map_reduce_spark.plans.analytics  # noqa: F401
 
 
 # The driver checks queries in iteration order and CORRECTNESS_r01
@@ -74,71 +75,96 @@ def _load() -> None:
 # wordcount API-path twins (pandas/mr — they re-prove the same
 # `worker.rs:23-38` semantics as `wordcount` and `udtf_wordcount`
 # through a different API).  The 50 fresh-r3 rows move to the tail.
-# Scoping: the front-block promotion applies to OPERATOR-capability
-# additions (streaming state, CDC, UDAF, LM/packing, connector); the
-# two pure SQL-surface demos (recursive_calendar_gaps,
-# variant_props_stats) and the fourth/fifth streaming rows
-# (stream_dedup_counts, stream_static_join_segments — three streaming
-# rows are already in front) stay mid-order for an r5 row rather than
-# hollowing out the last r2-era refreshes — they are fully proven by
-# the sf0.001 differential tests and the local driver-faithful gate
-# meanwhile.  r5 rotation plan: front-order those four, any new r5
-# queries, then the eight trimmed r2-era rows listed above, then the
-# oldest r3-era rows to fill the 50.
+# Round 5 executes the rotation the r4 close documented: (1) the six
+# queries that have NEVER had a driver row (four were parked mid-order
+# in r4 plus two added after the r4 window closed), (2) the six new
+# r5 queries, (3) the eight r2-era rows trimmed from the r4 front
+# block, then (4) the oldest r3-era rows in registration order to
+# fill the 50-row window.  After this round the union of r4+r5 rows
+# leaves only ~20 r3-era queries more than one round stale (they are
+# positions 51-70 here, first in line for r6) — with 122 registered
+# queries and a 50-row cap a rolling two-round rotation is the
+# best achievable freshness.  All parked queries remain proven each
+# round by the sf0.001 differential suite and the driver-faithful
+# local gate at sf0.01.
 _ORDER_FRONT = [
-    # round-4 additions — no driver row yet:
-    "stream_events_hourly_append",
-    "multimodal_audio_meta",
-    "stream_funnel_stateful",
-    "cdc_upsert_balances",
-    "udaf_median_doclen",
-    "lm_novelty_score",
-    "pack_sequences_report",
-    "stream_join_purchase_view",
-    "pysource_wordcount",
-    # r1-era rows (driver record is three engine-stack drifts old):
-    "wordcount",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "window_topk_per_group",
-    "window_running_sum",
-    "window_lag_lead",
-    "topk_global",
-    "distinct_pairs",
-    "set_intersect",
-    "set_except",
-    "set_union_all",
-    "scalar_string_date_math",
-    "scalar_case_bucket",
-    "json_extract_agg",
-    "events_hourly",
-    "subquery_above_avg",
-    "asof_last_purchase",
-    "range_views_before_purchase",
-    "session_windows_batch",
-    "pivot_lang_source",
-    "grouping_sets",
-    "percentiles_by_priority",
-    "q3_shipping_priority",
-    "window_rank_family",
-    "array_functions",
-    "json_struct_parse",
-    "q10_returned_items",
-    "string_match_funcs",
-    "null_handling",
-    "cross_join_regions",
-    "text_token_stats",
-    "text_quality_by_lang",
-    "lang_id_confusion",
-    "dedup_exact_stats",
-    "dedup_fingerprint_stats",
-    "dedup_ngram_jaccard",
-    # r2-era rows:
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q19_disjunctive_predicates",
-    "q1_pricing_summary",
+    # never had a driver row:
+    "stream_dedup_counts",
+    "stream_static_join_segments",
+    "recursive_calendar_gaps",
+    "variant_props_stats",
+    "sink_sorted_skipping",
+    "embedding_quantize_stats",
+    # round-5 additions:
+    "data_profile_summary",
+    "timeseries_gapfill_locf",
+    "histogram_order_totals",
+    "regression_by_flag",
+    "pagerank_suppliers",
+    "stream_sliding_counts",
+    # r2-era rows (trimmed from the r4 front block):
+    "join_multiway",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_having",
+    "join_broadcast_agg",
+    "q22_dormant_customers",
+    "q17_small_qty_revenue",
+    # oldest r3-era rows, registration order (fills the window to 50):
+    "filter_project",
+    "join_full_outer",
+    "window_time_range_sum",
+    "stream_events_hourly",
+    "cohort_retention",
+    "funnel_conversion",
+    "approx_distinct_users",
+    "sink_roundtrip_partitioned",
+    "q2_min_price_part",
+    "q4_priority_exists",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q12_priority_linecount",
+    "q15_top_supplier",
+    "q18_large_volume_customer",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_parts_supplier",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "udtf_wordcount",
+    "tfidf_top_terms",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "inverted_index",
+    "dedup_cc_clusters",
+    "ann_cosine_topk",
+    "ann_cosine_pairs",
+    # ---- 50-row window boundary ----
+    # remaining r3-era rows: overflow positions 51-70, front of the
+    # r6 rotation if the driver ever records more than 50
+    "ann_ivf_topk",
+    "multimodal_meta",
+    "multimodal_frames",
+    "doc_winnowing_stats",
+    "skew_salted_agg",
+    "embedding_centroids",
+    "bigram_lm_topk",
+    "heavy_hitter_words",
+    "split_train_val_test",
+    "pii_redaction",
+    "doc_chunks",
+    "text_normalize_stats",
+    "stratified_sample",
+    "doc_repetition_stats",
+    "decontam_overlap",
+    "quality_filter_gopher",
+    "domain_mix_report",
+    "dup_substring_stats",
+    "corpus_build_report",
+    "semantic_dedup_stats",
 ]
 # Everything with a fresh r3 driver row lands in the mid block in its
 # natural registration order; only the sacrificed API twins are pinned
