@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from another_map_reduce_spark.functions.aggs import _dec, davg, dsum
+from another_map_reduce_spark.functions.aggs import _dec, dsum
 from another_map_reduce_spark.queries import register
 from another_map_reduce_spark.sources.tables import load_table
 
@@ -400,7 +400,10 @@ LIMIT 20"""
 
 
 def pagerank(
-    edges: DataFrame, iters: int = _PR_ITERS, damp: float = _PR_DAMP
+    edges: DataFrame,
+    iters: int = _PR_ITERS,
+    damp: float = _PR_DAMP,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """PageRank over a directed edge list (src, dst) → (node, rank).
 
@@ -410,10 +413,22 @@ def pagerank(
     Each iteration is ONE shuffle (contributions grouped by dst);
     shares are summed in DECIMAL(38,18) so the result is
     fold-order-free (see pagerank_suppliers for the full determinism
-    argument).  Callers looping more than a handful of iterations
-    should localCheckpoint the rank table every few rounds exactly as
-    operators/graph.py does for connected components.
+    argument).
+
+    Lineage discipline (the lesson operators/graph.py's CC loop
+    learned): the edge list is lazily localCheckpoint-ed ONCE, so
+    every iteration reads cached edge blocks instead of re-deriving
+    the upstream scan+join+distinct (without this the 3-iteration
+    plan carried 57 exchanges; with it, one derivation total), and
+    the rank table is checkpointed every ``checkpoint_every`` rounds
+    so long runs don't compound a per-iteration plan replay.
     """
+    # Hash-partition the edge list by src ONCE, then checkpoint: the
+    # LogicalRDD keeps that outputPartitioning, so the degree
+    # aggregate and every iteration's edges⋈ranks join reuse it — the
+    # only per-iteration shuffles left are the (node-sized) rank table
+    # and the contribution groupBy on dst.
+    edges = edges.repartition("src").localCheckpoint(eager=False)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
     )
@@ -421,7 +436,7 @@ def pagerank(
     ranks = deg.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
     )
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             edges.join(ranks, edges.src == ranks.node)
             .join(
@@ -443,6 +458,8 @@ def pagerank(
                 + F.lit(damp) * F.col("m").cast("double")
             ).alias("rank"),
         )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -504,4 +521,180 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("pagerank").desc(), "node")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# NTILE quantile bucketing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_ntile_deciles",
+    oracle="""
+WITH d AS (
+  SELECT o_orderstatus, o_totalprice,
+         NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_totalprice) AS min_total,
+       MAX(o_totalprice) AS max_total,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_total
+FROM d GROUP BY decile ORDER BY decile
+""",
+)
+def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bucketing via NTILE + per-decile stats — the quantile
+    feature-binning shape (equal-COUNT buckets, vs the equal-WIDTH
+    histogram above).
+
+    NTILE over a global order is the one window here that cannot
+    partition: it needs a total sort.  That is the honest cost of
+    exact equal-count buckets; the at-scale variant uses
+    approx_percentile cutpoints + a join (no global sort) at the
+    price of boundary exactness.  The ORDER BY carries o_orderkey as
+    tie-break: NTILE's bucket-boundary assignment depends on row
+    order, so without a unique key equal totalprices could land in
+    different deciles per engine and flip min/max/count hashes.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.ntile(10)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("decile"),
+    )
+    return (
+        d.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min("o_totalprice").alias("min_total"),
+            F.max("o_totalprice").alias("max_total"),
+            dsum("o_totalprice", "sum_total"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) multi-dimensional data layout
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8  # 8 bits per dimension → 16-bit Morton code, 256x256 grid
+
+
+def zorder_code(x: "F.Column", y: "F.Column", bits: int = _Z_BITS) -> "F.Column":
+    """Morton (Z-order) interleave of two bucket ids, as a pure column
+    expression: bit i of x lands at position 2i, bit i of y at 2i+1.
+    Stays inside whole-stage codegen — `bits` shifts and ORs, no UDF.
+    """
+    import operator
+    from functools import reduce
+
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return reduce(operator.add, terms)
+
+
+@register(
+    "zorder_layout_skipping",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_total
+FROM orders
+WHERE o_custkey >= 100 AND o_custkey < 300
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-01-01'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def zorder_layout_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER data layout: orders rewritten clustered by the Morton
+    interleave of (custkey bucket, orderdate bucket), then a 2-D box
+    query reads the layout back and must hash-match the oracle
+    computed on the ORIGINAL table.
+
+    sink_sorted_skipping proves the single-dimension layout lever;
+    this is the multi-dimension one: a total sort on (date, custkey)
+    clusters date perfectly and custkey not at all, while the Morton
+    code gives every dimension ~half the bits, so a box predicate on
+    EITHER or BOTH dimensions maps to a bounded set of Z-ranges and
+    parquet row-group min/max stats prune most groups (the layout
+    behind Delta/Iceberg OPTIMIZE ZORDER — here expressed with plain
+    repartitionByRange + sortWithinPartitions on the code, no table
+    format needed).  tests/test_analytics.py measures the clustering:
+    per-row-group custkey AND date spreads must both shrink vs the
+    unsorted layout's.
+
+    The correctness contract is layout-independence (identical rows
+    and aggregates after the rewrite), so the oracle never needs the
+    Z-code itself — it stays Spark-side, a pure shift/mask column
+    expression inside codegen.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate",
+    )
+    # Order-preserving bucketing of both dimensions into the 2^bits
+    # grid.  The key dimension's domain scales with SF, so its scale
+    # factor comes from an in-plan 1-row broadcast (max custkey) —
+    # a static divisor would leave the high Morton bits always-zero at
+    # small SFs and the layout would degenerate to a date sort.  The
+    # date dimension's domain is calendar-known; static is correct.
+    ckmax = o.agg(F.max("o_custkey").alias("ckmax"))
+    o = o.crossJoin(F.broadcast(ckmax))
+    xb = F.least(
+        F.floor(
+            F.col("o_custkey") * (1 << _Z_BITS) / (F.col("ckmax") + 1)
+        ),
+        F.lit((1 << _Z_BITS) - 1),
+    ).cast("int")
+    yb = F.least(
+        F.greatest(
+            F.floor(
+                F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")) / 16
+            ),
+            F.lit(0),
+        ),
+        F.lit((1 << _Z_BITS) - 1),
+    ).cast("int")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"amrs_zorder_layout_{os.getpid()}_{tag}"
+    )
+    (
+        o.withColumn("z", zorder_code(xb, yb))
+        .repartitionByRange(8, "z")
+        .sortWithinPartitions("z")
+        .drop("z", "ckmax")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.where(
+            (F.col("o_custkey") >= 100)
+            & (F.col("o_custkey") < 300)
+            & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum("o_totalprice", "sum_total"),
+        )
+        .orderBy("o_orderstatus")
     )

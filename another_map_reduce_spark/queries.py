@@ -102,6 +102,8 @@ _ORDER_FRONT = [
     "regression_by_flag",
     "pagerank_suppliers",
     "stream_sliding_counts",
+    "window_ntile_deciles",
+    "zorder_layout_skipping",
     # r2-era rows (trimmed from the r4 front block):
     "join_multiway",
     "agg_distinct",
@@ -140,11 +142,11 @@ _ORDER_FRONT = [
     "dedup_simhash",
     "inverted_index",
     "dedup_cc_clusters",
+    # ---- 50-row window boundary ----
+    # remaining r3-era rows: overflow positions 51+, front of the
+    # r6 rotation if the driver ever records more than 50
     "ann_cosine_topk",
     "ann_cosine_pairs",
-    # ---- 50-row window boundary ----
-    # remaining r3-era rows: overflow positions 51-70, front of the
-    # r6 rotation if the driver ever records more than 50
     "ann_ivf_topk",
     "multimodal_meta",
     "multimodal_frames",

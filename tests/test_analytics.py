@@ -117,3 +117,133 @@ def test_pagerank_suppliers_shape(spark, sf_dir):
     for r in rows:
         want = "customer" if r.node >= 1_000_000_000 else "supplier"
         assert r.node_type == want
+
+
+def test_ntile_deciles_partition_counts(spark, sf_dir):
+    from another_map_reduce_spark.plans.analytics import window_ntile_deciles
+
+    rows = window_ntile_deciles(spark, sf_dir).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    total = sum(r.n_orders for r in rows)
+    counts = [r.n_orders for r in rows]
+    # NTILE contract: sizes differ by at most 1, larger buckets first
+    assert max(counts) - min(counts) <= 1
+    assert counts == sorted(counts, reverse=True)
+    # buckets are contiguous value ranges: max of decile d <= min of d+1
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_total <= b.min_total
+    assert total == spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+
+
+def _rowgroup_spreads(path: str):
+    """Per-row-group (custkey, orderdate) min/max spreads as fractions
+    of the global span, via parquet footer statistics."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    frags = []
+    for f in sorted(_glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            ck = g.column(cols["o_custkey"]).statistics
+            od = g.column(cols["o_orderdate"]).statistics
+            frags.append((ck.min, ck.max, od.min, od.max))
+    ck_lo = min(f[0] for f in frags)
+    ck_hi = max(f[1] for f in frags)
+    od_lo = min(f[2] for f in frags)
+    od_hi = max(f[3] for f in frags)
+
+    def frac(lo, hi, glo, ghi):
+        span = (ghi - glo) if not hasattr(ghi, "timestamp") else (
+            ghi.timestamp() - glo.timestamp()
+        )
+        width = (hi - lo) if not hasattr(hi, "timestamp") else (
+            hi.timestamp() - lo.timestamp()
+        )
+        return width / span if span else 0.0
+
+    ck_avg = sum(frac(f[0], f[1], ck_lo, ck_hi) for f in frags) / len(frags)
+    od_avg = sum(frac(f[2], f[3], od_lo, od_hi) for f in frags) / len(frags)
+    return ck_avg, od_avg, len(frags)
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """The Morton layout must shrink per-row-group min/max spreads on
+    BOTH dimensions vs an unsorted multi-file layout — that spread is
+    exactly what parquet row-group skipping prunes on."""
+    import hashlib
+    import os
+    import tempfile
+
+    from another_map_reduce_spark.plans.analytics import (
+        zorder_layout_skipping,
+    )
+
+    zorder_layout_skipping(spark, sf_dir).collect()  # writes the layout
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"amrs_zorder_layout_{os.getpid()}_{tag}"
+    )
+    flat = str(tmp_path / "orders_flat")
+    (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .repartition(8)  # round-robin: same file count, no clustering
+        .write.mode("overwrite")
+        .parquet(flat)
+    )
+    z_ck, z_od, z_n = _rowgroup_spreads(zpath)
+    f_ck, f_od, f_n = _rowgroup_spreads(flat)
+    assert z_n >= 4 and f_n >= 4  # multi-fragment layouts, else vacuous
+    # unsorted round-robin fragments each cover ~the whole domain
+    assert f_ck > 0.9 and f_od > 0.9
+    # Morton clustering: both dimensions shrink, substantially
+    assert z_ck < 0.6 * f_ck, (z_ck, f_ck)
+    assert z_od < 0.6 * f_od, (z_od, f_od)
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """Joins against a partitioned layout must plan a DPP subquery:
+    the partition filter is injected at runtime from the dim side's
+    filtered keys — the partition-grain complement to the row-group
+    skipping the layout queries prove."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    part = base + "/orders_by_year"
+    o.withColumn("o_year", F.year("o_orderdate")).write.mode(
+        "overwrite"
+    ).partitionBy("o_year").parquet(part)
+    dimp = base + "/years"
+    (
+        o.select(F.year("o_orderdate").alias("y"))
+        .distinct()
+        .withColumn("flag", (F.col("y") % 3 == 0).cast("int"))
+        .write.mode("overwrite")
+        .parquet(dimp)
+    )
+    back = spark.read.parquet(part)
+    dim = spark.read.parquet(dimp).where(F.col("flag") == 1)
+    j = (
+        back.join(dim, back.o_year == dim.y)
+        .groupBy("o_orderstatus")
+        .count()
+    )
+    ex = j._jdf.queryExecution().toString()
+    assert "dynamicpruning" in ex.lower()
+    # and the pruned result is still correct
+    got = {r.o_orderstatus: r["count"] for r in j.collect()}
+    want = {
+        r.o_orderstatus: r["count"]
+        for r in (
+            o.withColumn("y", F.year("o_orderdate"))
+            .where((F.col("y") % 3) == 0)
+            .groupBy("o_orderstatus")
+            .count()
+            .collect()
+        )
+    }
+    assert got == want
