@@ -25,8 +25,9 @@ def test_front_order_fits_driver_cap():
 
 def test_order_lists_are_consistent():
     """No typos, no duplicates, no overlap between the order lists."""
-    front, heavy, tail = Q._ORDER_FRONT, Q._ORDER_HEAVY, Q._ORDER_TAIL
-    all_listed = front + heavy + tail
+    all_listed = (
+        Q._ORDER_FRONT + Q._ORDER_NEXT + Q._ORDER_HEAVY + Q._ORDER_TAIL
+    )
     assert len(all_listed) == len(set(all_listed)), "duplicate order entry"
     unknown = [n for n in all_listed if n not in Q.QUERIES]
     assert not unknown, f"order entries not in registry: {unknown}"
@@ -35,5 +36,7 @@ def test_order_lists_are_consistent():
 def test_registry_iteration_starts_with_front():
     names = list(Q.QUERIES)
     assert names[: len(Q._ORDER_FRONT)] == Q._ORDER_FRONT
+    n_front = len(Q._ORDER_FRONT)
+    assert names[n_front : n_front + len(Q._ORDER_NEXT)] == Q._ORDER_NEXT
     for late in Q._ORDER_HEAVY + Q._ORDER_TAIL:
         assert names.index(late) >= len(names) - 4
