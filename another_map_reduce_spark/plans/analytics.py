@@ -73,13 +73,17 @@ def data_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact distinct count, min/max — the first query every audit of an
     unknown 100 TB table runs.
 
-    Spark shape: a single wide aggregate computes every metric for
-    every profiled column in one pass (the multiple exact
-    COUNT(DISTINCT)s plan as one Expand — input rows are replicated
-    once per distinct-aggregate, the documented cost of exactness;
-    the at-scale variant swaps in approx_count_distinct and the
-    Expand disappears), then ``stack`` unpivots the 1-row result into
-    a row per column.  The oracle is a UNION ALL of per-column
+    Spark shape: TWO 1-row aggregates cross-joined, then ``stack``
+    unpivots the single row into a row per column.  The split is the
+    load-bearing plan decision: the exact COUNT(DISTINCT)s plan as an
+    Expand that replicates every input row once per distinct
+    aggregate, and MIXING them with the plain min/max/null aggregates
+    forces the plain ones through the same expanded, null-padded,
+    wide-buffer pass — measured 9.4 s at sf0.1 combined vs 2.5 s
+    (distincts) + 1.0 s (min/max) split.  Two clean passes beat one
+    7x-row-multiplied pass at every scale; the at-scale variant swaps
+    in approx_count_distinct and folds back to one pass with no
+    Expand at all.  The oracle is a UNION ALL of per-column
     aggregates generated from the SAME column spec, so the two sides
     cannot drift.
 
@@ -88,19 +92,19 @@ def data_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves; each kind NULLs the other's slots.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    aggs = []
+    dist_aggs, base_aggs = [], []
     for c, kind in _PROFILE_COLS:
-        aggs.append(
+        base_aggs.append(
             (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"nn_{c}")
         )
-        aggs.append(F.countDistinct(c).cast("long").alias(f"nd_{c}"))
+        dist_aggs.append(F.countDistinct(c).cast("long").alias(f"nd_{c}"))
         if kind == "num":
-            aggs.append(F.min(c).cast("double").alias(f"mn_{c}"))
-            aggs.append(F.max(c).cast("double").alias(f"mx_{c}"))
+            base_aggs.append(F.min(c).cast("double").alias(f"mn_{c}"))
+            base_aggs.append(F.max(c).cast("double").alias(f"mx_{c}"))
         else:
-            aggs.append(F.min(c).alias(f"ms_{c}"))
-            aggs.append(F.max(c).alias(f"xs_{c}"))
-    one = li.agg(*aggs)
+            base_aggs.append(F.min(c).alias(f"ms_{c}"))
+            base_aggs.append(F.max(c).alias(f"xs_{c}"))
+    one = li.agg(*dist_aggs).crossJoin(li.agg(*base_aggs))
     rows = []
     for c, kind in _PROFILE_COLS:
         mn, mx = (f"mn_{c}", f"mx_{c}") if kind == "num" else ("null", "null")
@@ -415,40 +419,45 @@ def pagerank(
     fold-order-free (see pagerank_suppliers for the full determinism
     argument).
 
-    Lineage discipline (the lesson operators/graph.py's CC loop
-    learned): the edge list is lazily localCheckpoint-ed ONCE, so
-    every iteration reads cached edge blocks instead of re-deriving
-    the upstream scan+join+distinct (without this the 3-iteration
-    plan carried 57 exchanges; with it, one derivation total), and
-    the rank table is checkpointed every ``checkpoint_every`` rounds
-    so long runs don't compound a per-iteration plan replay.
+    Lineage + shuffle discipline (the lessons operators/graph.py's CC
+    loop learned, plus one): (1) the edge list is hash-partitioned by
+    src, joined with its degree ONCE, and lazily localCheckpoint-ed —
+    every iteration reads cached (src, dst, d) blocks instead of
+    re-deriving the upstream scan+join+distinct (without this the
+    3-iteration plan carried 57 exchanges); (2) the per-iteration
+    edges⋈ranks join is pinned shuffle_hash with ranks as the build
+    side, so the src-partitioned edge blocks are joined IN PLACE —
+    no per-iteration re-sort or re-shuffle of the corpus-sized edge
+    table, which is exactly the property that holds at 100 TB where
+    the node table can't broadcast; (3) the rank table is
+    checkpointed every ``checkpoint_every`` rounds so long runs don't
+    compound plan replay.  The one unavoidable per-iteration shuffle
+    is the contribution groupBy on dst.
     """
-    # Hash-partition the edge list by src ONCE, then checkpoint: the
-    # LogicalRDD keeps that outputPartitioning, so the degree
-    # aggregate and every iteration's edges⋈ranks join reuse it — the
-    # only per-iteration shuffles left are the (node-sized) rank table
-    # and the contribution groupBy on dst.
     edges = edges.repartition("src").localCheckpoint(eager=False)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
     )
-    nn = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    nn = deg.agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    ).localCheckpoint(eager=False)
+    # (src, dst, d): degree rides with the edge so iterations need a
+    # single join; deg is keyed and partitioned by src already, so
+    # this join is exchange-free and paid once at checkpoint time.
+    edges_d = edges.join(
+        deg.withColumnRenamed("node", "src"), "src"
+    ).localCheckpoint(eager=False)
     ranks = deg.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
     )
     for i in range(iters):
-        contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(
-                deg.withColumnRenamed("node", "src_node"),
-                edges.src == F.col("src_node"),
-            )
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("rank") / F.col("d"))
-                .cast("decimal(38,18)")
-                .alias("share"),
-            )
+        contrib = edges_d.join(
+            ranks.hint("shuffle_hash"), edges_d.src == ranks.node
+        ).select(
+            F.col("dst").alias("node"),
+            (F.col("rank") / F.col("d"))
+            .cast("decimal(38,18)")
+            .alias("share"),
         )
         sums = contrib.groupBy("node").agg(F.sum("share").alias("m"))
         ranks = sums.crossJoin(F.broadcast(nn)).select(
@@ -510,18 +519,34 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    ranks = pagerank(edges)
-    return (
-        ranks.select(
-            "node",
-            F.round("rank", 6).alias("pagerank"),
-            F.when(F.col("node") >= _PR_OFF, F.lit("customer"))
-            .otherwise(F.lit("supplier"))
-            .alias("node_type"),
-        )
-        .orderBy(F.col("pagerank").desc(), "node")
-        .limit(20)
+    # Shuffle width sized to the DATA, not inherited from the batch
+    # session (the same discipline the streaming drains apply): the
+    # sf0.1 graph is ~1.2M edges, so 8 partitions ≈ 150k rows each —
+    # at the session's 32-wide default the iteration loop's ~300
+    # scheduled tasks cost more than the work (measured 8.0 s → 2.4 s
+    # at sf0.1).  At real scale the same knob is edge_bytes / target
+    # partition size.  The whole computation is driven to completion
+    # inside the scope (eager checkpoint of the 20-row result), so
+    # the narrowed width can't leak into the caller's session.
+    from another_map_reduce_spark.plans.relational import (
+        _stream_shuffle_partitions,
     )
+
+    with _stream_shuffle_partitions(spark, 8):
+        ranks = pagerank(edges)
+        top = (
+            ranks.select(
+                "node",
+                F.round("rank", 6).alias("pagerank"),
+                F.when(F.col("node") >= _PR_OFF, F.lit("customer"))
+                .otherwise(F.lit("supplier"))
+                .alias("node_type"),
+            )
+            .orderBy(F.col("pagerank").desc(), "node")
+            .limit(20)
+            .localCheckpoint(eager=True)
+        )
+    return top
 
 
 # ---------------------------------------------------------------------------

@@ -10,8 +10,12 @@ setJobGroup) so scaling claims are measured, not asserted.
 Quiet-host rule applies (see BASELINE.md): results are only valid with
 nothing else running.
 
-Usage: python tools/bench_scale.py [out.json]
-  (expects /tmp/scale3 and /tmp/scale10 to exist; builds them if not)
+Usage: python tools/bench_scale.py [out.json] [--relational]
+  (expects the /tmp/scale*/relscale* dirs to exist; builds them if not)
+
+--relational switches to the round-5 relational/graph block (PageRank,
+profiling, regression, layouts, q1/q3) over star-schema replicas built
+with make_scale_data --relational.
 """
 
 from __future__ import annotations
@@ -47,6 +51,26 @@ SCALES = [
     ("30x", "/tmp/scale30", 30),
 ]
 
+# --relational: the round-5 relational/graph block over star-schema
+# replicas (make_scale_data --relational — disjoint key offsets, so
+# N× = N independent copies of the base workload).
+REL_QUERIES = [
+    "pagerank_suppliers",
+    "data_profile_summary",
+    "regression_by_flag",
+    "histogram_order_totals",
+    "window_ntile_deciles",
+    "zorder_layout_skipping",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+]
+
+REL_SCALES = [
+    ("1x", "/root/testdata/sf0.1", 1),
+    ("3x", "/tmp/relscale3", 3),
+    ("10x", "/tmp/relscale10", 10),
+]
+
 
 def _rest(app_port: int, path: str):
     with urllib.request.urlopen(
@@ -72,8 +96,12 @@ def _shuffle_bytes(port: int, app_id: str, group: str) -> dict:
 
 
 def main() -> None:
-    for _, d, n in SCALES:
-        if n > 1 and not Path(f"{d}/documents.parquet").exists():
+    relational = "--relational" in sys.argv
+    queries = REL_QUERIES if relational else QUERIES
+    scales = REL_SCALES if relational else SCALES
+    probe = "orders" if relational else "documents"
+    for _, d, n in scales:
+        if n > 1 and not Path(f"{d}/{probe}.parquet").exists():
             subprocess.run(
                 [
                     sys.executable,
@@ -81,7 +109,8 @@ def main() -> None:
                     "/root/testdata/sf0.1",
                     d,
                     str(n),
-                ],
+                ]
+                + (["--relational"] if relational else []),
                 check=True,
             )
 
@@ -103,9 +132,9 @@ def main() -> None:
     app_id = sc.applicationId
 
     out: dict = {"cpus": 32, "queries": {}}
-    for qname in QUERIES:
+    for qname in queries:
         out["queries"][qname] = {}
-        for label, d, _n in SCALES:
+        for label, d, _n in scales:
             group = f"{qname}@{label}"
             sc.setJobGroup(group, group)
             t0 = time.time()
@@ -123,7 +152,8 @@ def main() -> None:
                 f" shw={rec.get('shuffle_write', -1)}",
                 file=sys.stderr,
             )
-    dest = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_scale.json"
+    args = [a for a in sys.argv[1:] if a != "--relational"]
+    dest = args[0] if args else "/tmp/bench_scale.json"
     Path(dest).write_text(json.dumps(out, indent=2))
     print(json.dumps(out))
 

@@ -138,6 +138,67 @@ def build(base: str, out: str, n: int) -> None:
     )
 
 
+# Disjoint key-offset strides for the relational replication: each
+# replica's keys land in their own range, so replicas never join across
+# — N replicas = N independent copies of the workload, the shape under
+# which join/agg/graph scaling is a measurement rather than a skew
+# stress test.  Offsets stay far below the 1e9 customer-node offset
+# pagerank_suppliers uses, so the graph's node id spaces stay disjoint.
+_REL_STRIDES = {
+    "o_orderkey": 100_000_000,
+    "l_orderkey": 100_000_000,
+    "o_custkey": 10_000_000,
+    "c_custkey": 10_000_000,
+    "l_suppkey": 1_000_000,
+    "s_suppkey": 1_000_000,
+    "l_partkey": 10_000_000,
+    "p_partkey": 10_000_000,
+}
+
+_REL_TABLES = ("orders", "lineitem", "customer", "supplier", "part")
+
+
+def build_relational(base: str, out: str, n: int) -> None:
+    """Replicate the star schema N× with disjoint key offsets (one
+    DuckDB cross-join-with-range COPY per table — no Python row
+    loops).  Non-key columns are carried verbatim, so per-replica
+    selectivities, group cardinalities, and join fan-outs are exactly
+    the base workload's; region/nation (geography dims) and the
+    corpus tables stay shared via symlink."""
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in _REL_TABLES:
+        cols = [
+            r[0]
+            for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{base}/{t}.parquet')"
+            ).fetchall()
+        ]
+        proj = ", ".join(
+            f"{c} + r.r * {_REL_STRIDES[c]} AS {c}" if c in _REL_STRIDES else c
+            for c in cols
+        )
+        con.execute(
+            f"COPY (SELECT {proj} "
+            f"FROM read_parquet('{base}/{t}.parquet'), range({n}) r(r)) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        n_rows = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{out}/{t}.parquet')"
+        ).fetchone()[0]
+        print(f"wrote {out}/{t}.parquet x{n} ({n_rows} rows)")
+    for f in Path(base).glob("*.parquet"):
+        if f.stem in _REL_TABLES:
+            continue
+        dst = Path(out) / f.name
+        if not (dst.is_symlink() or dst.exists()):
+            os.symlink(f.resolve(), dst)
+
+
 if __name__ == "__main__":
-    base, out, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
-    build(base, out, n)
+    args = [a for a in sys.argv[1:] if a != "--relational"]
+    base, out, n = args[0], args[1], int(args[2])
+    if "--relational" in sys.argv:
+        build_relational(base, out, n)
+    else:
+        build(base, out, n)
