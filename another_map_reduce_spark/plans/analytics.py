@@ -723,3 +723,54 @@ def zorder_layout_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct counting (the window-COUNT-DISTINCT workaround)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cumulative_unique_users",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, MIN(DATE_TRUNC('day', ts)) AS first_day
+  FROM events GROUP BY user_id
+), per_day AS (
+  SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM first_seen GROUP BY first_day
+)
+SELECT day, n_new,
+       CAST(SUM(n_new) OVER (ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_cumulative
+FROM per_day ORDER BY day
+""",
+)
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the growth curve every
+    product dashboard wants, and the textbook case where the naive
+    plan (COUNT(DISTINCT) OVER a running window) is unsupported /
+    quadratic.  The linear shape: distinct counting reduces to each
+    user's FIRST day (one aggregate), daily new-user counts (second
+    aggregate, |days| rows), and a running sum over that tiny series.
+    Two shuffles on the corpus-sized side total, window only over the
+    |days|-row aggregate — the same aggregate-then-window discipline
+    as cohort_retention/domain_mix.  All-integer outputs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("first_day")
+    )
+    per_day = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_day.select(
+        "day",
+        "n_new",
+        F.sum("n_new").over(w).cast("long").alias("n_cumulative"),
+    ).orderBy("day")

@@ -104,6 +104,7 @@ _ORDER_FRONT = [
     "stream_sliding_counts",
     "window_ntile_deciles",
     "zorder_layout_skipping",
+    "cumulative_unique_users",
     # r2-era rows (trimmed from the r4 front block):
     "join_multiway",
     "agg_distinct",
@@ -141,12 +142,12 @@ _ORDER_FRONT = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "inverted_index",
-    "dedup_cc_clusters",
 ]
 # Overflow just past the 50-row window boundary: the remaining
 # r3-era rows, first in line for the r6 rotation (and recorded this
 # round if the driver ever reads past 50).
 _ORDER_NEXT = [
+    "dedup_cc_clusters",
     "ann_cosine_topk",
     "ann_cosine_pairs",
     "ann_ivf_topk",

@@ -247,3 +247,24 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
         )
     }
     assert got == want
+
+
+def test_cumulative_unique_users_invariants(spark, sf_dir):
+    from another_map_reduce_spark.plans.analytics import (
+        cumulative_unique_users,
+    )
+
+    rows = cumulative_unique_users(spark, sf_dir).collect()
+    assert rows, "empty growth curve"
+    run = 0
+    for r in rows:
+        assert r.n_new > 0  # days with no new users have no row
+        run += r.n_new
+        assert r.n_cumulative == run
+    total_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows[-1].n_cumulative == total_users
