@@ -497,10 +497,15 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     by dst); the rank and degree tables are node-sized and join the
     edge table on its existing src hash partitioning; N arrives via a
     1-row broadcast (BroadcastNestedLoop of a scalar — the suite's
-    documented pattern), never a driver collect.  At 100 TB the loop
-    adds localCheckpoint every few rounds exactly as
-    operators/graph.py does for connected components; 3 rounds of
-    lineage need none.
+    documented pattern), never a driver collect.
+
+    Plan-audit note: the query returns an eagerly materialized 20-row
+    result (the narrowed shuffle width must not leak — see below), so
+    PLANS.md sees only the cached scan.  The real iteration plan is
+    the one `pagerank` builds: audited at ~22 exchanges for 3
+    iterations after the edge checkpoint (down from 57 without it),
+    with the per-iteration edge join pinned shuffle_hash on the
+    src-partitioned cached blocks.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
@@ -774,3 +779,13 @@ def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new",
         F.sum("n_new").over(w).cast("long").alias("n_cumulative"),
     ).orderBy("day")
+
+
+# Registry-order repair: if THIS module was the user's first import, the
+# circular import through queries._load() saw it partially initialized
+# and ordered the registry without its entries (they append afterwards).
+# Re-running the idempotent reorder at module completion makes the
+# driver-window ordering independent of which module is imported first.
+from another_map_reduce_spark.queries import _reorder as _amrs_reorder  # noqa: E402
+
+_amrs_reorder()

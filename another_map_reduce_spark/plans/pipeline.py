@@ -1398,3 +1398,13 @@ def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# Registry-order repair: if THIS module was the user's first import, the
+# circular import through queries._load() saw it partially initialized
+# and ordered the registry without its entries (they append afterwards).
+# Re-running the idempotent reorder at module completion makes the
+# driver-window ordering independent of which module is imported first.
+from another_map_reduce_spark.queries import _reorder as _amrs_reorder  # noqa: E402
+
+_amrs_reorder()

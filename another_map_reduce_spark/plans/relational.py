@@ -2081,3 +2081,13 @@ def sink_sorted_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# Registry-order repair: if THIS module was the user's first import, the
+# circular import through queries._load() saw it partially initialized
+# and ordered the registry without its entries (they append afterwards).
+# Re-running the idempotent reorder at module completion makes the
+# driver-window ordering independent of which module is imported first.
+from another_map_reduce_spark.queries import _reorder as _amrs_reorder  # noqa: E402
+
+_amrs_reorder()
