@@ -781,6 +781,194 @@ def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+
+# ---------------------------------------------------------------------------
+# Event-sequence analytics: transition matrix, time-to-convert
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER
+             (PARTITION BY event_type), 6) AS p
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+ORDER BY from_type, to_type
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence — which action follows which, and with what probability.
+    The behavioral-analytics companion to the funnel: LEAD over the
+    per-user event-time order (event_id tie-break), pair counts, and
+    row-normalized probabilities via a window over the |types|²-row
+    aggregate.  The probability is one division of identical integer
+    operands (bit-deterministic); the per-user sort distributes —
+    no global order anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).where(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w_norm = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w_norm), 6
+        ).alias("p"),
+    ).orderBy("from_type", "to_type")
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_buy
+  FROM events GROUP BY user_id
+), conv AS (
+  SELECT CAST(date_diff('second', first_view, first_buy) AS DOUBLE)
+             AS sec_to_convert
+  FROM firsts
+  WHERE first_view IS NOT NULL AND first_buy IS NOT NULL
+    AND first_buy >= first_view
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       round(quantile_cont(sec_to_convert, 0.50), 3) AS p50_sec,
+       round(quantile_cont(sec_to_convert, 0.90), 3) AS p90_sec,
+       MIN(sec_to_convert) AS min_sec,
+       MAX(sec_to_convert) AS max_sec
+FROM conv
+""",
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, seconds from first
+    view to first purchase (converters only), summarized as exact
+    interpolated percentiles — the latency half of the funnel story
+    (funnel_conversion counts WHO converts; this measures HOW FAST).
+
+    One aggregate computes both firsts per user (conditional MINs, no
+    self-join); the percentile runs over the |converters|-row frame.
+    percentile_cont's linear interpolation (1−f)·a + f·b is composed
+    of exactly-rounded IEEE ops over integer-valued second diffs —
+    deterministic cross-engine, unlike any libm path.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_buy"),
+    )
+    conv = firsts.where(
+        F.col("first_view").isNotNull()
+        & F.col("first_buy").isNotNull()
+        & (F.col("first_buy") >= F.col("first_view"))
+    ).select(
+        (
+            F.unix_timestamp("first_buy") - F.unix_timestamp("first_view")
+        )
+        .cast("double")
+        .alias("sec_to_convert")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(
+            F.expr("percentile_cont(0.50) WITHIN GROUP (ORDER BY sec_to_convert)"),
+            3,
+        ).alias("p50_sec"),
+        F.round(
+            F.expr("percentile_cont(0.90) WITHIN GROUP (ORDER BY sec_to_convert)"),
+            3,
+        ).alias("p90_sec"),
+        F.min("sec_to_convert").alias("min_sec"),
+        F.max("sec_to_convert").alias("max_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph degree distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=f"""
+WITH e0 AS (
+  SELECT DISTINCT l_suppkey AS src, {_PR_OFF} + o_custkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+), deg AS (
+  SELECT src AS node, COUNT(*) AS d,
+         CASE WHEN src >= {_PR_OFF} THEN 'customer' ELSE 'supplier' END
+             AS node_type
+  FROM edges GROUP BY src
+)
+SELECT node_type, d AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY node_type, d
+ORDER BY node_type, degree
+""",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the supplier↔customer trade graph (the
+    same symmetrized edge list pagerank_suppliers walks) — the first
+    diagnostic run on any graph before an iterative algorithm: it
+    exposes the skew that decides salting/partitioning strategy.
+    Two aggregates (degree per node, node count per degree), output
+    bounded by |distinct degrees| — all integers.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.lit(_PR_OFF) + F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    return (
+        deg.select(
+            F.when(F.col("node") >= _PR_OFF, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.col("d").alias("degree"),
+        )
+        .groupBy("node_type", "degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy("node_type", "degree")
+    )
 # Registry-order repair: if THIS module was the user's first import, the
 # circular import through queries._load() saw it partially initialized
 # and ordered the registry without its entries (they append afterwards).

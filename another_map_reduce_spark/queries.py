@@ -105,6 +105,9 @@ _ORDER_FRONT = [
     "window_ntile_deciles",
     "zorder_layout_skipping",
     "cumulative_unique_users",
+    "event_transition_matrix",
+    "funnel_time_to_convert",
+    "graph_degree_distribution",
     # r2-era rows (trimmed from the r4 front block):
     "join_multiway",
     "agg_distinct",
@@ -137,16 +140,20 @@ _ORDER_FRONT = [
     "q16_parts_supplier",
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
-    "udtf_wordcount",
-    "tfidf_top_terms",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "inverted_index",
 ]
 # Overflow just past the 50-row window boundary: the remaining
 # r3-era rows, first in line for the r6 rotation (and recorded this
-# round if the driver ever reads past 50).
+# round if the driver ever reads past 50).  A first-ever driver row
+# for a new query outranks refreshing an r3-proven one, so each r5
+# addition displaced one refresh here (udtf_wordcount's semantics are
+# re-proven by the wordcount + pysource_wordcount front rows;
+# tfidf/inverted_index share the one-shuffle postings family).
 _ORDER_NEXT = [
+    "udtf_wordcount",
+    "tfidf_top_terms",
+    "inverted_index",
     "dedup_cc_clusters",
     "ann_cosine_topk",
     "ann_cosine_pairs",

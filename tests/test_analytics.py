@@ -268,3 +268,71 @@ def test_cumulative_unique_users_invariants(spark, sf_dir):
         .count()
     )
     assert rows[-1].n_cumulative == total_users
+
+
+def test_transition_matrix_probabilities(spark, sf_dir):
+    from another_map_reduce_spark.plans.analytics import (
+        event_transition_matrix,
+    )
+
+    rows = event_transition_matrix(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # every non-terminal event contributes exactly one transition
+    assert sum(r.n for r in rows) == n_events - n_users
+    by_from: dict[str, float] = {}
+    for r in rows:
+        assert r.n > 0 and 0 < r.p <= 1
+        by_from[r.from_type] = by_from.get(r.from_type, 0.0) + r.p
+    for from_type, total in by_from.items():
+        assert total == pytest.approx(1.0, abs=1e-4), from_type
+
+
+def test_funnel_time_to_convert_ordering(spark, sf_dir):
+    from another_map_reduce_spark.plans.analytics import (
+        funnel_time_to_convert,
+    )
+
+    r = funnel_time_to_convert(spark, sf_dir).collect()[0]
+    assert r.n_converted > 0
+    assert r.min_sec <= r.p50_sec <= r.p90_sec <= r.max_sec
+    assert r.min_sec >= 0  # converters are view-before-buy by filter
+
+
+def test_degree_distribution_mass(spark, sf_dir):
+    from another_map_reduce_spark.plans.analytics import (
+        graph_degree_distribution,
+    )
+
+    rows = graph_degree_distribution(spark, sf_dir).collect()
+    mass = {"supplier": 0, "customer": 0}
+    for r in rows:
+        assert r.degree > 0 and r.n_nodes > 0
+        mass[r.node_type] += r.degree * r.n_nodes
+    # symmetrized bipartite graph: each side's degrees sum to |pairs|
+    assert mass["supplier"] == mass["customer"] > 0
+
+
+def test_zorder_code_properties(spark):
+    from another_map_reduce_spark.plans.analytics import zorder_code
+
+    pts = [(x, y) for x in (0, 1, 2, 3, 170, 255) for y in (0, 1, 2, 3, 85, 255)]
+    df = spark.createDataFrame(pts, "x int, y int")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", zorder_code(F.col("x"), F.col("y")).alias("z")).collect()
+    }
+
+    def ref(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == ref(x, y), (x, y)
+    # interleave is a bijection on the grid: distinct codes, full range
+    assert len(set(got.values())) == len(pts)
+    assert got[(255, 255)] == (1 << 16) - 1 and got[(0, 0)] == 0
