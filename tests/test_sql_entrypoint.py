@@ -40,6 +40,16 @@ def test_oracle_sql_runs_via_spark_sql(spark, sf_dir):
         "join_full_outer",
         "join_semi",
         "window_time_range_sum",
+        # r5 additions — incl. the unrolled-CTE PageRank: one SQL
+        # text produces identical values through DuckDB, spark.sql,
+        # and (for the DataFrame twin) the API surface
+        "histogram_order_totals",
+        "regression_by_flag",
+        "pagerank_suppliers",
+        "window_ntile_deciles",
+        "cumulative_unique_users",
+        "event_transition_matrix",
+        "graph_degree_distribution",
     ]
     for name in sample:
         assert name in parseable, f"{name} no longer parses in spark.sql"
