@@ -525,19 +525,27 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     # Shuffle width sized to the DATA, not inherited from the batch
-    # session (the same discipline the streaming drains apply): the
-    # sf0.1 graph is ~1.2M edges, so 8 partitions ≈ 150k rows each —
-    # at the session's 32-wide default the iteration loop's ~300
-    # scheduled tasks cost more than the work (measured 8.0 s → 2.4 s
-    # at sf0.1).  At real scale the same knob is edge_bytes / target
-    # partition size.  The whole computation is driven to completion
-    # inside the scope (eager checkpoint of the 20-row result), so
-    # the narrowed width can't leak into the caller's session.
+    # session (the same discipline the streaming drains apply).  The
+    # proxy is the orders row count (a metadata-only parquet count):
+    # edges ≈ 2·distinct(supp, cust) ≲ 8·|orders|, and ~300k edge
+    # rows per partition keeps tasks meaty.  At sf0.1 that gives 8
+    # partitions (~150k rows each; the session's 32-wide default
+    # spent more on ~300 task schedulings than on work — measured
+    # 8.0 s → 2.4 s); at the 30x relational replica it gives the full
+    # local width back (a fixed 8 underfed 32 cores there: 4.4M rows
+    # per partition, wall 66 s → re-widened, see BASELINE).  At real
+    # scale the same formula is edge_bytes / target partition size.
+    # The whole computation is driven to completion inside the scope
+    # (eager checkpoint of the 20-row result), so the narrowed width
+    # can't leak into the caller's session.
     from another_map_reduce_spark.plans.relational import (
         _stream_shuffle_partitions,
     )
 
-    with _stream_shuffle_partitions(spark, 8):
+    n_orders = orders.count()  # metadata-only: parquet row-count stats
+    width = max(8, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                       n_orders // 20_000))
+    with _stream_shuffle_partitions(spark, width):
         ranks = pagerank(edges)
         top = (
             ranks.select(

@@ -69,6 +69,7 @@ REL_SCALES = [
     ("1x", "/root/testdata/sf0.1", 1),
     ("3x", "/tmp/relscale3", 3),
     ("10x", "/tmp/relscale10", 10),
+    ("30x", "/tmp/relscale30", 30),
 ]
 
 
