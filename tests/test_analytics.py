@@ -336,3 +336,41 @@ def test_zorder_code_properties(spark):
     # interleave is a bijection on the grid: distinct codes, full range
     assert len(set(got.values())) == len(pts)
     assert got[(255, 255)] == (1 << 16) - 1 and got[(0, 0)] == 0
+
+
+def test_relational_scale_replicas_are_disjoint(spark, sf_dir, tmp_path):
+    """make_scale_data --relational must produce N INDEPENDENT copies:
+    row counts scale exactly, replica key ranges never collide, and a
+    join computed on the replica equals N× the base join — the
+    invariant the relational scaling bench's linearity claims rest on."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from make_scale_data import build_relational
+
+    out = str(tmp_path / "rel2")
+    build_relational(sf_dir, out, 2)
+    for t in ("orders", "lineitem", "customer", "supplier", "part"):
+        base_n = spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        rep_n = spark.read.parquet(f"{out}/{t}.parquet").count()
+        assert rep_n == 2 * base_n, t
+    o = spark.read.parquet(f"{out}/orders.parquet")
+    r0 = o.where(F.col("o_orderkey") < 100_000_000)
+    r1 = o.where(F.col("o_orderkey") >= 100_000_000)
+    assert r0.count() == r1.count() > 0
+    # keys offset consistently: replica 1's custkeys all in their band
+    assert r1.where(F.col("o_custkey") < 10_000_000).count() == 0
+    assert r0.where(F.col("o_custkey") >= 10_000_000).count() == 0
+    # a cross-table join never crosses replicas: result is exactly 2x
+    li = spark.read.parquet(f"{out}/lineitem.parquet")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    base_joined = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .join(
+            spark.read.parquet(f"{sf_dir}/orders.parquet"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert joined == 2 * base_joined
