@@ -1373,19 +1373,61 @@ def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine NaN — and NaN handling then diverges cross-engine — so
     both sides pin cos=1.0 for that case (an all-zero vector is
     reconstructed exactly; r4 advisory).
-    """
-    from another_map_reduce_spark.functions.vectors import (
-        cosine_similarity,
-    )
 
+    Evaluation shape (r5 perf fix, 3.4 s → sub-second at sf0.1):
+    HOF lambda bodies are interpreted per element, so an expression
+    like ``transform(e, x -> ... array_max(...) ...)`` re-derives the
+    scale for every element — O(d²) per row — and a cosine written as
+    three separate dot products re-derives the dequantized array five
+    times.  Instead each intermediate (e, s, the three dot-product
+    sums) is materialized in its own projection — Catalyst keeps
+    projects separate rather than duplicate non-cheap expressions
+    (``collapseProjectAlwaysInline`` default false) — and all three
+    sums (Σe·e, Σe·d, Σd·d) come from ONE ``aggregate`` pass with a
+    struct accumulator.  Each sum keeps the exact left-to-right
+    IEEE add order of the previous three-pass form, so the rounded
+    cosines are bit-identical and the oracle hash is unchanged.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
-    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    s = F.array_max(F.transform(e, lambda x: F.abs(x)))
-    deq = F.transform(e, lambda x: F.round(x * 127.0 / s) * s / 127.0)
-    cos = F.when(s.isNull() | (s == 0.0), F.lit(1.0)).otherwise(
-        F.round(cosine_similarity(e, deq), 6)
+    t = emb.select(
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    scored = emb.select("label", cos.alias("cos"))
+    t = t.select(
+        "label", "e",
+        F.array_max(F.transform("e", F.abs)).alias("s"),
+    )
+    sc = F.col("s")
+    t = t.select(
+        "label", "s",
+        F.aggregate(
+            F.zip_with(
+                F.col("e"),
+                F.transform(
+                    "e", lambda x: F.round(x * 127.0 / sc) * sc / 127.0
+                ),
+                lambda x, y: F.struct(x.alias("x"), y.alias("y")),
+            ),
+            F.struct(
+                F.lit(0.0).alias("ee"),
+                F.lit(0.0).alias("ed"),
+                F.lit(0.0).alias("dd"),
+            ),
+            lambda acc, p: F.struct(
+                (acc.ee + p.x * p.x).alias("ee"),
+                (acc.ed + p.x * p.y).alias("ed"),
+                (acc.dd + p.y * p.y).alias("dd"),
+            ),
+        ).alias("sums"),
+    )
+    cos = F.when(sc.isNull() | (sc == 0.0), F.lit(1.0)).otherwise(
+        F.round(
+            F.col("sums.ed")
+            / (F.sqrt(F.col("sums.ee")) * F.sqrt(F.col("sums.dd"))),
+            6,
+        )
+    )
+    scored = t.select("label", cos.alias("cos"))
     return (
         scored.groupBy("label")
         .agg(
