@@ -129,8 +129,17 @@ def main() -> None:
         full["oracle_queries"] = oracle
 
     # Full detail → repo artifact + stderr; stdout gets the budgeted line.
+    # The committed BENCH_FULL.json is the per-round sf0.1 record: a run
+    # at any other SF (verify smoke at sf0.01, scale experiments) writes
+    # an SF-suffixed sibling instead of clobbering the round artifact.
+    sf_tag = full["sf"]
+    fname = (
+        "BENCH_FULL.json"
+        if sf_tag == "sf0.1"
+        else f"BENCH_FULL_{sf_tag}.json"
+    )
     try:
-        out = Path(__file__).resolve().parent / "BENCH_FULL.json"
+        out = Path(__file__).resolve().parent / fname
         out.write_text(json.dumps(full, indent=1) + "\n")
     except OSError as exc:
         print(f"# BENCH_FULL.json not written: {exc}", file=sys.stderr)
