@@ -977,6 +977,85 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
         .orderBy("node_type", "degree")
     )
+# ---------------------------------------------------------------------------
+# Quantile bucketing WITHOUT a global sort — NTILE's at-scale variant
+# ---------------------------------------------------------------------------
+
+_QB_PCTS = [i / 10 for i in range(1, 10)]  # 9 interior decile cutpoints
+
+
+@register(
+    "quantile_cutpoint_buckets",
+    oracle="""
+WITH cuts AS (
+  SELECT quantile_cont(o_totalprice, {pcts}) AS cs FROM orders
+), b AS (
+  SELECT o_totalprice,
+         1 + len(list_filter(cs, c -> o_totalprice > c)) AS bucket
+  FROM orders, cuts
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_totalprice) AS min_total,
+       MAX(o_totalprice) AS max_total,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_total
+FROM b GROUP BY bucket ORDER BY bucket
+""".format(pcts="[" + ", ".join(str(p) for p in _QB_PCTS) + "]"),
+)
+def quantile_cutpoint_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bucketing via percentile CUTPOINTS + broadcast join — the
+    at-scale alternative to window_ntile_deciles that
+    window_ntile_deciles' own docstring promises: NTILE needs a total
+    sort (one machine sees every row in order), while this shape
+    computes 9 cutpoints in one aggregate, broadcasts the 1-row result,
+    and buckets each row independently — embarrassingly parallel, no
+    global sort, no skew.  The price is boundary exactness: buckets are
+    equal-count only up to rows tied at a cutpoint (vs NTILE's exact
+    n/10 ± 1 guarantee).
+
+    Cross-engine determinism does NOT require the two engines'
+    interpolation arithmetic to agree to the ulp: an interpolated
+    cutpoint lies strictly BETWEEN two adjacent data values, and any
+    ulp-level disagreement stays inside that open interval, where no
+    data value can sit — so `value > cutpoint` evaluates identically
+    on both engines for every row (and a cutpoint that lands exactly
+    ON a data value, interpolation fraction 0, is that value exactly
+    on both engines).  Both engines use the rank = p·(n-1) continuous
+    quantile; the hash gate proves agreement end-to-end.
+
+    Scale note: exact `percentile` buffers a value→count map per
+    partition, which is fine for bounded-cardinality columns but
+    O(distinct) at 100 TB — a production deployment swaps the cutpoint
+    producer for approx_percentile (t-digest: mergeable, bounded
+    memory) and keeps this downstream bucket-join plan UNCHANGED.
+    The exact producer is used here because it is the one a DuckDB
+    oracle can hash-match.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cuts = o.agg(
+        F.percentile(
+            F.col("o_totalprice"),
+            F.array(*[F.lit(p) for p in _QB_PCTS]),
+        ).alias("cs")
+    )
+    bucket = (
+        F.lit(1)
+        + F.size(F.filter("cs", lambda c: F.col("o_totalprice") > c))
+    ).cast("long")
+    return (
+        o.crossJoin(F.broadcast(cuts))
+        .select("o_totalprice", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min("o_totalprice").alias("min_total"),
+            F.max("o_totalprice").alias("max_total"),
+            dsum("o_totalprice", "sum_total"),
+        )
+        .orderBy("bucket")
+    )
+
+
 # Registry-order repair: if THIS module was the user's first import, the
 # circular import through queries._load() saw it partially initialized
 # and ordered the registry without its entries (they append afterwards).

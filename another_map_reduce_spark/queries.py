@@ -177,6 +177,7 @@ _ORDER_NEXT = [
     "dup_substring_stats",
     "corpus_build_report",
     "semantic_dedup_stats",
+    "quantile_cutpoint_buckets",
 ]
 # Everything with a fresh r3 driver row lands in the mid block in its
 # natural registration order; only the sacrificed API twins are pinned

@@ -135,6 +135,27 @@ def test_ntile_deciles_partition_counts(spark, sf_dir):
     assert total == spark.read.parquet(f"{sf_dir}/orders.parquet").count()
 
 
+def test_cutpoint_buckets_match_ntile_up_to_ties(spark, sf_dir):
+    """The sort-free cutpoint variant must reproduce NTILE's contract
+    up to cutpoint ties: contiguous value ranges, all rows covered,
+    bucket sizes within the tie slack of n/10 (o_totalprice is
+    near-unique, so the slack is small)."""
+    from another_map_reduce_spark.plans.analytics import (
+        quantile_cutpoint_buckets,
+    )
+
+    rows = quantile_cutpoint_buckets(spark, sf_dir).collect()
+    assert [r.bucket for r in rows] == list(range(1, 11))
+    n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert sum(r.n_orders for r in rows) == n
+    # contiguous, non-overlapping value ranges
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_total <= b.min_total
+    # near-equal counts: ties at a cutpoint are the only slack source
+    for r in rows:
+        assert abs(r.n_orders - n / 10) <= max(5, 0.02 * n), r
+
+
 def _rowgroup_spreads(path: str):
     """Per-row-group (custkey, orderdate) min/max spreads as fractions
     of the global span, via parquet footer statistics."""
