@@ -1442,6 +1442,114 @@ def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval — the search-side consumer of the inverted index
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["hash", "join", "vector", "dup", "spark"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "bm25_retrieval",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest({_TOKENS}) AS term FROM documents
+), dl AS (
+  SELECT doc, COUNT(*) AS dl FROM toks GROUP BY doc
+), stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         COUNT(*) AS n_docs
+  FROM dl
+), tf AS (
+  SELECT doc, term, COUNT(*) AS tf FROM toks
+  WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+  GROUP BY doc, term
+), dfc AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc,
+         CAST(((n_docs - df + 0.5) / (df + 0.5))
+              * (tf * ({_BM25_K1} + 1.0))
+              / (tf + {_BM25_K1} * ((1.0 - {_BM25_B})
+                                    + ({_BM25_B} * dl) / avgdl))
+              AS DECIMAL(38,12)) AS c
+  FROM tf JOIN dfc USING (term) JOIN dl USING (doc) CROSS JOIN stats
+)
+SELECT doc, round(CAST(SUM(c) AS DOUBLE), 6) AS bm25
+FROM scored GROUP BY doc
+ORDER BY bm25 DESC, doc LIMIT 10
+""",
+)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for a fixed query-term set by BM25 — ranked
+    retrieval, the operator the inverted index exists to serve, with
+    the two things plain tf·idf lacks: TF SATURATION
+    (tf·(k1+1)/(tf+k1·…) caps repeated-term influence) and LENGTH
+    NORMALIZATION (b·dl/avgdl discounts long documents).
+
+    Relational shape built for scale: the token stream is filtered to
+    the query terms BEFORE the (doc,term) shuffle — postings for 5
+    terms, not the corpus; document lengths are a map-side-combined
+    per-doc count; df and the (avgdl, N) pair are tiny frames
+    broadcast to the postings.  One corpus scan feeds tf, a second
+    feeds dl (two narrow scans beat shuffling the full (doc,term)
+    matrix when only 5 terms are queried).
+
+    Determinism: Robertson's idf is ln((N-df+.5)/(df+.5)) — ln() is
+    the engine-specific last-ulp trap this suite bans (see
+    tfidf_top_terms), so the RATIONAL odds (N-df+.5)/(df+.5) are used
+    unlogged: same monotone ranking per term, pure exactly-rounded
+    IEEE ops, spelled with identical association on both engines.
+    Per-doc sums over the ≤5 term contributions go through
+    DECIMAL(38,12) (order-free); the rounded score plus doc id is the
+    total order.  Citation anchor: reference has no retrieval surface
+    (src/worker.rs:36-38 is count-by-key); [extension].
+    """
+    from another_map_reduce_spark.operators.text_analysis import _ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(_ws_tokens(F.col("text"))).alias("term"),
+    )
+    dl = toks.groupBy("doc").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n_docs"),
+    )
+    tf = (
+        toks.where(F.col("term").isin(_BM25_TERMS))
+        .groupBy("doc", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    num = F.col("tf") * F.lit(_BM25_K1 + 1.0)
+    den = F.col("tf") + F.lit(_BM25_K1) * (
+        F.lit(1.0 - _BM25_B)
+        + (F.lit(_BM25_B) * F.col("dl")) / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(dfc), "term")
+        .join(dl, "doc")
+        .join(F.broadcast(stats))
+        .select(
+            "doc",
+            ((idf * num) / den).cast("decimal(38,12)").alias("c"),
+        )
+    )
+    return (
+        scored.groupBy("doc")
+        .agg(F.round(F.sum("c").cast("double"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc")
+        .limit(10)
+    )
+
+
 # Registry-order repair: if THIS module was the user's first import, the
 # circular import through queries._load() saw it partially initialized
 # and ordered the registry without its entries (they append afterwards).

@@ -178,6 +178,7 @@ _ORDER_NEXT = [
     "corpus_build_report",
     "semantic_dedup_stats",
     "quantile_cutpoint_buckets",
+    "bm25_retrieval",
 ]
 # Everything with a fresh r3 driver row lands in the mid block in its
 # natural registration order; only the sacrificed API twins are pinned

@@ -163,3 +163,56 @@ def test_winnowing_df_path_matches_column_path(spark):
     assert df_rows == col_rows
     for doc_id, text in texts:
         assert df_rows[doc_id] == py_winnow(text)
+
+
+def test_bm25_matches_pure_python_reimplementation(spark, sf_dir):
+    """Engine-independent oracle: recompute BM25 for the registered
+    query's fixed term set from the raw parquet text in plain Python
+    (collections.Counter + floats) and require the same top-10 docs
+    with the same rounded scores.  This is a THIRD implementation —
+    independent of both Spark and the DuckDB differential."""
+    import collections
+    import decimal
+
+    import pandas as pd
+
+    from another_map_reduce_spark.plans.pipeline import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        bm25_retrieval,
+    )
+
+    got = [(r.doc, r.bm25) for r in bm25_retrieval(spark, sf_dir).collect()]
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    toks = {
+        int(r.doc_id): [t for t in r.text.lower().split() if t]
+        for r in docs.itertuples()
+    }
+    dls = {d: len(ts) for d, ts in toks.items() if ts}
+    n_docs = len(dls)
+    avgdl = float(sum(dls.values())) / n_docs
+    tf = {
+        d: collections.Counter(t for t in ts if t in _BM25_TERMS)
+        for d, ts in toks.items()
+    }
+    df = collections.Counter(t for c in tf.values() for t in c)
+    scores = {}
+    for d, c in tf.items():
+        if not c:
+            continue
+        total = decimal.Decimal(0)
+        for t, f in c.items():
+            idf = (n_docs - df[t] + 0.5) / (df[t] + 0.5)
+            num = f * (_BM25_K1 + 1.0)
+            den = f + _BM25_K1 * (
+                (1.0 - _BM25_B) + (_BM25_B * dls[d]) / avgdl
+            )
+            # mirror the engines' DECIMAL(38,12) per-term rounding
+            total += decimal.Decimal((idf * num) / den).quantize(
+                decimal.Decimal("1e-12"), rounding=decimal.ROUND_HALF_UP
+            )
+        scores[d] = round(float(total), 6)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == want
