@@ -1056,6 +1056,73 @@ def quantile_cutpoint_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# SCD Type-2 history build — validity intervals from a change feed
+# ---------------------------------------------------------------------------
+
+_SCD2_MOD = 500  # emit every 500th customer: bounded, deterministic slice
+
+
+@register(
+    "scd2_order_history",
+    oracle=f"""
+SELECT o_custkey,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+       o_orderdate AS valid_from,
+       LEAD(o_orderdate) OVER w AS valid_to,
+       CASE WHEN LEAD(o_orderdate) OVER w IS NULL THEN 1 ELSE 0 END
+           AS is_current,
+       o_orderkey,
+       o_totalprice
+FROM orders
+WHERE o_custkey % {_SCD2_MOD} = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, version
+""",
+)
+def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type-2 build: turn a change feed
+    (each order = a new state of its customer) into the warehouse
+    history table — versioned rows with [valid_from, valid_to)
+    intervals and a current-row flag.  The complement of
+    operators/cdc.py's latest-wins MERGE (SCD1): CDC keeps only the
+    newest state, SCD2 keeps every state with its validity span, which
+    is what point-in-time joins (as-of training-data cutoffs,
+    reproducible feature snapshots) read.
+
+    Plan shape: ONE hash exchange on the dimension key, then
+    row_number + LEAD inside the partition — no self-join, no global
+    sort (the final ORDER BY is presentation).  valid_to is the NEXT
+    change's effective date (half-open intervals — adjacent versions
+    share a boundary instant, so an as-of probe at that instant
+    matches exactly one version); the open version marks is_current.
+    At 100 TB the exchange is the only data movement, and a
+    bucketed-by-key layout removes even that.  Determinism: the
+    window orders by (o_orderdate, o_orderkey) — unique per key — so
+    version numbering is total.  The %-{_SCD2_MOD} customer slice
+    bounds driver-compared output; the window runs identically on the
+    full feed.  [extension] — reference has no versioned state at all
+    (src/worker.rs:36-38).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.where(F.col("o_custkey") % _SCD2_MOD == 0)
+        .select(
+            "o_custkey",
+            F.row_number().over(w).cast("long").alias("version"),
+            F.col("o_orderdate").alias("valid_from"),
+            F.lead("o_orderdate").over(w).alias("valid_to"),
+            F.when(F.lead("o_orderdate").over(w).isNull(), 1)
+            .otherwise(0)
+            .alias("is_current"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .orderBy("o_custkey", "version")
+    )
+
+
 # Registry-order repair: if THIS module was the user's first import, the
 # circular import through queries._load() saw it partially initialized
 # and ordered the registry without its entries (they append afterwards).

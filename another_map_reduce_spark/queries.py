@@ -179,6 +179,7 @@ _ORDER_NEXT = [
     "semantic_dedup_stats",
     "quantile_cutpoint_buckets",
     "bm25_retrieval",
+    "scd2_order_history",
 ]
 # Everything with a fresh r3 driver row lands in the mid block in its
 # natural registration order; only the sacrificed API twins are pinned

@@ -395,3 +395,25 @@ def test_relational_scale_replicas_are_disjoint(spark, sf_dir, tmp_path):
         .count()
     )
     assert joined == 2 * base_joined
+
+
+def test_scd2_intervals_chain_and_single_current(spark, sf_dir):
+    """SCD2 contract: per key, versions are 1..n with no holes, each
+    valid_to equals the NEXT version's valid_from (half-open chain),
+    and exactly the last version is current (open-ended)."""
+    from another_map_reduce_spark.plans.analytics import scd2_order_history
+
+    rows = scd2_order_history(spark, sf_dir).collect()
+    assert rows, "slice selected no customers"
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r.o_custkey, []).append(r)
+    for key, rs in by_key.items():
+        assert [r.version for r in rs] == list(range(1, len(rs) + 1)), key
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from, (key, a.version)
+            assert a.is_current == 0
+        assert rs[-1].is_current == 1 and rs[-1].valid_to is None
+        # monotone effective dates (equal allowed; orderkey broke ties)
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_from <= b.valid_from
