@@ -1057,6 +1057,80 @@ def quantile_cutpoint_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Algebraic materialized-view maintenance — base ⊕ delta == recompute
+# ---------------------------------------------------------------------------
+
+_MV_CUTOFF = "1997-06-01"  # base/delta split point (arbitrary mid-range)
+
+
+@register(
+    "incremental_agg_maintenance",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           AS sum_total,
+       MAX(o_totalprice) AS max_total
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance, proven exact: the per-priority
+    order aggregate is computed as BASE (orders before _MV_CUTOFF)
+    merged with DELTA (orders on/after) — and the oracle is the plain
+    one-shot GROUP BY over everything, so the hash match IS the proof
+    that the incremental merge loses nothing.
+
+    This is the 100 TB lever the whole suite's exact-decimal
+    discipline buys: COUNT/SUM/MAX are commutative monoids, so a
+    stored view absorbs a new partition by aggregating ONLY the delta
+    and merging |groups|-sized states — never rescanning the base.
+    The merge keeps partial sums in DECIMAL(38,6) until after the
+    full-outer combine (decimal addition is associative, so
+    base⊕delta is bit-equal to the one-shot sum; doubles would
+    re-order the fold and drift).  The delta scan's date predicate is
+    exactly the partition-pruning predicate of a date-partitioned
+    production table.  AVG-style views store (sum, count) and derive;
+    non-algebraic aggregates (MEDIAN, DISTINCT) need sketch states —
+    percentiles_by_priority / approx_distinct_users document those.
+    [extension] — reference recomputes from scratch (src/worker.rs).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit(_MV_CUTOFF).cast("timestamp")
+
+    def _state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(_dec(F.col("o_totalprice"))).alias("s"),
+            F.max("o_totalprice").alias("m"),
+        )
+
+    base = _state(o.where(F.col("o_orderdate") < cut)).alias("b")
+    delta = _state(o.where(F.col("o_orderdate") >= cut)).alias("d")
+    zero = F.lit(0).cast("decimal(38,6)")
+    return (
+        base.join(delta, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            (
+                F.coalesce(F.col("b.n"), F.lit(0))
+                + F.coalesce(F.col("d.n"), F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce(F.col("b.s"), zero)
+                + F.coalesce(F.col("d.s"), zero)
+            )
+            .cast("double")
+            .alias("sum_total"),
+            F.greatest(F.col("b.m"), F.col("d.m")).alias("max_total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SCD Type-2 history build — validity intervals from a change feed
 # ---------------------------------------------------------------------------
 

@@ -180,6 +180,7 @@ _ORDER_NEXT = [
     "quantile_cutpoint_buckets",
     "bm25_retrieval",
     "scd2_order_history",
+    "incremental_agg_maintenance",
 ]
 # Everything with a fresh r3 driver row lands in the mid block in its
 # natural registration order; only the sacrificed API twins are pinned

@@ -417,3 +417,22 @@ def test_scd2_intervals_chain_and_single_current(spark, sf_dir):
         # monotone effective dates (equal allowed; orderkey broke ties)
         for a, b in zip(rs, rs[1:]):
             assert a.valid_from <= b.valid_from
+
+
+def test_incremental_mv_split_is_nonvacuous(spark, sf_dir):
+    """The base⊕delta==recompute proof is only meaningful if BOTH
+    sides of the cutoff hold rows (an empty delta would make the merge
+    a passthrough); pin that, plus null-free merged output."""
+    from another_map_reduce_spark.plans.analytics import (
+        _MV_CUTOFF,
+        incremental_agg_maintenance,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_base = o.where(F.col("o_orderdate") < _MV_CUTOFF).count()
+    n_delta = o.where(F.col("o_orderdate") >= _MV_CUTOFF).count()
+    assert n_base > 0 and n_delta > 0, (n_base, n_delta)
+    rows = incremental_agg_maintenance(spark, sf_dir).collect()
+    assert sum(r.n_orders for r in rows) == n_base + n_delta
+    for r in rows:
+        assert r.sum_total is not None and r.max_total is not None
