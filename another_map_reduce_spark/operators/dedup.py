@@ -542,3 +542,61 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .orderBy("d1", "d2")
     )
+
+
+# ---------------------------------------------------------------------------
+# FastSS edit-distance-1 fuzzy matching (deletion-neighborhood blocking)
+# ---------------------------------------------------------------------------
+
+
+def deletion_keys(w: Column) -> Column:
+    """The FastSS distance-1 blocking set of a string: the string
+    itself plus every single-character deletion (Bocek et al. 2007,
+    "Fast Similarity Search in Large Dictionaries" — public).  Two
+    strings within Levenshtein distance 1 ALWAYS share a key
+    (substitution → delete the differing position from both;
+    insert/delete → the shorter string IS a deletion of the longer;
+    equality → the string itself), so blocking on these keys is a
+    complete candidate generator.  It over-generates — "ab"/"ba"
+    share keys at distance 2 — which is why callers verify with
+    exact ``levenshtein`` after the block join: the suite's standard
+    sketch-then-verify contract.  Pure column expression (transform
+    over a position sequence), no UDF.
+    """
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(w)),
+        lambda i: F.concat(
+            F.substr(w, F.lit(1), i - F.lit(1)), F.substr(w, i + F.lit(1))
+        ),
+    )
+    return F.array_union(F.array(w), dels)
+
+
+def lev1_pairs(vocab: DataFrame, word_col: str = "w") -> DataFrame:
+    """All unordered pairs of distinct vocabulary strings within
+    Levenshtein distance 1, via deletion-neighborhood blocking + exact
+    verify — O(Σ|w|) keys and bounded key-group joins instead of the
+    O(V²) all-pairs scan the DuckDB oracle runs.
+
+    Scale shape: each word emits |w|+1 keys; candidates meet only
+    inside a shared key's group (group size is bounded by alphabet
+    size × near-identical strings, not vocabulary size), then
+    ``levenshtein`` confirms.  dropDuplicates collapses the multiple
+    shared keys of a true pair before the verify so each candidate is
+    scored once.  At 100 TB vocabularies the key join is the only
+    exchange and it carries (key, word) — no quadratic stage exists.
+    """
+    v = vocab.select(F.col(word_col).alias("w")).where(
+        F.col("w").isNotNull()
+    ).distinct()
+    keyed = v.select(
+        "w", F.explode(deletion_keys(F.col("w"))).alias("k")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, "k")
+        .where(F.col("a.w") < F.col("b.w"))
+        .select(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .dropDuplicates(["w1", "w2"])
+        .where(F.levenshtein("w1", "w2") <= 1)
+    )

@@ -181,6 +181,7 @@ _ORDER_NEXT = [
     "bm25_retrieval",
     "scd2_order_history",
     "incremental_agg_maintenance",
+    "fuzzy_lev1_neighbors",
 ]
 # Everything with a fresh r3 driver row lands in the mid block in its
 # natural registration order; only the sacrificed API twins are pinned
