@@ -1057,6 +1057,56 @@ def quantile_cutpoint_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# UNPIVOT — wide metrics to long form (the inverse of pivot_lang_source)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unpivot_metrics",
+    oracle="""
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS sum_total,
+         MAX(o_totalprice) AS max_total
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, metric, value
+FROM wide
+UNPIVOT (value FOR metric IN (n_orders, sum_total, max_total))
+ORDER BY o_orderpriority, metric
+""",
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping via the native ``DataFrame.unpivot``
+    (Spark 4's melt; SQL UNPIVOT on the DuckDB side) — the inverse of
+    pivot_lang_source and the standard feed into metric-keyed sinks
+    (time-series stores, dashboards) where each (entity, metric,
+    value) row is one series point.
+
+    Unpivot requires a common value type, so every metric is cast to
+    DOUBLE before melting — counts are exact in double far beyond this
+    cardinality, and sum_total is already the suite's standard
+    decimal-then-double.  The melt itself is a zero-shuffle projection
+    (each input row expands to |metrics| rows map-side); the only
+    exchange is the upstream |priorities|-row aggregate.  [extension].
+    """
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        dsum("o_totalprice", "sum_total"),
+        F.max("o_totalprice").alias("max_total"),
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_orders", "sum_total", "max_total"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).orderBy("o_orderpriority", "metric")
+
+
+# ---------------------------------------------------------------------------
 # Algebraic materialized-view maintenance — base ⊕ delta == recompute
 # ---------------------------------------------------------------------------
 

@@ -182,6 +182,7 @@ _ORDER_NEXT = [
     "scd2_order_history",
     "incremental_agg_maintenance",
     "fuzzy_lev1_neighbors",
+    "unpivot_metrics",
 ]
 # Everything with a fresh r3 driver row lands in the mid block in its
 # natural registration order; only the sacrificed API twins are pinned
