@@ -26,7 +26,9 @@ from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 
@@ -73,7 +75,77 @@ class RefTextDataSource(DataSource):
     def reader(self, schema) -> _RefTextReader:
         return _RefTextReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "_RefTextWriter":
+        return _RefTextWriter(self.options, overwrite)
+
 
 def register_reftext(spark: SparkSession) -> None:
     """Idempotent registration of the connector with a session."""
     spark.dataSource.register(RefTextDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Writer half — the reference's atomic text sink through the same API
+# ---------------------------------------------------------------------------
+
+
+class _RefTextCommit(WriterCommitMessage):
+    """Per-task commit message: (temp file, final file) rename pair."""
+
+    def __init__(self, tmp: str, final: str):
+        self.tmp = tmp
+        self.final = final
+
+
+class _RefTextWriter(DataSourceWriter):
+    """One output text file per partition, space-joined columns, with
+    the reference's two-phase atomic commit (`worker.rs:107-114`):
+    tasks write to `_temporary/<uuid>` and report the rename pair; the
+    DRIVER renames every temp file into place only in ``commit()``, so
+    a failed/speculated task never publishes partial output — rename
+    is atomic on POSIX, exactly the property the reference leaned on.
+    ``abort()`` deletes the temps.  Plain-Python rows stream through
+    the Python worker; this is the convenience/extension-point path —
+    the performance text sink remains sinks.py's JVM writer.
+    """
+
+    def __init__(self, options: dict, overwrite: bool):
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("reftext write requires a target directory")
+        self._overwrite = overwrite
+
+    def write(self, rows):
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        tmp_dir = os.path.join(self._dir, "_temporary")
+        os.makedirs(tmp_dir, exist_ok=True)
+        tmp = os.path.join(tmp_dir, f"{uuid.uuid4().hex}-{pid}")
+        final = os.path.join(self._dir, f"part-{pid:05d}.txt")
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in rows:
+                f.write(" ".join("" if v is None else str(v) for v in row))
+                f.write("\n")
+        return _RefTextCommit(tmp, final)
+
+    def commit(self, messages):
+        import os
+        import shutil
+
+        for m in messages:
+            if m is not None:
+                os.replace(m.tmp, m.final)
+        shutil.rmtree(
+            os.path.join(self._dir, "_temporary"), ignore_errors=True
+        )
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self._dir, "_temporary"), ignore_errors=True
+        )

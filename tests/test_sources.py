@@ -101,3 +101,31 @@ def test_reftext_empty_glob_reads_empty(spark, tmp_path):
     d.mkdir()
     register_reftext(spark)
     assert spark.read.format("reftext").load(str(d / "*.txt")).count() == 0
+
+
+def test_reftext_writer_roundtrip_atomic(spark, tmp_path):
+    """The writer half of the Python DataSource: space-joined lines,
+    one file per partition, two-phase commit — after save() the target
+    holds only part-*.txt (no _temporary residue) and a read-back
+    reproduces the rows exactly."""
+    from another_map_reduce_spark.sources.pydatasource import (
+        register_reftext,
+    )
+
+    register_reftext(spark)
+    out = tmp_path / "sinkout"
+    df = spark.createDataFrame(
+        [("apple", 3), ("banana", 2), ("cherry", 1)], "word string, n long"
+    ).repartition(2)
+    df.write.format("reftext").mode("append").save(str(out))
+
+    names = sorted(p.name for p in out.iterdir())
+    assert names == [n for n in names if n.startswith("part-")], names
+    assert not (out / "_temporary").exists()
+    lines = []
+    for p in sorted(out.glob("part-*.txt")):
+        lines += p.read_text().splitlines()
+    assert sorted(lines) == ["apple 3", "banana 2", "cherry 1"]
+    # the connector's own reader closes the loop
+    back = spark.read.format("reftext").load(str(out / "*.txt"))
+    assert back.count() == len([p for p in out.glob("part-*.txt")])
