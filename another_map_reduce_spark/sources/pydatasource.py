@@ -107,6 +107,17 @@ class _RefTextWriter(DataSourceWriter):
     ``abort()`` deletes the temps.  Plain-Python rows stream through
     the Python worker; this is the convenience/extension-point path —
     the performance text sink remains sinks.py's JVM writer.
+
+    Storage contract, stated honestly: tasks write on executors and
+    the driver renames, so the target must be storage BOTH can see —
+    the reference made the identical assumption (its workers and
+    coordinator share ``./files``, README.md:18-19), satisfied here
+    by local mode and in production by NFS/shared volumes.  On an
+    object store without atomic rename the publish step becomes the
+    classic committer trade-off (copy-on-commit, or direct write +
+    manifest) — that is a property of the store, not of this
+    protocol, and Spark's built-in sinks face the same fork
+    (FileOutputCommitter v1/v2, magic committers).
     """
 
     def __init__(self, options: dict, overwrite: bool):
