@@ -243,3 +243,43 @@ def test_lev1_pairs_blocking_is_complete_and_tight(spark):
         (a, b) for a, b in itertools.combinations(words, 2) if lev(a, b) <= 1
     )
     assert got == want
+
+
+def test_lev1_pairs_matches_bruteforce_on_dense_random_vocab(spark):
+    """Randomized (fixed-seed) completeness sweep: 200 distinct words
+    over a 3-letter alphabet, lengths 1-5 — a vocabulary dense enough
+    that every FastSS case (substitution, insertion, deletion,
+    distance-2 key-sharers) occurs many times — must match a pure
+    Python brute force exactly."""
+    import itertools
+    import random
+
+    from another_map_reduce_spark.operators.dedup import lev1_pairs
+
+    rng = random.Random(20260814)
+    vocab = set()
+    while len(vocab) < 200:
+        vocab.add(
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 5)))
+        )
+    words = sorted(vocab)
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = sorted((r.w1, r.w2) for r in lev1_pairs(df).collect())
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = sorted(
+        (a, b) for a, b in itertools.combinations(words, 2) if lev(a, b) <= 1
+    )
+    assert got == want
+    assert len(want) > 100  # the sweep actually exercised dense structure
