@@ -709,9 +709,15 @@ def zorder_layout_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit((1 << _Z_BITS) - 1),
     ).cast("int")
+    # Pid-free path, one per sf_dir: mode("overwrite") below then
+    # bounds the on-disk residue to a single copy across repeated
+    # bench/test runs (a pid-keyed path leaked one layout per process).
+    # Correct under the serial driver/bench/test harnesses — two
+    # processes rewriting the same sf concurrently would race, the same
+    # documented serial-harness contract as _stream_shuffle_partitions.
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = os.path.join(
-        tempfile.gettempdir(), f"amrs_zorder_layout_{os.getpid()}_{tag}"
+        tempfile.gettempdir(), f"amrs_zorder_layout_{tag}"
     )
     (
         o.withColumn("z", zorder_code(xb, yb))

@@ -75,82 +75,33 @@ def _load() -> None:
 # wordcount API-path twins (pandas/mr — they re-prove the same
 # `worker.rs:23-38` semantics as `wordcount` and `udtf_wordcount`
 # through a different API).  The 50 fresh-r3 rows move to the tail.
-# Round 5 executes the rotation the r4 close documented: (1) the six
-# queries that have NEVER had a driver row (four were parked mid-order
-# in r4 plus two added after the r4 window closed), (2) the six new
-# r5 queries, (3) the eight r2-era rows trimmed from the r4 front
-# block, then (4) the oldest r3-era rows in registration order to
-# fill the 50-row window.  After this round the union of r4+r5 rows
-# leaves only ~20 r3-era queries more than one round stale (they are
-# positions 51-70 here, first in line for r6) — with 122 registered
-# queries and a 50-row cap a rolling two-round rotation is the
-# best achievable freshness.  All parked queries remain proven each
-# round by the sf0.001 differential suite and the driver-faithful
+# Round 6 rotation (same rolling policy as r4/r5): (1) the six late-r5
+# queries that have NEVER had a driver row (they sat at positions
+# 77-82 last round, past the 50-row window — judge-verified green but
+# the driver row is the hard signal), (2) the new r6 queries, (3) the
+# 26 oldest rows in the suite — r3-era, parked in r5's overflow block
+# — in their r5 overflow order.  That fills the window; the overflow
+# block below holds the 50 r4-era rows in their r4 driver-check order,
+# so whatever window space remains refreshes the oldest of those and
+# the rest are first in line for r7.  All parked queries remain proven
+# each round by the sf0.001 differential suite and the driver-faithful
 # local gate at sf0.01.
 _ORDER_FRONT = [
-    # never had a driver row:
-    "stream_dedup_counts",
-    "stream_static_join_segments",
-    "recursive_calendar_gaps",
-    "variant_props_stats",
-    "sink_sorted_skipping",
-    "embedding_quantize_stats",
-    # round-5 additions:
-    "data_profile_summary",
-    "timeseries_gapfill_locf",
-    "histogram_order_totals",
-    "regression_by_flag",
-    "pagerank_suppliers",
-    "stream_sliding_counts",
-    "window_ntile_deciles",
-    "zorder_layout_skipping",
-    "cumulative_unique_users",
-    "event_transition_matrix",
-    "funnel_time_to_convert",
-    "graph_degree_distribution",
-    # r2-era rows (trimmed from the r4 front block):
-    "join_multiway",
-    "agg_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_having",
-    "join_broadcast_agg",
-    "q22_dormant_customers",
-    "q17_small_qty_revenue",
-    # oldest r3-era rows, registration order (fills the window to 50):
-    "filter_project",
-    "join_full_outer",
-    "window_time_range_sum",
-    "stream_events_hourly",
-    "cohort_retention",
-    "funnel_conversion",
-    "approx_distinct_users",
-    "sink_roundtrip_partitioned",
-    "q2_min_price_part",
-    "q4_priority_exists",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q12_priority_linecount",
-    "q15_top_supplier",
-    "q18_large_volume_customer",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q16_parts_supplier",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-]
-# Overflow just past the 50-row window boundary: the remaining
-# r3-era rows, first in line for the r6 rotation (and recorded this
-# round if the driver ever reads past 50).  A first-ever driver row
-# for a new query outranks refreshing an r3-proven one, so each r5
-# addition displaced one refresh here (udtf_wordcount's semantics are
-# re-proven by the wordcount + pysource_wordcount front rows;
-# tfidf/inverted_index share the one-shuffle postings family).
-_ORDER_NEXT = [
+    # never had a driver row (added after the r5 window closed):
+    "quantile_cutpoint_buckets",
+    "bm25_retrieval",
+    "scd2_order_history",
+    "incremental_agg_maintenance",
+    "fuzzy_lev1_neighbors",
+    "unpivot_metrics",
+    # round-6 additions:
+    "dup_substring_removal",
+    "pysource_stream_wordcount",
+    "hll_sketch_rollup",
+    "bloom_join_pruned_revenue",
+    "skew_join_aqe",
+    "delta_encode_gaps",
+    # oldest rows in the suite — r3-era (r5 overflow order):
     "udtf_wordcount",
     "tfidf_top_terms",
     "inverted_index",
@@ -177,12 +128,62 @@ _ORDER_NEXT = [
     "dup_substring_stats",
     "corpus_build_report",
     "semantic_dedup_stats",
-    "quantile_cutpoint_buckets",
-    "bm25_retrieval",
-    "scd2_order_history",
-    "incremental_agg_maintenance",
-    "fuzzy_lev1_neighbors",
-    "unpivot_metrics",
+]
+# Overflow across the 50-row window boundary: the r4-era rows in their
+# r4 driver-check order — the first ~12 land inside this round's
+# window, the remainder are first in line for r7.  (Everything with a
+# fresh r5 row sorts to the mid block automatically.)
+_ORDER_NEXT = [
+    "stream_events_hourly_append",
+    "multimodal_audio_meta",
+    "stream_funnel_stateful",
+    "cdc_upsert_balances",
+    "udaf_median_doclen",
+    "lm_novelty_score",
+    "pack_sequences_report",
+    "stream_join_purchase_view",
+    "pysource_wordcount",
+    "wordcount",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "window_topk_per_group",
+    "window_running_sum",
+    "window_lag_lead",
+    "topk_global",
+    "distinct_pairs",
+    "set_intersect",
+    "set_except",
+    "set_union_all",
+    "scalar_string_date_math",
+    "scalar_case_bucket",
+    "json_extract_agg",
+    "events_hourly",
+    "subquery_above_avg",
+    "asof_last_purchase",
+    "range_views_before_purchase",
+    "session_windows_batch",
+    "pivot_lang_source",
+    "grouping_sets",
+    "percentiles_by_priority",
+    "q3_shipping_priority",
+    "window_rank_family",
+    "array_functions",
+    "json_struct_parse",
+    "q10_returned_items",
+    "string_match_funcs",
+    "null_handling",
+    "cross_join_regions",
+    "text_token_stats",
+    "text_quality_by_lang",
+    "lang_id_confusion",
+    "dedup_exact_stats",
+    "dedup_fingerprint_stats",
+    "dedup_ngram_jaccard",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q19_disjunctive_predicates",
+    "q1_pricing_summary",
 ]
 # Everything with a fresh r3 driver row lands in the mid block in its
 # natural registration order; only the sacrificed API twins are pinned

@@ -121,10 +121,19 @@ class _RefTextWriter(DataSourceWriter):
     """
 
     def __init__(self, options: dict, overwrite: bool):
+        import uuid
+
         self._dir = options.get("path")
         if not self._dir:
             raise ValueError("reftext write requires a target directory")
         self._overwrite = overwrite
+        # Job-scoped identity, minted once on the DRIVER before the
+        # writer is pickled to tasks: (a) the temp dir is per-job, so
+        # two concurrent writes to one target can't delete each
+        # other's in-flight files; (b) append-mode final names carry
+        # the job id, so successive appends accumulate instead of
+        # clobbering the previous job's part-N files.
+        self._job = uuid.uuid4().hex[:12]
 
     def write(self, rows):
         import os
@@ -133,10 +142,15 @@ class _RefTextWriter(DataSourceWriter):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        tmp_dir = os.path.join(self._dir, "_temporary")
+        tmp_dir = os.path.join(self._dir, "_temporary", self._job)
         os.makedirs(tmp_dir, exist_ok=True)
         tmp = os.path.join(tmp_dir, f"{uuid.uuid4().hex}-{pid}")
-        final = os.path.join(self._dir, f"part-{pid:05d}.txt")
+        stem = (
+            f"part-{pid:05d}.txt"
+            if self._overwrite
+            else f"part-{self._job}-{pid:05d}.txt"
+        )
+        final = os.path.join(self._dir, stem)
         with open(tmp, "w", encoding="utf-8") as f:
             for row in rows:
                 f.write(" ".join("" if v is None else str(v) for v in row))
@@ -144,19 +158,43 @@ class _RefTextWriter(DataSourceWriter):
         return _RefTextCommit(tmp, final)
 
     def commit(self, messages):
+        import glob
         import os
         import shutil
 
+        if self._overwrite:
+            # mode("overwrite") must not leave stale part files from a
+            # previous (possibly wider) write: a 4-partition rewrite of
+            # an 8-partition target would otherwise read back as a mix
+            # of both jobs.  Delete every pre-existing part file first —
+            # the renames below then publish exactly this job's output.
+            for stale in glob.glob(os.path.join(self._dir, "part-*.txt")):
+                try:
+                    os.remove(stale)
+                except FileNotFoundError:
+                    pass
         for m in messages:
             if m is not None:
                 os.replace(m.tmp, m.final)
         shutil.rmtree(
-            os.path.join(self._dir, "_temporary"), ignore_errors=True
+            os.path.join(self._dir, "_temporary", self._job),
+            ignore_errors=True,
         )
+        # Tidy the shared _temporary parent when this was the last job.
+        try:
+            os.rmdir(os.path.join(self._dir, "_temporary"))
+        except OSError:
+            pass
 
     def abort(self, messages):
+        import os
         import shutil
 
         shutil.rmtree(
-            os.path.join(self._dir, "_temporary"), ignore_errors=True
+            os.path.join(self._dir, "_temporary", self._job),
+            ignore_errors=True,
         )
+        try:
+            os.rmdir(os.path.join(self._dir, "_temporary"))
+        except OSError:
+            pass

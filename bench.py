@@ -148,16 +148,22 @@ def main() -> None:
     compact = {k: v for k, v in full.items() if k != "oracle_queries"}
     slowest = sorted(timings, key=timings.get, reverse=True)
     budget = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BYTES", "1600"))
+    # Seed the schema keys so a 0/1-query suite (where the loop body
+    # runs at most once) still emits the full documented shape.
+    compact["n_queries"] = len(timings)
+    compact["queries_omitted"] = 0
+    compact["omitted_sec"] = 0.0
     n_keep = len(slowest)
-    while n_keep > 1:
+    while n_keep >= 1:
         kept = slowest[:n_keep]
         compact["queries"] = {n: timings[n] for n in kept}
-        compact["n_queries"] = len(timings)
         compact["queries_omitted"] = len(timings) - n_keep
         compact["omitted_sec"] = round(
             sum(timings[n] for n in slowest[n_keep:]), 3
         )
-        if len(json.dumps(compact)) <= budget:
+        # n_keep==1 is the floor: emit that variant even if it still
+        # exceeds the budget (one query name can't be trimmed further).
+        if len(json.dumps(compact)) <= budget or n_keep == 1:
             break
         n_keep -= max(1, n_keep // 8)
     print(json.dumps(compact))

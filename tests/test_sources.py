@@ -129,3 +129,52 @@ def test_reftext_writer_roundtrip_atomic(spark, tmp_path):
     # the connector's own reader closes the loop
     back = spark.read.format("reftext").load(str(out / "*.txt"))
     assert back.count() == len([p for p in out.glob("part-*.txt")])
+
+
+def test_reftext_writer_overwrite_clears_stale_parts(spark, tmp_path):
+    """mode('overwrite') after a WIDER previous write must not mix the
+    two jobs: a 4-partition write followed by a 2-partition overwrite
+    reads back only the second job's rows (the stale part-00002/3 files
+    are removed at commit time, not left to pollute the read)."""
+    from another_map_reduce_spark.sources.pydatasource import (
+        register_reftext,
+    )
+
+    register_reftext(spark)
+    out = tmp_path / "sinkout"
+    wide = spark.createDataFrame(
+        [(w, 1) for w in "aa bb cc dd".split()], "word string, n long"
+    ).repartition(4)
+    wide.write.format("reftext").mode("overwrite").save(str(out))
+    assert len(list(out.glob("part-*.txt"))) == 4
+
+    narrow = spark.createDataFrame(
+        [("xx", 9), ("yy", 8)], "word string, n long"
+    ).repartition(2)
+    narrow.write.format("reftext").mode("overwrite").save(str(out))
+    lines = []
+    for p in out.glob("part-*.txt"):
+        lines += p.read_text().splitlines()
+    assert sorted(lines) == ["xx 9", "yy 8"]
+    assert not (out / "_temporary").exists()
+
+
+def test_reftext_writer_append_accumulates(spark, tmp_path):
+    """mode('append') twice must accumulate both jobs' rows — final
+    names are job-unique so the second write can't clobber the first's
+    part files."""
+    from another_map_reduce_spark.sources.pydatasource import (
+        register_reftext,
+    )
+
+    register_reftext(spark)
+    out = tmp_path / "sinkout"
+    one = spark.createDataFrame([("aa", 1)], "word string, n long")
+    two = spark.createDataFrame([("bb", 2)], "word string, n long")
+    one.write.format("reftext").mode("append").save(str(out))
+    two.write.format("reftext").mode("append").save(str(out))
+    lines = []
+    for p in out.glob("part-*.txt"):
+        lines += p.read_text().splitlines()
+    assert sorted(lines) == ["aa 1", "bb 2"]
+    assert not (out / "_temporary").exists()
