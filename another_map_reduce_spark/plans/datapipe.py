@@ -536,6 +536,149 @@ def dup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Duplicate-substring EXCISION (the actionable half of Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dup_substring_removal",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS w FROM documents
+),
+wins AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(w[i:i+{_DUP_W - 1}], ' ')) AS h
+  FROM t, UNNEST(generate_series(1, len(w) - {_DUP_W - 1})) AS s(i)
+  WHERE len(w) >= {_DUP_W}
+),
+duph AS (
+  SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+dpos AS (
+  SELECT doc_id, list(pos ORDER BY pos) AS ps
+  FROM wins WHERE h IN (SELECT h FROM duph) GROUP BY doc_id
+),
+k AS (
+  SELECT t.doc_id, t.w,
+         coalesce(dpos.ps, CAST([] AS BIGINT[])) AS ps,
+         list_filter(range(1, len(t.w) + 1),
+            i -> len(list_filter(coalesce(dpos.ps, CAST([] AS BIGINT[])),
+                                 p -> p <= i AND p >= i - {_DUP_W - 1})) = 0)
+           AS kept
+  FROM t LEFT JOIN dpos USING (doc_id)
+)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(w) - len(kept) AS BIGINT) AS n_removed_tokens,
+       CAST(len(list_filter(ps,
+              p -> len(list_filter(ps, q -> q < p AND p <= q + {_DUP_W})) = 0))
+            AS BIGINT) AS n_spans,
+       coalesce(array_to_string(list_transform(kept, i -> w[i]), ' '), '')
+           AS kept_text
+FROM k
+ORDER BY doc_id
+""",
+)
+def dup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring EXCISION — the cleaned corpus, not
+    just the signal: every token covered by a W=10-token window whose
+    hash occurs in ≥2 distinct documents is removed, overlapping
+    duplicated windows merging into spans, and the surviving tokens
+    are re-joined as ``kept_text`` (Lee et al. 2022 ExactSubstr; like
+    their released tool this removes EVERY copy of a duplicated span —
+    no global survivor election, which is what keeps the operator
+    embarrassingly parallel).
+
+    Output: one row per document — original/removed token counts, the
+    merged-span count, and the cleaned text (lowercased whitespace
+    normalization, the same tokenizer as dup_substring_stats).
+
+    Scale shape: identical exchange profile to dup_substring_stats
+    (window-hash explode → hash groupBy → semi join back → doc_id
+    group), plus ONE extra doc_id-keyed join to re-attach the dup
+    positions to the token arrays.  The excision itself is scan-side
+    higher-order functions — per token an EXISTS over that doc's dup
+    positions, O(tokens × dup_windows) worst case per doc; a document
+    that is mostly duplicate pays the quadratic corner, which is the
+    explicit trade for keeping the hot path in codegen instead of a
+    per-doc Python interval walk (an applyInPandas sorted-interval
+    subtraction is the escape hatch if a corpus hits that corner).
+    """
+    from another_map_reduce_spark.operators.text_analysis import (
+        _ws_tokens as _lower_ws_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _lower_ws_tokens(F.col("text"))
+    wins_arr = F.when(
+        F.size(toks) < _DUP_W, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - _DUP_W + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, _DUP_W))),
+        )
+    )
+    wins = docs.select(
+        "doc_id", F.posexplode(wins_arr).alias("p0", "h")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df_docs"))
+        .where(F.col("df_docs") >= 2)
+        .select("h")
+    )
+    # dup_h is one row per DISTINCT duplicated window — corpus-scale;
+    # pin shuffle_hash (same corpus-broadcast guard as the stats twin).
+    dpos = (
+        wins.join(dup_h.hint("shuffle_hash"), "h")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("ps"))
+    )
+    w_col = F.col("w")
+    base = docs.select("doc_id", toks.alias("w"))
+    joined = (
+        base.join(dpos.hint("shuffle_hash"), "doc_id", "left")
+        .withColumn("ps", F.coalesce("ps", F.array().cast("array<int>")))
+        # sequence(1, 0) infers step -1 → [1, 0]; guard the empty doc.
+        .withColumn(
+            "idx",
+            F.when(
+                F.size(w_col) < 1, F.array().cast("array<int>")
+            ).otherwise(F.sequence(F.lit(1), F.size(w_col))),
+        )
+        .withColumn(
+            "kept",
+            F.filter(
+                F.col("idx"),
+                lambda i: ~F.exists(
+                    F.col("ps"),
+                    lambda p: (p <= i) & (p >= i - (_DUP_W - 1)),
+                ),
+            ),
+        )
+    )
+    return joined.select(
+        "doc_id",
+        F.size(w_col).cast("long").alias("n_tokens"),
+        (F.size(w_col) - F.size("kept")).cast("long").alias(
+            "n_removed_tokens"
+        ),
+        F.size(
+            F.filter(
+                F.col("ps"),
+                lambda p: ~F.exists(
+                    F.col("ps"), lambda q: (q < p) & (p <= q + _DUP_W)
+                ),
+            )
+        ).cast("long").alias("n_spans"),
+        F.concat_ws(
+            " ", F.transform("kept", lambda i: F.element_at(w_col, i))
+        ).alias("kept_text"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # End-to-end corpus build: quality gate → fingerprint dedup → split
 # ---------------------------------------------------------------------------
 

@@ -62,6 +62,7 @@ UNBOUNDED = {
     "multimodal_meta",
     "doc_winnowing_stats",
     "dup_substring_stats",
+    "dup_substring_removal",
 }
 
 

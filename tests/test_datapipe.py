@@ -200,3 +200,53 @@ def test_decontaminate_flags_only_overlapping_docs(spark):
     assert out[1]["n_shared_grams"] == 2
     assert out[3]["n_shared_grams"] == 2
     assert out[1]["n_holdout_docs"] == 1 and out[3]["n_holdout_docs"] == 1
+
+
+def test_dup_substring_removal_invariance(spark, sf_dir):
+    """The excision contract of Lee et al. exact-substring dedup, run
+    on the real corpus: (a) token accounting is consistent, (b) spans
+    only exist where something was removed, and (c) the cleaned corpus
+    carries ZERO of the original duplicated windows — every copy of a
+    cross-document W-window is excised, so recomputing the window
+    inventory over kept_text finds none of the originally-duplicated
+    hashes (new dup windows can only arise from splice seams, and are
+    bounded by spans x (W-1) tokens; asserted << original dup mass)."""
+    import hashlib
+    from collections import defaultdict
+
+    from another_map_reduce_spark.plans.datapipe import (
+        _DUP_W,
+        dup_substring_removal,
+    )
+
+    rows = dup_substring_removal(spark, sf_dir).collect()
+    assert all(
+        0 <= r.n_removed_tokens <= r.n_tokens and (r.n_spans > 0) == (r.n_removed_tokens > 0)
+        for r in rows
+    )
+
+    def windows(text):
+        toks = [t for t in text.lower().split()]
+        return [
+            hashlib.md5(" ".join(toks[i : i + _DUP_W]).encode()).hexdigest()
+            for i in range(len(toks) - _DUP_W + 1)
+        ]
+
+    # original duplicated-hash set, recomputed independently in Python
+    docs = {r.doc_id: r.text for r in spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text").collect()}
+    by_hash = defaultdict(set)
+    for d, t in docs.items():
+        for h in windows(t or ""):
+            by_hash[h].add(d)
+    orig_dup = {h for h, ds in by_hash.items() if len(ds) >= 2}
+    assert orig_dup, "fixture should contain cross-doc duplicate windows"
+
+    residual_by_hash = defaultdict(set)
+    for r in rows:
+        for h in windows(r.kept_text):
+            residual_by_hash[h].add(r.doc_id)
+    # (c1) none of the ORIGINAL duplicated windows survive anywhere
+    assert not (set(residual_by_hash) & orig_dup)
+    # (c2) splice seams create almost no NEW cross-doc duplicates
+    new_dup = sum(1 for h, ds in residual_by_hash.items() if len(ds) >= 2)
+    assert new_dup <= max(2, len(orig_dup) // 50), (new_dup, len(orig_dup))
