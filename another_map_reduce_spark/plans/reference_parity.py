@@ -189,6 +189,66 @@ def pysource_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return word_count(corpus, "text")
 
 
+@register("pysource_stream_wordcount", oracle=_WORDCOUNT_SQL)
+def pysource_stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference job as a STREAM over the custom connector: the
+    corpus is materialised as a directory of text files and tailed via
+    the reftext Python DataSource's streaming half
+    (sources/pydatasource.py `_RefTextStreamReader`) — the reference's
+    enumerate-the-file-grid scheduling (`coordinator.rs:216-224`)
+    driven as micro-batches, offset = files seen.  A complete-mode
+    streaming aggregation under ``Trigger.AvailableNow`` drains the
+    directory and must hash-match the SAME oracle as every other
+    wordcount — proving the full custom-connector streaming path
+    (offset tracking → partition planning → executor read → stateful
+    agg), not just the batch face.
+
+    Pid-free overwrite-in-place target: repeated runs keep one copy
+    per sf_dir (serial-harness contract, as zorder_layout_skipping).
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from another_map_reduce_spark.functions.text import tokenize
+    from another_map_reduce_spark.plans.relational import (
+        _fresh_sink_name,
+        _stream_shuffle_partitions,
+    )
+    from another_map_reduce_spark.sources.pydatasource import (
+        register_reftext,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"amrs_reftext_stream_{tag}"
+    )
+    docs.select("text").write.mode("overwrite").text(path)
+    register_reftext(spark)
+    stream = spark.readStream.format("reftext").load(
+        os.path.join(path, "part-*")
+    )
+    counts = (
+        stream.select(tokenize(F.col("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    qname = _fresh_sink_name("pysource_stream_wordcount")
+    with _stream_shuffle_partitions(spark):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(qname).orderBy("word")
+
+
 # Registry-order repair: if THIS module was the user's first import, the
 # circular import through queries._load() saw it partially initialized
 # and ordered the registry without its entries (they append afterwards).

@@ -26,6 +26,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -75,13 +76,92 @@ class RefTextDataSource(DataSource):
     def reader(self, schema) -> _RefTextReader:
         return _RefTextReader(self.options)
 
+    def streamReader(self, schema) -> "_RefTextStreamReader":
+        return _RefTextStreamReader(self.options)
+
     def writer(self, schema, overwrite: bool) -> "_RefTextWriter":
         return _RefTextWriter(self.options, overwrite)
 
 
 def register_reftext(spark: SparkSession) -> None:
-    """Idempotent registration of the connector with a session."""
+    """Idempotent registration of the connector with a session.
+
+    The connector classes are registered for cloudpickle BY-VALUE
+    serialization: Spark drives a Python DataSource from dedicated
+    runner processes (``python_streaming_source_runner`` for the
+    streaming half) that deserialize the pickled DataSource but do
+    NOT apply ``addPyFile``/SparkFiles paths, so a by-reference pickle
+    of this module raises ModuleNotFoundError there.  By-value makes
+    the connector self-contained in the pickle — the same property the
+    batch reader gets implicitly from being stdlib-only.
+    """
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(RefTextDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming half — the reference's file-grid enumeration as a stream
+# ---------------------------------------------------------------------------
+
+
+class _RefTextStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("reftext")`` — the reference's
+    enumerate-the-file-grid scheduling (`coordinator.rs:216-224`) as a
+    micro-batch STREAMING source: each trigger lists the glob, the
+    files not yet seen become that batch's partitions (still one file
+    = one task, executor-side reads), and the offset is the set of
+    files already ingested.  Exactly the semantics of Spark's built-in
+    FileStreamSource, re-derived through the Python connector API, so
+    the directory the reftext WRITER appends to is tail-able as a
+    stream.
+
+    Offset honesty: the JSON offset carries the sorted seen-file list,
+    so it grows O(#files) — fine for the reference's grid (tens of
+    files) and for append-mostly directories up to ~10^4 files; past
+    that a production source compacts the offset into a log + high-
+    watermark (what FileStreamSource's HDFSMetadataLog does).  Files
+    are assumed immutable-once-visible (the writer's two-phase rename
+    guarantees it: a file appears only after its content is complete);
+    deletions are ignored — the offset remembers them as seen.
+    """
+
+    def __init__(self, options: dict):
+        self._glob = options.get("path")
+        if not self._glob:
+            raise ValueError(
+                "reftext stream requires a path, e.g. .load('/dir/*.txt')"
+            )
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def latestOffset(self) -> dict:
+        import glob
+
+        return {"files": sorted(glob.glob(self._glob))}
+
+    def partitions(self, start: dict, end: dict):
+        seen = set(start.get("files", []))
+        return [
+            _FilePartition(p)
+            for p in end.get("files", [])
+            if p not in seen
+        ]
+
+    def read(self, partition: _FilePartition):
+        if partition is None:
+            return
+        with open(partition.path, encoding="utf-8") as f:
+            yield (partition.path, f.read())
+
+    def commit(self, end: dict) -> None:
+        # Offsets are self-contained (the seen-file list); nothing to
+        # clean up on progression — the checkpoint log owns durability.
+        pass
 
 
 # ---------------------------------------------------------------------------

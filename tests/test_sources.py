@@ -178,3 +178,55 @@ def test_reftext_writer_append_accumulates(spark, tmp_path):
         lines += p.read_text().splitlines()
     assert sorted(lines) == ["aa 1", "bb 2"]
     assert not (out / "_temporary").exists()
+
+
+def test_reftext_stream_reader_incremental_offsets(spark, tmp_path):
+    """The streaming half of the reftext connector tracks offsets:
+    drain #1 ingests the initial files; a file added AFTER the first
+    drain is picked up by drain #2 on the SAME checkpoint without
+    re-reading the old ones (append-mode row count proves exactly-once
+    per file)."""
+    from another_map_reduce_spark.sources.pydatasource import (
+        register_reftext,
+    )
+
+    register_reftext(spark)
+    d = tmp_path / "grid"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha")
+    (d / "b.txt").write_text("beta")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("reftext")
+            .load(str(d / "*.txt"))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    first = {
+        (r.path.rsplit("/", 1)[-1], r.text)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert first == {("a.txt", "alpha"), ("b.txt", "beta")}
+
+    (d / "c.txt").write_text("gamma")
+    drain()
+    rows = [
+        (r.path.rsplit("/", 1)[-1], r.text)
+        for r in spark.read.parquet(out).collect()
+    ]
+    # exactly-once per file: a/b are NOT re-ingested by drain #2
+    assert sorted(rows) == [
+        ("a.txt", "alpha"),
+        ("b.txt", "beta"),
+        ("c.txt", "gamma"),
+    ]
