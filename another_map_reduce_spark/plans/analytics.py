@@ -1253,6 +1253,94 @@ def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Mergeable distinct-count sketches (HLL sketch columns, stored + unioned)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hll_sketch_rollup",
+    oracle="""
+SELECT event_type,
+       DATE_TRUNC('month', ts) AS month,
+       CAST(COUNT(DISTINCT DATE_TRUNC('day', ts)) AS BIGINT) AS n_days,
+       COUNT(DISTINCT user_id) AS exact_users,
+       abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+           < 0.05 * COUNT(DISTINCT user_id) AS within_5pct
+FROM events
+GROUP BY event_type, DATE_TRUNC('month', ts)
+ORDER BY event_type, month
+""",
+)
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches — the warehouse surface
+    ``approx_distinct_users`` doesn't cover: per (event_type, DAY)
+    ``hll_sketch_agg(user_id)`` sketches are MATERIALIZED to parquet
+    as binary columns (the "store partial aggregates" half), read
+    back, and ``hll_union_agg``-rolled to monthly distinct-user
+    estimates (the "merge across partitions" half) — so a 100 TB
+    deployment pays the raw scan once per day and answers any
+    coarser-grain distinct question from kilobyte sketches.
+
+    Correctness contract is the proven tolerance mechanism of
+    approx_distinct_users: each engine emits the exact distinct count
+    plus within_5pct computed against ITS OWN estimate (Spark's from
+    the stored-then-merged sketches, DuckDB's from its native HLL), so
+    the hash matches while failing if either drifts out of tolerance;
+    n_days pins the merge fan-in exactly.  Sketch-union associativity
+    (union of halves ≡ sketch of whole, bit-equal estimates) is
+    pytest-proven in tests/test_analytics.py.
+
+    Scale shape: one shuffle to (event_type, day) granularity for the
+    daily sketches; the rollup then aggregates |days| kilobyte rows —
+    no second pass over the corpus.  Same pid-free overwrite-in-place
+    materialization contract as zorder_layout_skipping.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    daily = ev.groupBy(
+        F.col("event_type"), day.alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"amrs_hll_daily_{tag}"
+    )
+    daily.write.mode("overwrite").parquet(path)
+
+    rolled = (
+        spark.read.parquet(path)
+        .groupBy("event_type", F.date_trunc("month", F.col("day")).alias("month"))
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_approx"),
+        )
+    )
+    exact = (
+        ev.groupBy(
+            "event_type", F.date_trunc("month", F.col("ts")).alias("month")
+        )
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    return (
+        exact.join(F.broadcast(rolled), ["event_type", "month"])
+        .select(
+            "event_type",
+            "month",
+            "n_days",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                < 0.05 * F.col("exact_users")
+            ).alias("within_5pct"),
+        )
+        .orderBy("event_type", "month")
+    )
+
+
 # Registry-order repair: if THIS module was the user's first import, the
 # circular import through queries._load() saw it partially initialized
 # and ordered the registry without its entries (they append afterwards).

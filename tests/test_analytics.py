@@ -436,3 +436,32 @@ def test_incremental_mv_split_is_nonvacuous(spark, sf_dir):
     assert sum(r.n_orders for r in rows) == n_base + n_delta
     for r in rows:
         assert r.sum_total is not None and r.max_total is not None
+
+
+def test_hll_sketch_union_associativity(spark, tmp_path):
+    """HLL sketch merging is exact w.r.t. the sketch algebra: each
+    register holds a max, and max is associative/commutative — so the
+    union of per-half sketches must estimate IDENTICALLY to one sketch
+    over the whole set, including after a parquet round-trip of the
+    binary sketch column (the store-then-merge warehouse pattern)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(10000).select(
+        (F.col("id") % 2).alias("half"), (F.col("id") % 3137).alias("v")
+    )
+    whole = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("v")).alias("e")
+    ).collect()[0].e
+
+    halves = df.groupBy("half").agg(F.hll_sketch_agg("v").alias("sk"))
+    p = str(tmp_path / "sk")
+    halves.write.parquet(p)
+    merged = (
+        spark.read.parquet(p)
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert merged == whole
+    # and the estimate is in tolerance of the true cardinality (3137)
+    assert abs(merged - 3137) < 0.05 * 3137

@@ -542,7 +542,12 @@ def _has_protobuf() -> bool:
     "installed in this container and may not be added (environment "
     "brief), so the modern-API twin can only run where protobuf "
     "exists — the classic applyInPandasWithState twin above covers "
-    "the semantics here.",
+    "the semantics here.  Vendoring was attempted (round 6) and is "
+    "not possible offline: a filesystem-wide search finds no protobuf "
+    "wheel/sdist or runtime copy (only typeshed stubs), the sandbox "
+    "has no network, and StateMessage_pb2's generated code needs the "
+    "full descriptor-pool/builder runtime — a hand-written shim would "
+    "be a protobuf reimplementation, a worse risk than the gate.",
 )
 def test_transform_with_state_funnel_matches_batch(spark, sf_dir, tmp_path):
     """Spark 4's transformWithStateInPandas (RocksDB state store) runs
