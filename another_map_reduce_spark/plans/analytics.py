@@ -1341,6 +1341,93 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Runtime Bloom-filter join pruning (row-level runtime filter, dim → fact)
+# ---------------------------------------------------------------------------
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def _bloom_filter_confs(spark: SparkSession):
+    """Scope the confs that let Catalyst inject a runtime Bloom filter
+    at TEST scale: the injector is ON by default but gated on a 10 GB
+    fact-scan threshold (the 100 TB default is correct — tiny scans
+    don't amortize the build), and it only fires on non-broadcast
+    joins, so the dim side must not auto-broadcast.  Restore-on-exit,
+    NOT reentrant — same serial driver/bench/test harness contract as
+    _stream_shuffle_partitions."""
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+def _bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selective dim→fact shape (shared by the query and the plan
+    test): 0.2% of ``part`` rows survive the predicate, so the runtime
+    Bloom filter built from ``p_partkey`` prunes ~99.8% of ``lineitem``
+    BEFORE the join shuffle."""
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 5)
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum("l_extendedprice", "revenue"),
+        )
+    )
+
+
+@register(
+    "bloom_join_pruned_revenue",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#23' AND p_size <= 5
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def bloom_join_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning — Spark's row-level runtime
+    filter (`spark.sql.optimizer.runtime.bloomFilter.*`) demonstrated
+    on a selective dim→fact join: Catalyst builds a Bloom filter over
+    the filtered dim keys (``bloom_filter_agg``) and injects
+    ``might_contain(xxhash64(l_partkey))`` into the FACT SCAN, so
+    non-matching fact rows die before the join exchange instead of
+    being shuffled and discarded — at 100 TB this is the difference
+    between shuffling the whole fact table and shuffling the ~0.2%
+    that can match.  (Broadcast stays the first choice for genuinely
+    small dims; the Bloom filter is the lever when the dim is
+    selective-but-unbroadcastable — plan-asserted in
+    tests/test_analytics.py, scan-row reduction measured in SCALE.md.)
+
+    The aggregate is materialized inside the conf scope
+    (localCheckpoint) so the EXECUTED plan is the Bloom-filtered one —
+    a lazy return would re-plan at collect time under default confs
+    (same answer, no demonstration).
+    """
+    with _bloom_filter_confs(spark):
+        out = _bloom_pruned_join(spark, sf_dir).localCheckpoint(eager=True)
+    return out.orderBy("l_returnflag")
+
+
 # Registry-order repair: if THIS module was the user's first import, the
 # circular import through queries._load() saw it partially initialized
 # and ordered the registry without its entries (they append afterwards).

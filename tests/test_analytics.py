@@ -465,3 +465,25 @@ def test_hll_sketch_union_associativity(spark, tmp_path):
     assert merged == whole
     # and the estimate is in tolerance of the true cardinality (3137)
     assert abs(merged - 3137) < 0.05 * 3137
+
+
+def test_bloom_filter_join_pruning_plan_and_equivalence(spark, sf_dir):
+    """Under the scoped confs, Catalyst must inject the runtime Bloom
+    filter (bloom_filter_agg build over dim keys + might_contain on the
+    fact scan) — and the filtered plan must produce exactly the default
+    plan's rows (the filter is semantics-free pruning)."""
+    from another_map_reduce_spark.plans.analytics import (
+        _bloom_filter_confs,
+        _bloom_pruned_join,
+    )
+
+    with _bloom_filter_confs(spark):
+        df = _bloom_pruned_join(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+        filtered = sorted(map(tuple, df.collect()))
+    default = _bloom_pruned_join(spark, sf_dir)
+    plan_off = default._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" not in plan_off  # gated off at default confs
+    assert filtered == sorted(map(tuple, default.collect()))
