@@ -848,6 +848,64 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skew_join_aqe",
+    oracle="""
+WITH dim AS (
+  SELECT user_id, CAST(user_id % 10 AS BIGINT) AS segment
+  FROM (SELECT DISTINCT user_id FROM events)
+)
+SELECT segment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events JOIN dim USING (user_id)
+GROUP BY segment
+ORDER BY segment
+""",
+)
+def skew_join_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim join pinned to the SORT-MERGE shape AQE's skew-join
+    splitting operates on (`spark.sql.adaptive.skewJoin.enabled`,
+    session.py): a hot user key concentrates the fact side's shuffle
+    into one partition, and AQE splits that partition into
+    median-sized slices at runtime, each joined against a replicated
+    copy of the matching dim rows — the automatic remedy below
+    `operators/skew.py`'s manual salting.  On the uniform driver
+    corpus the plan simply runs as a plain SMJ (the oracle is a plain
+    join); on the Zipf fixture (`make_scale_data.py --skew`) the
+    splitting is measured — SCALE.md r6 records the salted/AQE/plain
+    wall-clock curves.  The dim is derived (distinct users → segment)
+    rather than broadcast precisely because skew handling only exists
+    on shuffle joins; a 10k-row dim would broadcast in production and
+    the skew would vanish — the fixture stands in for the
+    unbroadcastable-dim case.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # The dim is MATERIALIZED (localCheckpoint) before the join: AQE's
+    # OptimizeSkewedJoin pattern-matches SMJ(Sort(ShuffleRead),
+    # Sort(ShuffleRead)) and an Aggregate sitting between the dim's
+    # distinct-shuffle and its sort blocks the rewrite — measured r6:
+    # the derived-dim plan never splits, the materialized-dim plan
+    # shows SortMergeJoin(skew=true) and runs 3.1x faster on the
+    # fixture (SCALE.md).  10k rows, so the checkpoint is O(dim).
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("segment", (F.col("user_id") % 10).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    dec = F.col("value").cast("decimal(38,6)")
+    return (
+        ev.join(dim.hint("merge"), "user_id")
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec).cast("double").alias("total_value"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
     "embedding_centroids",
     oracle="""
 SELECT label, i AS dim,

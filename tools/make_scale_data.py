@@ -195,10 +195,52 @@ def build_relational(base: str, out: str, n: int) -> None:
             os.symlink(f.resolve(), dst)
 
 
+def build_skew(base: str, out: str, n: int) -> None:
+    """Replicate events N× with the user_id distribution REASSIGNED to
+    a Zipf-like head: 35% of all rows land on user 1, 15% on user 2,
+    the remaining half uniform over ~10k cold users.  This is the
+    pathological-key fixture the salted/AQE skew operators exist for —
+    the base tables' keys are uniform by construction, so skew claims
+    were previously unmeasured.  The draw is a deterministic hash of
+    the replicated event_id (rerunning the builder reproduces the
+    fixture bit-for-bit); every other column (and every other table,
+    symlinked) is untouched, so the same queries run unchanged."""
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    stride = _ID_STRIDE
+    con.execute(
+        f"""
+COPY (
+  SELECT event_id + r.r * {stride} AS event_id, ts,
+         CASE WHEN hash(event_id + r.r * {stride}) % 100 < 35 THEN 1
+              WHEN hash(event_id + r.r * {stride}) % 100 < 50 THEN 2
+              ELSE 3 + abs(hash(event_id + r.r * {stride} + 7919)) % 9997
+         END AS user_id,
+         event_type, value, props
+  FROM read_parquet('{base}/events.parquet'), range({n}) r(r)
+) TO '{out}/events.parquet' (FORMAT PARQUET)
+"""
+    )
+    n_rows, top = con.execute(
+        f"""SELECT SUM(c), MAX(c) FROM (SELECT COUNT(*) AS c
+               FROM read_parquet('{out}/events.parquet') GROUP BY user_id)"""
+    ).fetchone()
+    print(f"wrote {out}/events.parquet x{n} ({n_rows} rows, "
+          f"hottest user holds {top} = {top/n_rows:.0%})")
+    for f in Path(base).glob("*.parquet"):
+        if f.stem == "events":
+            continue
+        dst = Path(out) / f.name
+        if not (dst.is_symlink() or dst.exists()):
+            os.symlink(f.resolve(), dst)
+
+
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--relational"]
+    args = [a for a in sys.argv[1:] if a not in ("--relational", "--skew")]
     base, out, n = args[0], args[1], int(args[2])
-    if "--relational" in sys.argv:
+    if "--skew" in sys.argv:
+        build_skew(base, out, n)
+    elif "--relational" in sys.argv:
         build_relational(base, out, n)
     else:
         build(base, out, n)
