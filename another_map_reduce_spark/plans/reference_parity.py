@@ -249,6 +249,86 @@ def pysource_stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname).orderBy("word")
 
 
+@register(
+    "pysource_stream_sink_roundtrip",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(user_id) AS BIGINT) AS sum_uid
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def pysource_stream_sink_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The custom connector's STREAMING SINK, closed end to end: the
+    events table streams (file source, Trigger.AvailableNow) into
+    ``writeStream.format("reftext")`` — the Python DataSource's
+    streaming writer, two-phase temp+rename per micro-batch with
+    replay-idempotent ``part-<batch>-<pid>`` names — then the sink
+    directory is read BACK through the connector's batch reader,
+    parsed, and aggregated; the result must hash-match the oracle
+    computed on the original parquet.  Exact-integer columns only
+    (event_type, user_id) so the text round-trip cannot lose
+    precision.  Output dir + checkpoint are wiped per run for a
+    deterministic full drain (pid-free path, serial-harness
+    contract).
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from another_map_reduce_spark.plans.relational import (
+        _events_readstream,
+        _stream_shuffle_partitions,
+    )
+    from another_map_reduce_spark.sources.pydatasource import (
+        register_reftext,
+    )
+
+    register_reftext(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"amrs_reftext_sink_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    out, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+    os.makedirs(out, exist_ok=True)
+
+    stream = _events_readstream(spark, sf_dir).select(
+        "event_type", "user_id"
+    )
+    with _stream_shuffle_partitions(spark):
+        q = (
+            stream.writeStream.format("reftext")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    back = spark.read.format("reftext").load(os.path.join(out, "part-*"))
+    lines = back.select(
+        F.explode(F.split("text", "\n")).alias("line")
+    ).where(F.col("line") != "")
+    parsed = lines.select(
+        F.split("line", " ").getItem(0).alias("event_type"),
+        F.split("line", " ").getItem(1).cast("long").alias("user_id"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("user_id").cast("long").alias("sum_uid"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # Registry-order repair: if THIS module was the user's first import, the
 # circular import through queries._load() saw it partially initialized
 # and ordered the registry without its entries (they append afterwards).

@@ -100,7 +100,7 @@ _ORDER_FRONT = [
     "hll_sketch_rollup",
     "bloom_join_pruned_revenue",
     "skew_join_aqe",
-    "delta_encode_gaps",
+    "pysource_stream_sink_roundtrip",
     # oldest rows in the suite — r3-era (r5 overflow order):
     "udtf_wordcount",
     "tfidf_top_terms",

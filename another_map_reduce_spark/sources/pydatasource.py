@@ -27,6 +27,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -78,6 +79,9 @@ class RefTextDataSource(DataSource):
 
     def streamReader(self, schema) -> "_RefTextStreamReader":
         return _RefTextStreamReader(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> "_RefTextStreamWriter":
+        return _RefTextStreamWriter(self.options)
 
     def writer(self, schema, overwrite: bool) -> "_RefTextWriter":
         return _RefTextWriter(self.options, overwrite)
@@ -162,6 +166,83 @@ class _RefTextStreamReader(DataSourceStreamReader):
         # Offsets are self-contained (the seen-file list); nothing to
         # clean up on progression — the checkpoint log owns durability.
         pass
+
+
+# ---------------------------------------------------------------------------
+# Streaming writer half — the same two-phase sink, per micro-batch
+# ---------------------------------------------------------------------------
+
+
+class _RefTextStreamCommit(WriterCommitMessage):
+    """Per-task streaming commit message: temp file + partition id
+    (the batch id arrives driver-side in ``commit()``)."""
+
+    def __init__(self, tmp: str, pid: int):
+        self.tmp = tmp
+        self.pid = pid
+
+
+class _RefTextStreamWriter(DataSourceStreamWriter):
+    """``df.writeStream.format("reftext")`` — the batch writer's
+    two-phase temp+rename protocol applied PER MICRO-BATCH.  Final
+    names are ``part-<batchId>-<pid>.txt``: keyed by batch id and
+    partition only (no job/attempt uuid), so a batch REPLAYED after a
+    failure renames over its own previous attempt's files —
+    idempotent re-output, which is exactly the property a streaming
+    sink needs for end-to-end exactly-once under Spark's
+    offset-tracking contract (same batch ⇒ same data ⇒ same files).
+    Temps carry uuid names inside the shared ``_temporary/`` dir and
+    commit/abort touch ONLY the paths listed in this batch's commit
+    messages — no rmtree of shared state (the concurrent-writer
+    lesson from the batch writer applies doubly here, since batch N+1
+    may be planning while N's temps still exist on a slow store).
+    """
+
+    def __init__(self, options: dict):
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("reftext stream write requires a target directory")
+
+    def write(self, rows):
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        tmp_dir = os.path.join(self._dir, "_temporary")
+        os.makedirs(tmp_dir, exist_ok=True)
+        tmp = os.path.join(tmp_dir, f"{uuid.uuid4().hex}-{pid}")
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in rows:
+                f.write(" ".join("" if v is None else str(v) for v in row))
+                f.write("\n")
+        return _RefTextStreamCommit(tmp, pid)
+
+    def commit(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None:
+                final = os.path.join(
+                    self._dir,
+                    f"part-{batchId:010d}-{m.pid:05d}.txt",
+                )
+                os.replace(m.tmp, final)
+        try:
+            os.rmdir(os.path.join(self._dir, "_temporary"))
+        except OSError:
+            pass
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.tmp)
+                except FileNotFoundError:
+                    pass
 
 
 # ---------------------------------------------------------------------------

@@ -230,3 +230,48 @@ def test_reftext_stream_reader_incremental_offsets(spark, tmp_path):
         ("b.txt", "beta"),
         ("c.txt", "gamma"),
     ]
+
+
+def test_reftext_stream_writer_batched_atomic(spark, tmp_path):
+    """The streaming writer publishes one part-<batch>-<pid>.txt per
+    (micro-batch, partition) via temp+rename, leaves no _temporary
+    residue, and two sequential drains on one checkpoint append batch
+    files instead of clobbering (batch ids advance)."""
+    from another_map_reduce_spark.sources.pydatasource import (
+        register_reftext,
+    )
+
+    register_reftext(spark)
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.txt").write_text("one two")
+    out = tmp_path / "out"
+    out.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("reftext")
+            .load(str(src / "*.txt"))
+            .writeStream.format("reftext")
+            .option("path", str(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    first = sorted(p.name for p in out.glob("part-*.txt"))
+    assert first and all(n.startswith("part-") for n in first)
+    assert not (out / "_temporary").exists()
+
+    (src / "b.txt").write_text("three")
+    drain()
+    names = sorted(p.name for p in out.glob("part-*.txt"))
+    assert set(first) <= set(names) and len(names) > len(first)
+    text = " ".join(
+        p.read_text() for p in sorted(out.glob("part-*.txt"))
+    )
+    for token in ("one two", "three"):
+        assert token in text
