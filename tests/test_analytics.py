@@ -205,8 +205,9 @@ def test_zorder_layout_clusters_both_dimensions(spark, sf_dir, tmp_path):
 
     zorder_layout_skipping(spark, sf_dir).collect()  # writes the layout
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # pid-free path since r6 (overwrite-in-place bounds /tmp residue)
     zpath = os.path.join(
-        tempfile.gettempdir(), f"amrs_zorder_layout_{os.getpid()}_{tag}"
+        tempfile.gettempdir(), f"amrs_zorder_layout_{tag}"
     )
     flat = str(tmp_path / "orders_flat")
     (
