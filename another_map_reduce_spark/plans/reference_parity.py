@@ -165,9 +165,9 @@ def pysource_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant under the text round-trip and the result must hash-match
     the SAME oracle as `wordcount` computed on the original table.
 
-    Same deterministic per-process overwrite-in-place target as
-    sink_roundtrip_partitioned (bounded footprint, lazy read outlives
-    the function).
+    Same deterministic pid-free overwrite-in-place target as
+    sink_roundtrip_partitioned (one copy per sf_dir across runs, lazy
+    read outlives the function; serial-harness contract).
     """
     import hashlib
     import os
@@ -181,7 +181,7 @@ def pysource_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = os.path.join(
-        tempfile.gettempdir(), f"amrs_reftext_{os.getpid()}_{tag}"
+        tempfile.gettempdir(), f"amrs_reftext_{tag}"
     )
     docs.select("text").write.mode("overwrite").text(path)
     register_reftext(spark)

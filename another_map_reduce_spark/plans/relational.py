@@ -1880,7 +1880,7 @@ def sink_roundtrip_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     The partition column round-trips through directory names
     (`l_returnflag=R/`), exercising partition discovery on read; the
     aggregate then shuffles only post-scan rows.  The target is a
-    DETERMINISTIC per-process, per-sf directory overwritten on each
+    DETERMINISTIC pid-free per-sf directory overwritten on each
     invocation — repeated evaluations (bench's two passes, the driver)
     reuse one bounded footprint instead of leaking a lineitem copy per
     call, while the pid suffix isolates concurrent processes.  The
@@ -1898,7 +1898,7 @@ def sink_roundtrip_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = os.path.join(
         tempfile.gettempdir(),
-        f"amrs_sink_roundtrip_{os.getpid()}_{tag}",
+        f"amrs_sink_roundtrip_{tag}",
     )
     li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
     back = spark.read.parquet(path)
@@ -2051,7 +2051,7 @@ def sink_sorted_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dominant cost lever for time-filtered scans after partition
     pruning.  The correctness contract is that layout changes NOTHING
     about results: same rows, same aggregate, proven cross-engine.
-    Same deterministic per-process overwrite-in-place target as
+    Same deterministic pid-free overwrite-in-place target as
     sink_roundtrip_partitioned.
     """
     import hashlib
@@ -2063,7 +2063,7 @@ def sink_sorted_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = os.path.join(
-        tempfile.gettempdir(), f"amrs_sorted_layout_{os.getpid()}_{tag}"
+        tempfile.gettempdir(), f"amrs_sorted_layout_{tag}"
     )
     (
         li.repartitionByRange(8, "l_shipdate")
