@@ -16,6 +16,8 @@ Usage: python tools/bench_scale.py [out.json] [--relational]
 --relational switches to the round-5 relational/graph block (PageRank,
 profiling, regression, layouts, q1/q3) over star-schema replicas built
 with make_scale_data --relational.
+--r6 runs the round-6 duplicate-substring pair (stats vs removal) over
+the document-corpus scales.
 """
 
 from __future__ import annotations
@@ -72,6 +74,14 @@ REL_SCALES = [
     ("30x", "/tmp/relscale30", 30),
 ]
 
+# --r6: the round-6 corpus-bound additions — the duplicate-substring
+# pair (stats = the signal, removal = the excision; same exchange
+# profile plus one extra doc-keyed join and the scan-side HOF rebuild).
+R6_QUERIES = [
+    "dup_substring_stats",
+    "dup_substring_removal",
+]
+
 
 def _rest(app_port: int, path: str):
     with urllib.request.urlopen(
@@ -100,6 +110,8 @@ def main() -> None:
     relational = "--relational" in sys.argv
     queries = REL_QUERIES if relational else QUERIES
     scales = REL_SCALES if relational else SCALES
+    if "--r6" in sys.argv:
+        queries, scales = R6_QUERIES, SCALES
     probe = "orders" if relational else "documents"
     for _, d, n in scales:
         if n > 1 and not Path(f"{d}/{probe}.parquet").exists():
@@ -153,7 +165,7 @@ def main() -> None:
                 f" shw={rec.get('shuffle_write', -1)}",
                 file=sys.stderr,
             )
-    args = [a for a in sys.argv[1:] if a != "--relational"]
+    args = [a for a in sys.argv[1:] if a not in ("--relational", "--r6")]
     dest = args[0] if args else "/tmp/bench_scale.json"
     Path(dest).write_text(json.dumps(out, indent=2))
     print(json.dumps(out))
