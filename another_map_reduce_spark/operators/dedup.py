@@ -600,3 +600,100 @@ def lev1_pairs(vocab: DataFrame, word_col: str = "w") -> DataFrame:
         .dropDuplicates(["w1", "w2"])
         .where(F.levenshtein("w1", "w2") <= 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash: persisted LSH index ⋈ daily delta
+# ---------------------------------------------------------------------------
+
+
+def lsh_band_index(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 128,
+    bands: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(doc, band, sig)`` rows — the PERSISTABLE LSH index of a
+    corpus (|bands| small rows per document, no text, no shingles).
+
+    This is what makes dedup affordable as a corpus grows: build the
+    index once per historical partition, store it (parquet, ideally
+    bucketed by (band, sig)), and every new batch joins against it
+    instead of re-banding 100 TB of history.  Same signature/banding
+    construction as ``minhash_lsh_pairs`` (independent slot hashes,
+    k/bands rows per band), so capture probabilities carry over.
+    """
+    r = k // bands
+    docs = shingle_docs(df, text_col, id_col, n)
+    sig = docs.withColumn(
+        "mh", minhash_signature(F.col("shingles"), k)
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.hash(F.slice(F.col("mh"), j * r + 1, r)).alias("sig"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "bk.band", "bk.sig")
+
+
+def incremental_minhash_pairs(
+    history: DataFrame,
+    delta: DataFrame,
+    index: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    k: int = 128,
+    bands: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dups of a NEW batch against an EXISTING corpus, via the
+    stored index: band the delta (small), broadcast it against the
+    history's ``lsh_band_index`` rows, exact-verify the candidates.
+    Output: (new_doc, dup_of, jac ≥ threshold) — every history document
+    each new document duplicates.
+
+    The asymmetry is the point: history is touched only through its
+    |bands|-rows-per-doc index scan plus a candidate-bounded shingle
+    lookup — never re-shingled, never re-shuffled.  The broadcast is
+    correct for the daily-increment regime (delta ≪ history); if a
+    backfill delta outgrows the broadcast threshold, drop the hint and
+    the same plan degrades to a shuffle join on (band, sig), still
+    index-reusing.
+    """
+    dband = lsh_band_index(
+        delta, n, k, bands, text_col, id_col
+    ).withColumnRenamed("doc", "new_doc")
+    cand = (
+        index.join(F.broadcast(dband), ["band", "sig"])
+        .select("new_doc", F.col("doc").alias("dup_of"))
+        .dropDuplicates(["new_doc", "dup_of"])
+    )
+    dsh = shingle_docs(delta, text_col, id_col, n).select(
+        F.col("doc").alias("new_doc"), F.col("shingles").alias("sh_new")
+    )
+    hsh = shingle_docs(history, text_col, id_col, n).select(
+        F.col("doc").alias("dup_of"), F.col("shingles").alias("sh_old")
+    )
+    # candidate side as hash build; history shingles never broadcast
+    verified = (
+        cand.hint("shuffle_hash").join(hsh, "dup_of")
+        .join(F.broadcast(dsh), "new_doc")
+    )
+    inter = F.size(F.array_intersect("sh_new", "sh_old"))
+    union = F.size("sh_new") + F.size("sh_old") - inter
+    return (
+        verified.select("new_doc", "dup_of", (inter / union).alias("jac"))
+        .where(F.col("jac") >= threshold)
+        .orderBy("new_doc", "dup_of")
+    )

@@ -101,6 +101,7 @@ _ORDER_FRONT = [
     "bloom_join_pruned_revenue",
     "skew_join_aqe",
     "pysource_stream_sink_roundtrip",
+    "dedup_incremental_minhash",
     # oldest rows in the suite — r3-era (r5 overflow order):
     "udtf_wordcount",
     "tfidf_top_terms",

@@ -283,3 +283,33 @@ def test_lev1_pairs_matches_bruteforce_on_dense_random_vocab(spark):
     )
     assert got == want
     assert len(want) > 100  # the sweep actually exercised dense structure
+
+
+def test_incremental_minhash_equals_batch_restriction(spark, sf_dir):
+    """The incremental path (delta banded against the stored history
+    index) must find exactly the batch operator's pairs restricted to
+    the delta/history boundary — index reuse changes the cost, never
+    the answer."""
+    from pyspark.sql import functions as F
+
+    from another_map_reduce_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        lsh_band_index,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist = docs.where(F.col("doc_id") % 10 != 0)
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+    idx = lsh_band_index(hist)
+    inc = {
+        (r.new_doc, r.dup_of, round(r.jac, 9))
+        for r in incremental_minhash_pairs(hist, delta, idx).collect()
+    }
+    full = minhash_lsh_pairs(docs, threshold=0.8).collect()
+    cross = {
+        ((r.d1, r.d2) if r.d1 % 10 == 0 else (r.d2, r.d1)) + (round(r.jac, 9),)
+        for r in full
+        if (r.d1 % 10 == 0) != (r.d2 % 10 == 0)
+    }
+    assert inc == cross and inc, (len(inc), len(cross))
