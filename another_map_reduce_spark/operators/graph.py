@@ -221,3 +221,50 @@ def cluster_stats(components: DataFrame) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+def triangle_stats(proj: DataFrame) -> DataFrame:
+    """Triangle count, wedge count, and global clustering coefficient
+    of an ORIENTED simple edge list ``(u, v)`` with u < v and no
+    duplicates (the caller's contract — e.g. plans/analytics.py's
+    hub-capped co-purchase projection).
+
+    Oriented node-iterator join: a triangle u<v<w appears exactly once
+    as (u,v)⋈(v,w) closed by (u,w); wedges are Σ d(d−1)/2 over
+    UNDIRECTED degrees (integer DIV, exact).  3T/W is one
+    exactly-rounded double division, so the single output row is
+    hash-comparable across engines.  At scale the three joins shuffle
+    on u / v / (u,v); nothing requires a broadcast.
+    """
+    e1, e2, e3 = proj.alias("e1"), proj.alias("e2"), proj.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    deg = (
+        proj.select(F.col("u").alias("n"))
+        .unionAll(proj.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedge = deg.agg(
+        F.expr("CAST(SUM(d * (d - 1)) DIV 2 AS BIGINT)").alias("w")
+    )
+    edges = proj.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        edges.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(wedge))
+        .select(
+            "n_edges",
+            F.col("t").alias("n_triangles"),
+            F.col("w").alias("n_wedges"),
+            F.round(F.lit(3.0) * F.col("t") / F.col("w"), 6).alias(
+                "clustering"
+            ),
+        )
+    )

@@ -984,6 +984,99 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("node_type", "degree")
     )
 # ---------------------------------------------------------------------------
+# Triangle counting (co-purchase projection, oriented-edge join)
+# ---------------------------------------------------------------------------
+
+_TRI_HUB_CAP = 20  # customers linking more suppliers than this are excluded
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+WITH sc AS (
+  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), hub AS (
+  SELECT c FROM sc GROUP BY c HAVING COUNT(*) <= {_TRI_HUB_CAP}
+), proj AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM sc a JOIN sc b ON a.c = b.c AND a.s < b.s
+  WHERE a.c IN (SELECT c FROM hub)
+), tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t FROM proj e1
+  JOIN proj e2 ON e1.v = e2.u
+  JOIN proj e3 ON e3.u = e1.u AND e3.v = e2.v
+), deg AS (
+  SELECT u AS n, COUNT(*) AS d
+  FROM (SELECT u FROM proj UNION ALL SELECT v AS u FROM proj) t(u)
+  GROUP BY u
+), wedge AS (
+  SELECT CAST(SUM(d * (d - 1)) // 2 AS BIGINT) AS w FROM deg
+)
+SELECT CAST((SELECT COUNT(*) FROM proj) AS BIGINT) AS n_edges,
+       (SELECT t FROM tri) AS n_triangles,
+       (SELECT w FROM wedge) AS n_wedges,
+       round(3.0 * (SELECT t FROM tri) / (SELECT w FROM wedge), 6)
+           AS clustering
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the supplier
+    CO-PURCHASE graph (suppliers adjacent iff they share a customer) —
+    the third classic distributed-graph pattern after connected
+    components and PageRank, and a different one: not iterative but
+    JOIN-INTENSIVE (edges⋈edges⋈edges), the canonical test of whether
+    an engine can keep a multiway self-join from going quadratic.
+
+    Two standard guards make the plan scale-shaped: (1) the ORIENTED
+    edge list (u < v, each triangle counted exactly once as u<v<w)
+    bounds the wedge join's fan-out to out-neighborhoods instead of
+    full neighborhoods; (2) the HUB CAP — customers linking more than
+    _TRI_HUB_CAP suppliers are excluded from the projection (the oracle
+    applies the same cap, so the contract is exact) — because one
+    1M-degree hub alone would mint half a trillion projected edges;
+    real pipelines cap or sample hubs for exactly this reason, and the
+    excluded-hub count is itself reportable via
+    graph_degree_distribution.  Wedges are per-node degree aggregates
+    (integer-exact DIV 2); the clustering coefficient 3T/W is one
+    exactly-rounded double division, so the row hash-matches across
+    engines.
+
+    At 100 TB the projection and the three joins shuffle on their
+    join keys (u / v / (u,v)) — no broadcast requirement anywhere;
+    locally Catalyst broadcasts the small sides, and past the
+    threshold the same plan degrades to shuffle joins.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    sc_pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    hub = (
+        sc_pairs.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") <= _TRI_HUB_CAP)
+        .select("c")
+    )
+    scf = sc_pairs.join(hub, "c")
+    a, b = scf.alias("a"), scf.alias("b")
+    proj = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+    )
+    from another_map_reduce_spark.operators.graph import triangle_stats
+
+    return triangle_stats(proj)
+
+
+# ---------------------------------------------------------------------------
 # Quantile bucketing WITHOUT a global sort — NTILE's at-scale variant
 # ---------------------------------------------------------------------------
 

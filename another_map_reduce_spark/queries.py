@@ -102,6 +102,7 @@ _ORDER_FRONT = [
     "skew_join_aqe",
     "pysource_stream_sink_roundtrip",
     "dedup_incremental_minhash",
+    "graph_triangle_count",
     # oldest rows in the suite — r3-era (r5 overflow order):
     "udtf_wordcount",
     "tfidf_top_terms",

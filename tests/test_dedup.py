@@ -313,3 +313,20 @@ def test_incremental_minhash_equals_batch_restriction(spark, sf_dir):
         if (r.d1 % 10 == 0) != (r.d2 % 10 == 0)
     }
     assert inc == cross and inc, (len(inc), len(cross))
+
+
+def test_triangle_stats_known_graphs(spark):
+    """triangle_stats on graphs with closed-form answers: the 4-clique
+    (6 edges, 4 triangles, 12 wedges, clustering 1.0) and the 4-path
+    (3 edges, 0 triangles, 2 wedges, clustering 0)."""
+    from another_map_reduce_spark.operators.graph import triangle_stats
+
+    clique = spark.createDataFrame(
+        [(u, v) for u in range(4) for v in range(u + 1, 4)], "u int, v int"
+    )
+    r = triangle_stats(clique).collect()[0]
+    assert (r.n_edges, r.n_triangles, r.n_wedges, r.clustering) == (6, 4, 12, 1.0)
+
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "u int, v int")
+    r = triangle_stats(path).collect()[0]
+    assert (r.n_edges, r.n_triangles, r.n_wedges, r.clustering) == (3, 0, 2, 0.0)
