@@ -1077,6 +1077,223 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Interval analytics: overlap join + sweep-line concurrency over sessions
+# ---------------------------------------------------------------------------
+
+# Session derivation shared with session_windows_batch's proven oracle:
+# gaps-and-islands, new session iff gap ≥ 30 min; closed [s, e] with
+# e = last event time.
+_SESS_SQL = """
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess_no
+  FROM flagged
+), sess AS (
+  SELECT user_id, MIN(ts) AS s, MAX(ts) AS e
+  FROM numbered GROUP BY user_id, sess_no
+)
+"""
+
+_CELL_US = 3_600 * 1_000_000  # 1-hour blocking cells, microseconds
+
+
+def _sessions_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, s, e) session intervals in epoch microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("s"),
+            F.unix_micros(
+                F.col("sw.end") - F.expr("INTERVAL 30 minutes")
+            ).alias("e"),
+        )
+    )
+
+
+@register(
+    "session_overlap_pairs",
+    oracle=f"""
+WITH {_SESS_SQL}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(epoch_us(least(a.e, b.e)) - epoch_us(greatest(a.s, b.s)))
+            AS BIGINT) AS total_overlap_us,
+       CAST(MAX(epoch_us(least(a.e, b.e)) - epoch_us(greatest(a.s, b.s)))
+            AS BIGINT) AS max_overlap_us
+FROM sess a JOIN sess b
+  ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+""",
+)
+def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL OVERLAP JOIN, the distributed way: cross-user session
+    pairs that overlap in time, found by blocking intervals into
+    1-hour grid cells — each session emits the cells it touches
+    (span-bounded, ≤2 for 30-min-gap sessions), candidates meet only
+    inside a shared cell, duplicates from multi-cell pairs collapse
+    before the exact overlap predicate confirms.  The standard remedy
+    for the quadratic interval join (the oracle RUNS that quadratic
+    plan — DuckDB's IEJoin — so the hash proves the blocking loses
+    nothing); same sketch-then-verify shape as the dedup family, on
+    time instead of text.
+
+    All arithmetic in epoch MICROSECONDS (bigint), so the overlap
+    sums are integer-exact across engines.  At 100 TB the only
+    exchange is the cell equi-join; cell width trades replication
+    (span/width rows per session) against cell occupancy — the same
+    dial as every spatial grid join.
+    """
+    sess = _sessions_us(spark, sf_dir)
+    cells = sess.select(
+        "user_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.expr(f"s DIV {_CELL_US}"), F.expr(f"e DIV {_CELL_US}")
+            )
+        ).alias("cell"),
+    )
+    a = cells.alias("a")
+    b = cells.hint("shuffle_hash").alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .select(
+            F.col("a.user_id").alias("u1"),
+            F.col("a.s").alias("s1"),
+            F.col("a.e").alias("e1"),
+            F.col("b.user_id").alias("u2"),
+            F.col("b.s").alias("s2"),
+            F.col("b.e").alias("e2"),
+        )
+        .dropDuplicates(["u1", "s1", "u2", "s2"])
+    )
+    ov = F.least("e1", "e2") - F.greatest("s1", "s2")
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(ov).cast("long").alias("total_overlap_us"),
+        F.max(ov).cast("long").alias("max_overlap_us"),
+    )
+
+
+@register(
+    "session_peak_concurrency",
+    oracle=f"""
+WITH {_SESS_SQL},
+frag AS (
+  SELECT user_id, d AS day,
+         greatest(s, d) AS fs,
+         least(e, d + INTERVAL 1 DAY - INTERVAL 1 MICROSECOND) AS fe
+  FROM sess,
+       UNNEST(generate_series(DATE_TRUNC('day', s), DATE_TRUNC('day', e),
+                              INTERVAL 1 DAY)) AS t(d)
+),
+bound AS (
+  SELECT day, fs AS ts, 1 AS delta FROM frag
+  UNION ALL
+  SELECT day, fe AS ts, -1 AS delta FROM frag
+),
+swept AS (
+  SELECT day,
+         SUM(delta) OVER (PARTITION BY day ORDER BY ts, delta DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS running
+  FROM bound
+)
+SELECT s.day,
+       CAST(f.n AS BIGINT) AS n_sessions,
+       CAST(MAX(s.running) AS BIGINT) AS peak_concurrent
+FROM swept s
+JOIN (SELECT day, COUNT(*) AS n FROM frag GROUP BY day) f ON s.day = f.day
+GROUP BY s.day, f.n
+ORDER BY s.day
+""",
+)
+def session_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SWEEP-LINE concurrency: per day, the maximum number of user
+    sessions simultaneously active — the +1/−1 boundary trick (each
+    interval contributes a start and an end event; peak = max of the
+    running sum) that computes in one pass what a naive
+    point-in-interval join makes quadratic.
+
+    Distributed shape: sessions are SPLIT at day boundaries first
+    (sequence-explode over the days each session touches — sessions
+    are gap-bounded, so ≤2 fragments), making the sweep's sort
+    PER-DAY instead of global: Window.partitionBy(day) keeps every
+    partition calendar-bounded, no single-partition global sort
+    exists.  Start events order before end events at equal timestamps
+    (delta DESC), so touching closed intervals count as concurrent —
+    and within equal (ts, delta) groups the running maximum is
+    permutation-invariant, which is what makes the per-day MAX
+    hash-comparable across engines.
+    """
+    ev_sess = _sessions_us(spark, sf_dir).select(
+        "user_id",
+        F.timestamp_micros("s").alias("s"),
+        F.timestamp_micros("e").alias("e"),
+    )
+    frag = ev_sess.select(
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", "s"),
+                F.date_trunc("day", "e"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+        "s",
+        "e",
+    ).select(
+        "day",
+        F.greatest("s", F.col("day")).alias("fs"),
+        F.least(
+            "e",
+            F.col("day")
+            + F.expr("INTERVAL 1 DAY")
+            - F.expr("INTERVAL 1 MICROSECOND"),
+        ).alias("fe"),
+    )
+    bound = frag.select(
+        "day", F.col("fs").alias("ts"), F.lit(1).alias("delta")
+    ).unionAll(
+        frag.select("day", F.col("fe").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("ts"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = bound.withColumn("running", F.sum("delta").over(w))
+    per_day = frag.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    return (
+        swept.groupBy("day")
+        .agg(F.max("running").cast("long").alias("peak_concurrent"))
+        .join(per_day, "day")
+        .select("day", "n_sessions", "peak_concurrent")
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Quantile bucketing WITHOUT a global sort — NTILE's at-scale variant
 # ---------------------------------------------------------------------------
 

@@ -103,6 +103,8 @@ _ORDER_FRONT = [
     "pysource_stream_sink_roundtrip",
     "dedup_incremental_minhash",
     "graph_triangle_count",
+    "session_overlap_pairs",
+    "session_peak_concurrency",
     # oldest rows in the suite — r3-era (r5 overflow order):
     "udtf_wordcount",
     "tfidf_top_terms",
