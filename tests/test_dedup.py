@@ -330,3 +330,35 @@ def test_triangle_stats_known_graphs(spark):
     path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "u int, v int")
     r = triangle_stats(path).collect()[0]
     assert (r.n_edges, r.n_triangles, r.n_wedges, r.clustering) == (3, 0, 2, 0.0)
+
+
+def test_triangle_stats_random_graph_bruteforce(spark):
+    """triangle_stats vs a pure-Python brute force on a seeded random
+    graph — every closed-form-free quantity checked exactly."""
+    import itertools
+    import random
+
+    from another_map_reduce_spark.operators.graph import triangle_stats
+
+    rng = random.Random(20260814)
+    nodes = range(14)
+    edges = sorted(
+        (u, v)
+        for u, v in itertools.combinations(nodes, 2)
+        if rng.random() < 0.35
+    )
+    adj = {n: set() for n in nodes}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    tris = sum(
+        1
+        for u, v, w in itertools.combinations(nodes, 3)
+        if v in adj[u] and w in adj[u] and w in adj[v]
+    )
+    wedges = sum(len(a) * (len(a) - 1) // 2 for a in adj.values())
+
+    df = spark.createDataFrame(edges, "u int, v int")
+    r = triangle_stats(df).collect()[0]
+    assert (r.n_edges, r.n_triangles, r.n_wedges) == (len(edges), tris, wedges)
+    assert r.clustering == round(3.0 * tris / wedges, 6)

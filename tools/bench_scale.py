@@ -82,6 +82,33 @@ R6_QUERIES = [
     "dup_substring_removal",
 ]
 
+# --events: the event-stream family over make_scale_data --events
+# replicas (disjoint user populations, same 30-day window — user-keyed
+# operators scale as independent copies; time-keyed ones interact for
+# real, so session_overlap_pairs' OUTPUT grows ~quadratically with
+# concurrent users — that is the semantics, not the plan).
+EVENT_QUERIES = [
+    "session_peak_concurrency",
+    "hll_sketch_rollup",
+    "funnel_conversion",
+    "cumulative_unique_users",
+    "event_transition_matrix",
+    "stream_events_hourly",
+    "session_overlap_pairs",
+]
+
+EVENT_SCALES = [
+    ("1x", "/root/testdata/sf0.1", 1),
+    ("3x", "/tmp/evscale3", 3),
+    ("10x", "/tmp/evscale10", 10),
+    ("30x", "/tmp/evscale30", 30),
+]
+
+# Output-bound queries stop early: session_overlap_pairs' true answer
+# grows ~quadratically with concurrent users (136M real pairs at 30x),
+# so measuring past 10x times the answer's size, not the plan.
+MAX_SCALE = {"session_overlap_pairs": 10}
+
 
 def _rest(app_port: int, path: str):
     with urllib.request.urlopen(
@@ -108,11 +135,19 @@ def _shuffle_bytes(port: int, app_id: str, group: str) -> dict:
 
 def main() -> None:
     relational = "--relational" in sys.argv
+    events = "--events" in sys.argv
     queries = REL_QUERIES if relational else QUERIES
     scales = REL_SCALES if relational else SCALES
     if "--r6" in sys.argv:
         queries, scales = R6_QUERIES, SCALES
-    probe = "orders" if relational else "documents"
+    if events:
+        queries, scales = EVENT_QUERIES, EVENT_SCALES
+    probe = (
+        "orders" if relational else "events" if events else "documents"
+    )
+    builder_flag = (
+        ["--relational"] if relational else ["--events"] if events else []
+    )
     for _, d, n in scales:
         if n > 1 and not Path(f"{d}/{probe}.parquet").exists():
             subprocess.run(
@@ -123,7 +158,7 @@ def main() -> None:
                     d,
                     str(n),
                 ]
-                + (["--relational"] if relational else []),
+                + builder_flag,
                 check=True,
             )
 
@@ -148,6 +183,8 @@ def main() -> None:
     for qname in queries:
         out["queries"][qname] = {}
         for label, d, _n in scales:
+            if _n > MAX_SCALE.get(qname, 10**9):
+                continue
             group = f"{qname}@{label}"
             sc.setJobGroup(group, group)
             t0 = time.time()
@@ -165,7 +202,7 @@ def main() -> None:
                 f" shw={rec.get('shuffle_write', -1)}",
                 file=sys.stderr,
             )
-    args = [a for a in sys.argv[1:] if a not in ("--relational", "--r6")]
+    args = [a for a in sys.argv[1:] if a not in ("--relational", "--r6", "--events")]
     dest = args[0] if args else "/tmp/bench_scale.json"
     Path(dest).write_text(json.dumps(out, indent=2))
     print(json.dumps(out))

@@ -195,6 +195,40 @@ def build_relational(base: str, out: str, n: int) -> None:
             os.symlink(f.resolve(), dst)
 
 
+def build_events(base: str, out: str, n: int) -> None:
+    """Replicate events N× with DISJOINT user populations (user_id +
+    r·1e6, event_id + r·stride) over the SAME 30-day window — more
+    users, same period, which is how an event stream actually grows.
+    Per-user structure (sessions, funnels, transition chains) is
+    preserved within each replica, so user-keyed operators scale as N
+    independent copies; TIME-keyed operators (overlap pairs, peak
+    concurrency, daily sketches) see the real cross-population
+    interaction — overlap-pair counts grow ~quadratically because the
+    true answer does.  Other tables symlinked."""
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+COPY (
+  SELECT event_id + r.r * {_ID_STRIDE} AS event_id, ts,
+         user_id + r.r * 1000000 AS user_id,
+         event_type, value, props
+  FROM read_parquet('{base}/events.parquet'), range({n}) r(r)
+) TO '{out}/events.parquet' (FORMAT PARQUET)
+"""
+    )
+    n_rows = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{out}/events.parquet')"
+    ).fetchone()[0]
+    print(f"wrote {out}/events.parquet x{n} ({n_rows} rows)")
+    for f in Path(base).glob("*.parquet"):
+        if f.stem == "events":
+            continue
+        dst = Path(out) / f.name
+        if not (dst.is_symlink() or dst.exists()):
+            os.symlink(f.resolve(), dst)
+
+
 def build_skew(base: str, out: str, n: int) -> None:
     """Replicate events N× with the user_id distribution REASSIGNED to
     a Zipf-like head: 35% of all rows land on user 1, 15% on user 2,
@@ -236,10 +270,16 @@ COPY (
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a not in ("--relational", "--skew")]
+    args = [
+        a
+        for a in sys.argv[1:]
+        if a not in ("--relational", "--skew", "--events")
+    ]
     base, out, n = args[0], args[1], int(args[2])
     if "--skew" in sys.argv:
         build_skew(base, out, n)
+    elif "--events" in sys.argv:
+        build_events(base, out, n)
     elif "--relational" in sys.argv:
         build_relational(base, out, n)
     else:
