@@ -50,6 +50,9 @@ def test_oracle_sql_runs_via_spark_sql(spark, sf_dir):
         "cumulative_unique_users",
         "event_transition_matrix",
         "graph_degree_distribution",
+        # r6 additions whose oracle text is ANSI enough for both
+        "bloom_join_pruned_revenue",
+        "skew_join_aqe",
     ]
     for name in sample:
         assert name in parseable, f"{name} no longer parses in spark.sql"
