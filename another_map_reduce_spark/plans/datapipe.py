@@ -536,6 +536,102 @@ def dup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Length-grouped batching (padding-overhead report)
+# ---------------------------------------------------------------------------
+
+_BATCH_B = 32  # documents per batch
+
+
+@register(
+    "length_batching_report",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, len({_TOKS_SQL}) AS n FROM documents
+),
+strat AS (
+  SELECT 'random' AS strategy, n,
+         (ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+          - 1) // {_BATCH_B} AS b
+  FROM t
+  UNION ALL
+  SELECT 'sorted' AS strategy, n,
+         (ROW_NUMBER() OVER (ORDER BY n, doc_id) - 1) // {_BATCH_B} AS b
+  FROM t
+),
+per AS (
+  SELECT strategy, b, MAX(n) * COUNT(*) - SUM(n) AS pad, SUM(n) AS tok
+  FROM strat GROUP BY strategy, b
+)
+SELECT strategy,
+       CAST(COUNT(*) AS BIGINT) AS n_batches,
+       CAST(SUM(tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(pad) AS BIGINT) AS padded_tokens,
+       round(CAST(SUM(pad) AS DOUBLE) / (SUM(pad) + SUM(tok)), 6)
+           AS pad_frac
+FROM per
+GROUP BY strategy
+ORDER BY strategy
+""",
+)
+def length_batching_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LENGTH-GROUPED BATCHING sign-off: the padding cost of batching
+    documents B=32 at a time under (a) deterministic-random order
+    (md5 of doc_id) vs (b) length-sorted order — each batch pads every
+    member to its max length, so the report's pad_frac delta IS the
+    compute a training run wastes by not length-bucketing (the
+    standard dynamic-batching argument, quantified on this corpus).
+
+    Both strategies batch one global stream via row_number DIV B —
+    exact, and the honest semantics for a sign-off report; at 100 TB
+    the production variant batches within (shard) partitions (the same
+    window with a partitionBy, per-shard streams) and the report's
+    numbers converge to this one as shards grow.  All-integer token
+    accounting; one rounded double division per row.
+    """
+    from another_map_reduce_spark.operators.text_analysis import (
+        _ws_tokens as _lower_ws_tokens,
+    )
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_lower_ws_tokens(F.col("text"))).alias("n")
+    )
+    w_rand = Window.orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    w_sort = Window.orderBy(F.col("n"), F.col("doc_id"))
+    strat = docs.select(
+        F.lit("random").alias("strategy"),
+        "n",
+        ((F.row_number().over(w_rand) - 1) / _BATCH_B).cast("int").alias("b"),
+    ).unionAll(
+        docs.select(
+            F.lit("sorted").alias("strategy"),
+            "n",
+            ((F.row_number().over(w_sort) - 1) / _BATCH_B)
+            .cast("int")
+            .alias("b"),
+        )
+    )
+    per = strat.groupBy("strategy", "b").agg(
+        (F.max("n") * F.count(F.lit(1)) - F.sum("n")).alias("pad"),
+        F.sum("n").alias("tok"),
+    )
+    return (
+        per.groupBy("strategy")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.sum("tok").cast("long").alias("total_tokens"),
+            F.sum("pad").cast("long").alias("padded_tokens"),
+            F.round(
+                F.sum("pad").cast("double") / (F.sum("pad") + F.sum("tok")), 6
+            ).alias("pad_frac"),
+        )
+        .orderBy("strategy")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Duplicate-substring EXCISION (the actionable half of Lee et al. 2022)
 # ---------------------------------------------------------------------------
 

@@ -105,6 +105,7 @@ _ORDER_FRONT = [
     "graph_triangle_count",
     "session_overlap_pairs",
     "session_peak_concurrency",
+    "length_batching_report",
     # oldest rows in the suite — r3-era (r5 overflow order):
     "udtf_wordcount",
     "tfidf_top_terms",
