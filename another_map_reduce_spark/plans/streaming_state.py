@@ -331,6 +331,105 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_foreachbatch_upsert",
+    oracle="""
+WITH latest AS (
+  SELECT user_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM latest WHERE rn = 1
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch INCREMENTAL MERGE — the most-used production
+    streaming sink idiom, absent from the built-in-sink rows: the
+    events table is re-laid as 4 files, streamed one file per
+    micro-batch (``maxFilesPerTrigger=1`` under AvailableNow), and
+    each batch MERGEs into a parquet state table holding the latest
+    event per user.  The merge is union + max-version window (state
+    carries the (ts, event_id) version columns), NOT change-wins —
+    max is associative/commutative, so the final state is independent
+    of batch order and boundaries, which is exactly the property a
+    file-source stream (nondeterministic file ordering) demands and
+    the thing naive per-batch overwrite gets wrong.  Final state is
+    aggregated per event type and hash-matched against the one-shot
+    latest-per-user oracle: 4 incremental merges ≡ one batch query.
+
+    localCheckpoint materializes each merge before the overwrite so
+    the plan never reads the directory it is replacing.  Pid-free
+    per-sf working root, wiped per run (serial-harness contract).
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"amrs_febatch_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    state = os.path.join(root, "state")
+    ckpt = os.path.join(root, "ckpt")
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        cur = (
+            s.read.parquet(state)
+            if os.path.exists(state)
+            else batch_df.limit(0)
+        )
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        merged = (
+            cur.unionByName(batch_df)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").parquet(state)
+
+    with _stream_shuffle_partitions(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    dec = F.col("value").cast("decimal(38,6)")
+    return (
+        spark.read.parquet(state)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(dec).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # Registry-order repair: if THIS module was the user's first import, the
 # circular import through queries._load() saw it partially initialized
 # and ordered the registry without its entries (they append afterwards).

@@ -106,6 +106,7 @@ _ORDER_FRONT = [
     "session_overlap_pairs",
     "session_peak_concurrency",
     "length_batching_report",
+    "stream_foreachbatch_upsert",
     # oldest rows in the suite — r3-era (r5 overflow order):
     "udtf_wordcount",
     "tfidf_top_terms",

@@ -582,3 +582,31 @@ def test_stream_drain_restores_shuffle_width(spark, sf_dir):
     before = spark.conf.get(key)
     QUERIES["stream_events_hourly"](spark, sf_dir).collect()
     assert spark.conf.get(key) == before
+
+
+def test_foreachbatch_upsert_runs_multiple_batches(spark, sf_dir):
+    """The foreachBatch merge row must actually exercise INCREMENTAL
+    maintenance: maxFilesPerTrigger=1 over the 4-file relay must
+    produce ≥2 committed micro-batches (else the demo silently
+    degenerates to one big batch), and the final state must hold
+    exactly one row per user."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    from another_map_reduce_spark.plans.streaming_state import (
+        stream_foreachbatch_upsert,
+    )
+
+    out = {r.event_type: r.n_users for r in
+           stream_foreachbatch_upsert(spark, sf_dir).collect()}
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"amrs_febatch_{tag}")
+    commits = glob.glob(os.path.join(root, "ckpt", "commits", "*"))
+    n_batches = len([c for c in commits if not c.endswith(".tmp")])
+    assert n_batches >= 2, f"only {n_batches} micro-batches committed"
+
+    state = spark.read.parquet(os.path.join(root, "state"))
+    assert state.count() == state.select("user_id").distinct().count()
+    assert sum(out.values()) == state.count()
