@@ -139,6 +139,15 @@ class _RefTextStreamReader(DataSourceStreamReader):
             raise ValueError(
                 "reftext stream requires a path, e.g. .load('/dir/*.txt')"
             )
+        # Same knob as Spark's built-in file sources: a file listed at
+        # latestOffset() time can be deleted before its batch's task
+        # reads it (compaction, TTL cleanup).  Default STRICT — fail
+        # the batch, because silently losing an ingested-but-unread
+        # file breaks exactly-once; opt in to skip-and-continue when
+        # the directory is known to be pruned by an external process.
+        self._ignore_missing = str(
+            options.get("ignoreMissingFiles", "false")
+        ).lower() in ("true", "1", "yes")
 
     def initialOffset(self) -> dict:
         return {"files": []}
@@ -159,7 +168,13 @@ class _RefTextStreamReader(DataSourceStreamReader):
     def read(self, partition: _FilePartition):
         if partition is None:
             return
-        with open(partition.path, encoding="utf-8") as f:
+        try:
+            f = open(partition.path, encoding="utf-8")
+        except FileNotFoundError:
+            if self._ignore_missing:
+                return
+            raise
+        with f:
             yield (partition.path, f.read())
 
     def commit(self, end: dict) -> None:

@@ -275,3 +275,34 @@ def test_reftext_stream_writer_batched_atomic(spark, tmp_path):
     )
     for token in ("one two", "three"):
         assert token in text
+
+
+def test_reftext_stream_ignore_missing_files(spark, tmp_path):
+    """A file listed in the offset but deleted before its task reads it
+    fails the batch by default (exactly-once: silently losing a listed
+    file is data loss); with ignoreMissingFiles=true the batch skips it
+    and ingests the rest."""
+    from another_map_reduce_spark.sources.pydatasource import (
+        _FilePartition,
+        _RefTextStreamReader,
+    )
+
+    d = tmp_path / "grid"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha")
+    gone = _FilePartition(str(d / "ghost.txt"))  # listed then deleted
+
+    strict = _RefTextStreamReader({"path": str(d / "*.txt")})
+    try:
+        list(strict.read(gone))
+        raise AssertionError("strict reader must raise on a missing file")
+    except FileNotFoundError:
+        pass
+
+    lax = _RefTextStreamReader(
+        {"path": str(d / "*.txt"), "ignoreMissingFiles": "true"}
+    )
+    assert list(lax.read(gone)) == []
+    assert list(lax.read(_FilePartition(str(d / "a.txt")))) == [
+        (str(d / "a.txt"), "alpha")
+    ]
