@@ -682,7 +682,21 @@ def incremental_minhash_pairs(
     dsh = shingle_docs(delta, text_col, id_col, n).select(
         F.col("doc").alias("new_doc"), F.col("shingles").alias("sh_new")
     )
-    hsh = shingle_docs(history, text_col, id_col, n).select(
+    # Verify shingles ONLY the candidate history docs: the distinct
+    # dup_of set is candidate-bounded (≈ true near-dups), so it
+    # broadcasts, and the semi join prunes history to those docs
+    # BEFORE the shingle projection — the day's verify cost is
+    # O(candidates), not O(history).  (History is still scanned once
+    # for the filter — scan + broadcast-hash filter, no shuffle; a
+    # doc-store point lookup is the sub-scan alternative.)
+    cand_docs = history.join(
+        F.broadcast(
+            cand.select(F.col("dup_of").alias(id_col)).distinct()
+        ),
+        id_col,
+        "leftsemi",
+    )
+    hsh = shingle_docs(cand_docs, text_col, id_col, n).select(
         F.col("doc").alias("dup_of"), F.col("shingles").alias("sh_old")
     )
     # candidate side as hash build; history shingles never broadcast
