@@ -244,6 +244,12 @@ def triangle_stats(proj: DataFrame) -> DataFrame:
     single output row is hash-comparable across engines.  The joins
     shuffle on x / (x,y); nothing requires a broadcast.
     """
+    # The edge list feeds FOUR consumers (degrees, orientation, edge
+    # count, and — through ori — the triangle join); without a
+    # barrier each recomputes the caller's projection joins from the
+    # scan (measured 50 exchanges at sf0.1).  One materialization of
+    # the slim (u, v) pairs serves all of them.
+    proj = proj.localCheckpoint(eager=True)
     deg = (
         proj.select(F.col("u").alias("n"))
         .unionAll(proj.select(F.col("v").alias("n")))
