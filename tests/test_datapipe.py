@@ -250,3 +250,19 @@ def test_dup_substring_removal_invariance(spark, sf_dir):
     # (c2) splice seams create almost no NEW cross-doc duplicates
     new_dup = sum(1 for h, ds in residual_by_hash.items() if len(ds) >= 2)
     assert new_dup <= max(2, len(orig_dup) // 50), (new_dup, len(orig_dup))
+
+
+def test_length_batching_sorted_never_worse(spark, sf_dir):
+    """Length-sorted batching can only reduce padding: within every
+    batch the max shrinks toward the mean when neighbors have similar
+    lengths, so sorted pad_frac <= random pad_frac (and both strategies
+    account for the identical token total)."""
+    from another_map_reduce_spark.plans.datapipe import (
+        length_batching_report,
+    )
+
+    rows = {r.strategy: r for r in length_batching_report(spark, sf_dir).collect()}
+    assert rows["sorted"].total_tokens == rows["random"].total_tokens
+    assert rows["sorted"].n_batches == rows["random"].n_batches
+    assert rows["sorted"].pad_frac <= rows["random"].pad_frac
+    assert rows["sorted"].padded_tokens <= rows["random"].padded_tokens

@@ -37,3 +37,19 @@ def test_every_query_runs(spark, sf_dir):
     for name, fn in QUERIES.items():
         df = fn(spark, sf_dir)
         assert df.columns, name
+
+
+def test_session_overlap_cell_width_invariance(spark, sf_dir):
+    """The grid-cell width is a performance dial, not a semantics dial:
+    re-running the overlap join with 30-minute cells instead of 1-hour
+    cells must produce the identical aggregate."""
+    from another_map_reduce_spark.plans import analytics as A
+
+    base = A.session_overlap_pairs(spark, sf_dir).collect()
+    orig = A._CELL_US
+    A._CELL_US = 1_800 * 1_000_000
+    try:
+        halved = A.session_overlap_pairs(spark, sf_dir).collect()
+    finally:
+        A._CELL_US = orig
+    assert [tuple(r) for r in base] == [tuple(r) for r in halved]
