@@ -607,6 +607,32 @@ def lev1_pairs(vocab: DataFrame, word_col: str = "w") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def bands_from_signature(
+    sig: DataFrame, k: int = 128, bands: int = 32, doc_col: str = "doc"
+) -> DataFrame:
+    """(doc, band, sig) band keys from a ``(doc, mh)`` signature frame.
+
+    The shared banding step of ``lsh_band_index`` and the incremental
+    delta path: hash each k/bands-slot slice of the signature into one
+    band key.  Pure projection — adds no exchange of its own.
+    """
+    r = k // bands
+    return sig.select(
+        doc_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.hash(F.slice(F.col("mh"), j * r + 1, r)).alias("sig"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(doc_col, "bk.band", "bk.sig")
+
+
 def lsh_band_index(
     df: DataFrame,
     n: int = 3,
@@ -625,25 +651,11 @@ def lsh_band_index(
     construction as ``minhash_lsh_pairs`` (independent slot hashes,
     k/bands rows per band), so capture probabilities carry over.
     """
-    r = k // bands
     docs = shingle_docs(df, text_col, id_col, n)
     sig = docs.withColumn(
         "mh", minhash_signature(F.col("shingles"), k)
     ).repartition(df.sparkSession.sparkContext.defaultParallelism)
-    return sig.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.hash(F.slice(F.col("mh"), j * r + 1, r)).alias("sig"),
-                    )
-                    for j in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc", "bk.band", "bk.sig")
+    return bands_from_signature(sig, k, bands)
 
 
 def incremental_minhash_pairs(
@@ -670,16 +682,30 @@ def incremental_minhash_pairs(
     backfill delta outgrows the broadcast threshold, drop the hint and
     the same plan degrades to a shuffle join on (band, sig), still
     index-reusing.
+
+    The delta's (shingles, signature) frame is materialised ONCE
+    (lazy localCheckpoint) and shared by its two consumers — the band
+    keys broadcast into the index join and the shingle sets broadcast
+    into the verify join.  Without it each broadcast re-ran the
+    delta's scan → shingle → 128-hash pipeline from scratch, which is
+    what made this the widest plan in the suite (30 exchanges; the
+    same dag-sharing fix that took triangle counting 50 → 15).
     """
-    dband = lsh_band_index(
-        delta, n, k, bands, text_col, id_col
-    ).withColumnRenamed("doc", "new_doc")
+    dsig = (
+        shingle_docs(delta, text_col, id_col, n)
+        .withColumn("mh", minhash_signature(F.col("shingles"), k))
+        .repartition(delta.sparkSession.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
+    )
+    dband = bands_from_signature(dsig, k, bands).withColumnRenamed(
+        "doc", "new_doc"
+    )
     cand = (
         index.join(F.broadcast(dband), ["band", "sig"])
         .select("new_doc", F.col("doc").alias("dup_of"))
         .dropDuplicates(["new_doc", "dup_of"])
     )
-    dsh = shingle_docs(delta, text_col, id_col, n).select(
+    dsh = dsig.select(
         F.col("doc").alias("new_doc"), F.col("shingles").alias("sh_new")
     )
     # Verify shingles ONLY the candidate history docs: the distinct

@@ -697,6 +697,60 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=10, nprobe=16)
 
 
+@register(
+    "ann_ivf_incremental",
+    oracle=f"""
+WITH scored AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cid,
+         {_DDOT} / ({_DNORM_A} * {_DNORM_B}) AS cos
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0
+), ranked AS (
+  SELECT qid, cid, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+  FROM scored
+)
+SELECT qid, cid, cos, rank FROM ranked WHERE rank <= 5
+ORDER BY qid, rank
+""",
+)
+def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ANN — the stored-index twin of
+    dedup_incremental_minhash: the corpus splits into an indexed
+    history (vec_id % 10 ≠ 0) and a new batch (vec_id % 10 = 0); the
+    history's IVF index — centroid model + cell-partitioned postings —
+    is built once and MATERIALIZED to parquet, then the new vectors
+    probe the STORED index: no retraining, no history re-scan, and a
+    probe at nprobe < num_cells prunes the postings read to its cells'
+    partitions.  That is the daily-pipeline shape that makes ANN
+    against a 100 TB embedding store affordable: index build amortized
+    across days, per-day cost O(delta × probed cells).
+
+    Probed here at nprobe = num_cells so the decomposition is LOSSLESS
+    (each posting lives in exactly one cell ⇒ full probe scores every
+    pair once) and the brute-force oracle must match bit-for-bit; the
+    approximate nprobe<cells regime and its recall are asserted in
+    tests/test_similarity.py.  Same pid-free overwrite-in-place index
+    path contract as the other layout queries.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from another_map_reduce_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hist = emb.where(F.col("vec_id") % 10 != 0)
+    delta = emb.where(F.col("vec_id") % 10 == 0)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"amrs_ivf_index_{tag}")
+    build_ivf_index(hist, path, num_cells=16)
+    return ivf_probe_topk(spark, path, delta, k=5, nprobe=16)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -206,6 +206,10 @@ class _RefTextStreamWriter(DataSourceStreamWriter):
     idempotent re-output, which is exactly the property a streaming
     sink needs for end-to-end exactly-once under Spark's
     offset-tracking contract (same batch ⇒ same data ⇒ same files).
+    Rename-over alone assumes the replay repartitions identically;
+    ``commit()`` also sweeps any ``part-<batchId>-*`` file NOT in this
+    attempt's commit messages, so a narrower replay (fewer tasks after
+    an executor loss) removes the wider failed attempt's leftovers.
     Temps carry uuid names inside the shared ``_temporary/`` dir and
     commit/abort touch ONLY the paths listed in this batch's commit
     messages — no rmtree of shared state (the concurrent-writer
@@ -235,8 +239,10 @@ class _RefTextStreamWriter(DataSourceStreamWriter):
         return _RefTextStreamCommit(tmp, pid)
 
     def commit(self, messages, batchId: int) -> None:
+        import glob
         import os
 
+        finals = set()
         for m in messages:
             if m is not None:
                 final = os.path.join(
@@ -244,6 +250,20 @@ class _RefTextStreamWriter(DataSourceStreamWriter):
                     f"part-{batchId:010d}-{m.pid:05d}.txt",
                 )
                 os.replace(m.tmp, final)
+                finals.add(final)
+        # A replayed batch may repartition differently than the failed
+        # attempt (fewer tasks after an executor loss), so renaming over
+        # same-named files alone can strand the extra part files of the
+        # wider attempt.  Idempotency is per BATCH, not per task: sweep
+        # any part-<batchId>-* not produced by THIS attempt.
+        for stale in glob.glob(
+            os.path.join(self._dir, f"part-{batchId:010d}-*.txt")
+        ):
+            if stale not in finals:
+                try:
+                    os.remove(stale)
+                except FileNotFoundError:
+                    pass
         try:
             os.rmdir(os.path.join(self._dir, "_temporary"))
         except OSError:

@@ -172,6 +172,74 @@ def test_ivf_recall_vs_bruteforce(spark, emb):
     assert sum(recalls) / len(recalls) >= 0.7, recalls
 
 
+def test_ivf_index_full_probe_equals_bruteforce(spark, emb, tmp_path):
+    """Stored-index probe at nprobe = num_cells ≡ brute-force top-k:
+    every posting lives in exactly one cell, so a full probe scores
+    each (query, history) pair exactly once — same lossless argument
+    as ann_ivf_topk, here THROUGH the parquet round-trip (centroid
+    model + cell-partitioned postings)."""
+    from another_map_reduce_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe_topk,
+    )
+
+    hist = emb.where(F.col("vec_id") % 10 != 0)
+    delta = emb.where(F.col("vec_id") % 10 == 0).where(F.col("vec_id") < 80)
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(hist, path, num_cells=8)
+    got = ivf_probe_topk(spark, path, delta, k=5, nprobe=8).collect()
+    exact = cosine_topk(hist.unionByName(delta), delta, k=5).collect()
+    # cosine_topk scores delta-vs-whole-corpus; restrict to history
+    # candidates and re-rank to the same top-5 contract.
+    exact_by_q: dict[int, list] = {}
+    for r in sorted(exact, key=lambda r: (r.qid, -r.cos, r.cid)):
+        if r.cid % 10 != 0:
+            exact_by_q.setdefault(r.qid, []).append(r)
+    got_by_q: dict[int, list] = {}
+    for r in got:
+        got_by_q.setdefault(r.qid, []).append(r)
+    assert set(got_by_q) == set(exact_by_q)
+    for q, rows in got_by_q.items():
+        want = exact_by_q[q][: len(rows)]
+        assert [r.cid for r in rows] == [r.cid for r in want]
+        for g, w in zip(rows, want):
+            assert math.isclose(g.cos, w.cos, rel_tol=0, abs_tol=0), (g, w)
+
+
+def test_ivf_index_probe_prunes_partitions(spark, emb, tmp_path):
+    """nprobe < num_cells: the probe reads only its cells' postings
+    partitions (partition pruning on the stored index) and still finds
+    well-formed ranked neighbors with decent recall."""
+    from another_map_reduce_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe_topk,
+    )
+
+    hist = emb.where(F.col("vec_id") % 10 != 0)
+    delta = emb.where(F.col("vec_id") % 10 == 0).where(F.col("vec_id") < 50)
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(hist, path, num_cells=8)
+    probe = ivf_probe_topk(spark, path, delta, k=5, nprobe=2)
+    rows = probe.collect()
+    assert rows, "probe returned nothing"
+    for r in rows:
+        assert 1 <= r.rank <= 5 and r.cid % 10 != 0
+    # recall vs the stored-index full probe (ground truth over the
+    # same index artifact)
+    full = ivf_probe_topk(spark, path, delta, k=5, nprobe=8).collect()
+    full_sets: dict[int, set] = {}
+    for r in full:
+        full_sets.setdefault(r.qid, set()).add(r.cid)
+    got_sets: dict[int, set] = {}
+    for r in rows:
+        got_sets.setdefault(r.qid, set()).add(r.cid)
+    recalls = [
+        len(full_sets[q] & got_sets.get(q, set())) / len(full_sets[q])
+        for q in full_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
 def test_ivf_train_mod_sampling(spark, emb):
     """Index training on a 1/4 deterministic sample still returns valid
     centroids and a well-formed result."""

@@ -246,10 +246,10 @@ def build_skew(base: str, out: str, n: int) -> None:
         f"""
 COPY (
   SELECT event_id + r.r * {stride} AS event_id, ts,
-         CASE WHEN hash(event_id + r.r * {stride}) % 100 < 35 THEN 1
+         CAST(CASE WHEN hash(event_id + r.r * {stride}) % 100 < 35 THEN 1
               WHEN hash(event_id + r.r * {stride}) % 100 < 50 THEN 2
               ELSE 3 + abs(hash(event_id + r.r * {stride} + 7919)) % 9997
-         END AS user_id,
+         END AS BIGINT) AS user_id,
          event_type, value, props
   FROM read_parquet('{base}/events.parquet'), range({n}) r(r)
 ) TO '{out}/events.parquet' (FORMAT PARQUET)
