@@ -43,6 +43,7 @@ def get_spark(
     """
     master = master or f"local[{DEFAULT_CPUS}]"
     shuffle_partitions = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    _export_protoshim_pythonpath()
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -80,6 +81,32 @@ def get_spark(
     spark.sparkContext.setLogLevel("WARN")
     ensure_worker_imports(spark)
     return spark
+
+
+def _export_protoshim_pythonpath() -> None:
+    """Expose the vendored protobuf shim to JVM-SPAWNED python workers.
+
+    transformWithStateInPandas launches a driver-side state worker via
+    StreamingPythonRunner, which builds the worker's sys.path from the
+    JVM's PYTHONPATH — NOT from addPyFile includes (the same gap that
+    forces by-value pickling for the streaming DataSource runner).  So
+    when ``google.protobuf`` is missing, the shim directory must be on
+    PYTHONPATH *before* the JVM child process launches; exporting here
+    (called ahead of ``builder.getOrCreate``) covers every worker the
+    JVM spawns.  No-op when the real protobuf runtime exists.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    shim = str(pathlib.Path(__file__).resolve().parent / "vendor" / "protoshim")
+    current = os.environ.get("PYTHONPATH", "")
+    if shim not in current.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            shim + (os.pathsep + current if current else "")
+        )
 
 
 def ensure_worker_imports(spark: SparkSession) -> None:

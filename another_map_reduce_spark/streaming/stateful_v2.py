@@ -16,24 +16,82 @@ stateful.py's ``funnel_stages``; tests assert the two APIs and the
 batch ``funnel_conversion`` query agree — three implementations, one
 fixed point.
 
-Environment dependency (honest gate, mirrors the PIL decode rung):
-the new API's Python↔JVM state server speaks PROTOBUF
-(``pyspark/sql/streaming/proto/StateMessage_pb2``), and protobuf is
-not installed in this container (no new packages per the environment
-brief; there is no pure-Python fallback because the wire format is
-fixed by the JVM side).  The implementation below is complete and the
-parity test runs wherever protobuf exists; here it self-skips with
-the root cause recorded, and the classic applyInPandasWithState path
-(stateful.py) carries the driver-visible proof of the semantics.
+Environment dependency, CLOSED in round 7: the new API's Python↔JVM
+state server speaks PROTOBUF (``pyspark/sql/streaming/proto/
+StateMessage_pb2``) and this container has no ``google.protobuf``
+runtime — but pyspark ships the GENERATED module, and the proto3 wire
+format is a public, stable spec, so the gap is only the runtime that
+executes generated code.  ``vendor/protoshim`` is a minimal vendored
+runtime (own wire codec, descriptor-blob parser, dynamic message
+classes — varint + length-delimited fields only, exactly the state
+protocol's footprint); ``ensure_protobuf`` activates it on the driver
+and ships it to Python workers when the real library is absent, and
+is a no-op where protobuf exists.  The parity test now RUNS here.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+import pathlib
+import sys
+import tempfile
+import zipfile
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
-from pyspark.sql.streaming.stateful_processor import (
+from pyspark.sql import DataFrame, SparkSession
+
+
+def ensure_protobuf(spark: SparkSession | None = None) -> str:
+    """Make ``google.protobuf`` importable — driver AND Python workers.
+
+    Returns "system" when the real runtime exists (shim untouched) or
+    "shim" after activating ``vendor/protoshim``: driver-side via
+    sys.path, worker-side via an addPyFile zip rooted at ``google/``
+    (workers do not inherit the driver's sys.path; the zip lands on
+    every worker's path, including the JVM-spawned driver-side state
+    worker, through the same mechanism as session.ensure_worker_imports).
+    """
+    try:
+        import google.protobuf  # noqa: F401
+
+        return "system"
+    except ImportError:
+        pass
+    shim_dir = pathlib.Path(__file__).resolve().parent.parent / "vendor" / "protoshim"
+    if str(shim_dir) not in sys.path:
+        sys.path.insert(0, str(shim_dir))
+    import google.protobuf  # noqa: F401
+
+    if spark is not None:
+        sc = spark.sparkContext
+        if not getattr(sc, "_amrs_protoshim_added", False):
+            tmp = tempfile.NamedTemporaryFile(
+                dir=tempfile.gettempdir(), suffix=".zip", delete=False
+            )
+            try:
+                with zipfile.ZipFile(tmp, "w") as z:
+                    for p in sorted(shim_dir.rglob("*.py")):
+                        z.write(p, str(p.relative_to(shim_dir)))
+                tmp.close()
+                digest = hashlib.sha256(
+                    pathlib.Path(tmp.name).read_bytes()
+                ).hexdigest()[:16]
+                zip_path = (
+                    pathlib.Path(tempfile.gettempdir())
+                    / f"amrs_protoshim_{digest}.zip"
+                )
+                os.replace(tmp.name, zip_path)
+            except BaseException:
+                pathlib.Path(tmp.name).unlink(missing_ok=True)
+                raise
+            sc.addPyFile(str(zip_path))
+            sc._amrs_protoshim_added = True
+    return "shim"
+
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
     StatefulProcessor,
     StatefulProcessorHandle,
 )
@@ -90,6 +148,7 @@ def funnel_stages_v2(events: DataFrame) -> DataFrame:
     RocksDB state store provider (``ROCKSDB_PROVIDER``) — the new API
     refuses the default HDFS-backed provider.
     """
+    ensure_protobuf(events.sparkSession)
     return (
         events.select("user_id", "event_type", "ts")
         .groupBy("user_id")

@@ -526,34 +526,17 @@ def test_append_query_is_batch_minus_open_windows(spark, sf_dir):
         assert not (hour + __import__("datetime").timedelta(hours=1) <= wm)
 
 
-def _has_protobuf() -> bool:
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
-@pytest.mark.skipif(
-    not _has_protobuf(),
-    reason="transformWithStateInPandas' state-server wire protocol is "
-    "protobuf-based (pyspark/sql/streaming/proto); protobuf is not "
-    "installed in this container and may not be added (environment "
-    "brief), so the modern-API twin can only run where protobuf "
-    "exists — the classic applyInPandasWithState twin above covers "
-    "the semantics here.  Vendoring was attempted (round 6) and is "
-    "not possible offline: a filesystem-wide search finds no protobuf "
-    "wheel/sdist or runtime copy (only typeshed stubs), the sandbox "
-    "has no network, and StateMessage_pb2's generated code needs the "
-    "full descriptor-pool/builder runtime — a hand-written shim would "
-    "be a protobuf reimplementation, a worse risk than the gate.",
-)
 def test_transform_with_state_funnel_matches_batch(spark, sf_dir, tmp_path):
     """Spark 4's transformWithStateInPandas (RocksDB state store) runs
     the same funnel machine as applyInPandasWithState and reaches the
     batch funnel_conversion counts — three implementations, one fixed
-    point."""
+    point.
+
+    Unskipped in r7: the container still has no google.protobuf, but
+    the vendored minimal runtime (vendor/protoshim — own proto3 wire
+    codec driving pyspark's shipped generated module) is activated by
+    funnel_stages_v2 via ensure_protobuf, so the state-server protocol
+    runs end-to-end against the real JVM side."""
     from another_map_reduce_spark.streaming.stateful_v2 import (
         ROCKSDB_PROVIDER,
         funnel_stages_v2,
