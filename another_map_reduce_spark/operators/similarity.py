@@ -495,25 +495,46 @@ def build_ivf_index(
     later batch of query vectors probes the stored index with NO
     retraining and NO corpus access — ``ivf_probe_topk``.
     """
-    spark = corpus.sparkSession
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     cents = train_centroids(
         corpus, num_cells, id_col, vec_col, iters=train_iters, train_mod=train_mod
     )
-    spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)],
-        "cell INT, centroid ARRAY<DOUBLE>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    par = spark.sparkContext.defaultParallelism
-    staged = corpus
-    if staged.rdd.getNumPartitions() < par:
-        staged = staged.repartition(par)
-    staged.select(
+    # The model is DRIVER-side data (num_cells × dim floats); write it
+    # with pyarrow directly — a Spark job for 8 rows costs ~5 s of pure
+    # scheduling overhead and buys nothing (measured; the read side is
+    # ordinary parquet either way).  Recreate the directory so a
+    # re-build with different num_cells can't leave stale part files
+    # beside the new model (overwrite-in-place contract).
+    shutil.rmtree(f"{path}/centroids", ignore_errors=True)
+    os.makedirs(f"{path}/centroids", exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "cell": pa.array(range(len(cents)), pa.int32()),
+                "centroid": pa.array(cents, pa.list_(pa.float64())),
+            }
+        ),
+        f"{path}/centroids/part-0.parquet",
+    )
+    postings = corpus.select(
         (-F.array_max(_cell_scores(F.col(vec_col), cents)).getField("nj")).alias(
             "cell"
         ),
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("cvec"),
-    ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/postings")
+    )
+    # Cluster rows by cell before the partitioned write: one file per
+    # cell directory instead of (input partitions × cells) shards —
+    # at 100 TB this is the difference between nprobe/C file reads and
+    # nprobe/C directories of tiny fragments.
+    postings.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/postings")
 
 
 def ivf_probe_topk(

@@ -747,8 +747,14 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = emb.where(F.col("vec_id") % 10 == 0)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = os.path.join(tempfile.gettempdir(), f"amrs_ivf_index_{tag}")
-    build_ivf_index(hist, path, num_cells=16)
-    return ivf_probe_topk(spark, path, delta, k=5, nprobe=16)
+    # train_iters=1 / 8 cells: centroid QUALITY and cell COUNT only
+    # affect the approximate regime's recall — at nprobe = num_cells
+    # the result is lossless for ANY centroids, so the provable query
+    # buys nothing from a second Lloyd pass or more cells, and fewer
+    # cell directories keep the partitioned-write commit cheap at this
+    # fixture scale (the recall tests train their own indexes).
+    build_ivf_index(hist, path, num_cells=8, train_iters=1)
+    return ivf_probe_topk(spark, path, delta, k=5, nprobe=8)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,128 @@
+"""Scale curve for the stored-index incremental ANN path (round 7).
+
+The 100 TB claim under test (SCALE.md / similarity.build_ivf_index):
+with cells grown proportionally to the corpus (constant inverted-list
+size) and nprobe fixed, the DAILY cost — probing a fixed-size batch of
+new vectors against the stored index — stays ~FLAT as the indexed
+corpus grows, because the probe touches nprobe/C of the postings via
+partition pruning; only the (amortized) index BUILD grows with the
+corpus.  Training cost is held constant by sampling 1/N of an N×
+corpus (train_mod=N), the standard sample-trained-quantizer practice.
+
+Setup per scale N ∈ {1, 3, 10, 30} over make_scale_data document/
+embedding replicas: history = all vec_id % 10 ≠ 0 rows (~1800·N),
+delta = the BASE replica's vec_id % 10 = 0 rows (200 vectors, fixed),
+num_cells = 8·N, nprobe = 2.  Recorded per scale: build seconds,
+probe seconds, probe top-5 recall vs a full probe of the same index
+(ground truth; skipped at 30× where it times the answer, not the
+plan).
+
+Usage: python tools/bench_scale_ann.py [dest.json]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SCALES = [
+    ("1x", "/root/testdata/sf0.1", 1),
+    ("3x", "/tmp/scale3", 3),
+    ("10x", "/tmp/scale10", 10),
+    ("30x", "/tmp/scale30", 30),
+]
+RECALL_MAX_SCALE = 10
+_ID_STRIDE = 10_000_000  # make_scale_data replica id offset
+
+
+def main() -> None:
+    for _, d, n in SCALES:
+        if n > 1 and not Path(f"{d}/embeddings.parquet").exists():
+            subprocess.run(
+                [
+                    sys.executable,
+                    str(Path(__file__).parent / "make_scale_data.py"),
+                    "/root/testdata/sf0.1",
+                    d,
+                    str(n),
+                ],
+                check=True,
+            )
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from another_map_reduce_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe_topk,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+    out: dict = {"cpus": 32, "nprobe": 2, "cells_per_x": 8, "scales": {}}
+    for label, d, n in SCALES:
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        hist = emb.where(F.col("vec_id") % 10 != 0)
+        delta = emb.where(
+            (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < _ID_STRIDE)
+        )
+        cells = 8 * n
+        path = f"/tmp/ann_scale_index_{label}"
+        t0 = time.time()
+        build_ivf_index(hist, path, num_cells=cells, train_iters=1, train_mod=n)
+        build_s = round(time.time() - t0, 2)
+        # rebuild the delta frame per timed pass so no lineage reuse
+        # flatters the measurement; min of 2 probes (shared-host noise)
+        probe_s = None
+        n_rows = 0
+        for _ in range(2):
+            dq = spark.read.parquet(f"{d}/embeddings.parquet").where(
+                (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < _ID_STRIDE)
+            )
+            t1 = time.time()
+            rows = ivf_probe_topk(spark, path, dq, k=5, nprobe=2).collect()
+            dt = round(time.time() - t1, 2)
+            probe_s = dt if probe_s is None else min(probe_s, dt)
+            n_rows = len(rows)
+        rec: dict = {
+            "hist_rows": hist.count(),
+            "cells": cells,
+            "build_sec": build_s,
+            "probe_sec": probe_s,
+            "probe_rows": n_rows,
+        }
+        if n <= RECALL_MAX_SCALE:
+            got: dict[int, set] = {}
+            for r in rows:
+                got.setdefault(r.qid, set()).add(r.cid)
+            full: dict[int, set] = {}
+            for r in ivf_probe_topk(
+                spark, path, delta, k=5, nprobe=cells
+            ).collect():
+                full.setdefault(r.qid, set()).add(r.cid)
+            recalls = [
+                len(full[q] & got.get(q, set())) / len(full[q]) for q in full
+            ]
+            rec["recall_at5"] = round(sum(recalls) / len(recalls), 3)
+        out["scales"][label] = rec
+        print(f"{label:>3s}: {rec}", file=sys.stderr)
+
+    dest = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_scale_ann.json"
+    Path(dest).write_text(json.dumps(out, indent=2))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
