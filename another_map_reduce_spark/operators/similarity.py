@@ -332,6 +332,69 @@ def _cell_scores(vec: Column, centroids: list[list[float]]) -> Column:
     )
 
 
+_EXPR_CELLS_MAX = 32
+
+
+def _unit_rows(centroids: list[list[float]]) -> list[list[float]]:
+    unit = []
+    for c in centroids:
+        n = math.sqrt(sum(x * x for x in c)) or 1.0
+        unit.append([x / n for x in c])
+    return unit
+
+
+def top_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """``array<int>`` of the ``nprobe`` best cells for ``vec``, best
+    first — cosine argmax ≡ dot-product argmax against unit-norm
+    centroids, ties to the lowest cell index.
+
+    Two physical strategies, one semantics:
+
+    * ≤ ``_EXPR_CELLS_MAX`` cells — pure column expression (array_sort
+      over (score, −idx) structs): bit-deterministic JVM fold, zero
+      Python.  The path every oracle-hashed query runs.
+    * above it — Arrow-batched numpy matmul, (batch×dim) @ (dim×cells),
+      argpartition + stable two-key sort.  Real IVF cell counts are
+      thousands-to-millions, where an O(cells) expression TREE is the
+      wrong tool: the 240-cell 30× index build measured 75 s on the
+      expression path vs 2.9 s on the matmul path
+      (BENCH_SCALE_r7ann.json) — the same sign-LSH lesson, dense
+      linear algebra belongs in numpy.  Used by assignment and probe
+      TOGETHER, so index and query always agree on geometry.
+    """
+    if len(centroids) <= _EXPR_CELLS_MAX:
+        scores = F.slice(
+            F.reverse(F.array_sort(_cell_scores(vec, centroids))), 1, nprobe
+        )
+        return F.transform(scores, lambda s: (-s.getField("nj")).cast("int"))
+
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(_unit_rows(centroids), dtype=np.float64)  # cells × dim
+    k = min(nprobe, C.shape[0])
+
+    @pandas_udf("array<int>")
+    def _top(emb: pd.Series) -> pd.Series:
+        if emb.empty:
+            return pd.Series([], dtype=object)
+        V = np.stack(emb.to_numpy()).astype(np.float64)
+        S = V @ C.T  # batch × cells
+        if k >= S.shape[1]:
+            idx = np.tile(np.arange(S.shape[1]), (S.shape[0], 1))
+        else:
+            idx = np.argpartition(-S, k - 1, axis=1)[:, :k]
+        sc = np.take_along_axis(S, idx, 1)
+        # deterministic (score desc, idx asc): pre-sort by idx, then
+        # stable sort by -score so equal scores keep the lower index
+        o1 = np.argsort(idx, axis=1, kind="stable")
+        idx, sc = np.take_along_axis(idx, o1, 1), np.take_along_axis(sc, o1, 1)
+        o2 = np.argsort(-sc, axis=1, kind="stable")
+        idx = np.take_along_axis(idx, o2, 1)
+        return pd.Series([row.tolist() for row in idx.astype(np.int32)])
+
+    return _top(vec)
+
+
 def train_centroids(
     corpus: DataFrame,
     num_cells: int,
@@ -375,9 +438,7 @@ def train_centroids(
         for _ in range(iters):
             assigned = sample.select(
                 "vec",
-                (
-                    -F.array_max(_cell_scores(F.col("vec"), cents)).getField("nj")
-                ).alias("cell"),
+                F.element_at(top_cells(F.col("vec"), cents, 1), 1).alias("cell"),
             )
             stats = (
                 assigned.select("cell", F.posexplode("vec").alias("d", "x"))
@@ -435,21 +496,14 @@ def ivf_topk(
     c = staged.select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("cvec"),
-        (-F.array_max(_cell_scores(F.col(vec_col), cents)).getField("nj")).alias(
-            "cell"
-        ),
+        F.element_at(top_cells(F.col(vec_col), cents, 1), 1).alias("cell"),
     )
-    # top-nprobe cells per query: sort the (score, −idx) structs
-    # descending, slice, recover the indices — all expression-side.
-    q_scores = F.slice(
-        F.reverse(F.array_sort(_cell_scores(F.col(vec_col), cents))),
-        1,
-        nprobe,
-    )
+    # top-nprobe cells per query — same helper (and thus the same
+    # expression-vs-matmul strategy) as the corpus assignment.
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qvec"),
-        F.explode(F.transform(q_scores, lambda s: -s.getField("nj"))).alias("cell"),
+        F.explode(top_cells(F.col(vec_col), cents, nprobe)).alias("cell"),
     )
     scored = (
         c.join(F.broadcast(q), "cell")
@@ -522,9 +576,7 @@ def build_ivf_index(
         f"{path}/centroids/part-0.parquet",
     )
     postings = corpus.select(
-        (-F.array_max(_cell_scores(F.col(vec_col), cents)).getField("nj")).alias(
-            "cell"
-        ),
+        F.element_at(top_cells(F.col(vec_col), cents, 1), 1).alias("cell"),
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("cvec"),
     )
@@ -562,15 +614,10 @@ def ivf_probe_topk(
     cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     cents = [[float(x) for x in r.centroid] for r in cent_rows]
     postings = spark.read.parquet(f"{path}/postings")
-    q_scores = F.slice(
-        F.reverse(F.array_sort(_cell_scores(F.col(vec_col), cents))),
-        1,
-        nprobe,
-    )
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qvec"),
-        F.explode(F.transform(q_scores, lambda s: -s.getField("nj"))).alias("cell"),
+        F.explode(top_cells(F.col(vec_col), cents, nprobe)).alias("cell"),
     )
     scored = (
         postings.join(F.broadcast(q), "cell")

@@ -206,6 +206,39 @@ def test_ivf_index_full_probe_equals_bruteforce(spark, emb, tmp_path):
             assert math.isclose(g.cos, w.cos, rel_tol=0, abs_tol=0), (g, w)
 
 
+def test_ivf_matmul_path_full_probe_equals_bruteforce(spark, emb, tmp_path):
+    """Above _EXPR_CELLS_MAX the shared top_cells helper switches to
+    the Arrow-batched numpy matmul strategy for BOTH assignment and
+    probe; a full probe of a 40-cell index must still equal brute
+    force — the lossless argument is strategy-independent because
+    every posting lives in exactly one cell under either path."""
+    from another_map_reduce_spark.operators.similarity import (
+        _EXPR_CELLS_MAX,
+        build_ivf_index,
+        ivf_probe_topk,
+    )
+
+    cells = 40
+    assert cells > _EXPR_CELLS_MAX
+    hist = emb.where(F.col("vec_id") % 10 != 0)
+    delta = emb.where(F.col("vec_id") % 10 == 0).where(F.col("vec_id") < 50)
+    path = str(tmp_path / "ivf_index_matmul")
+    build_ivf_index(hist, path, num_cells=cells)
+    got = ivf_probe_topk(spark, path, delta, k=5, nprobe=cells).collect()
+    exact = cosine_topk(hist.unionByName(delta), delta, k=5).collect()
+    exact_by_q: dict[int, list] = {}
+    for r in sorted(exact, key=lambda r: (r.qid, -r.cos, r.cid)):
+        if r.cid % 10 != 0:
+            exact_by_q.setdefault(r.qid, []).append(r)
+    got_by_q: dict[int, list] = {}
+    for r in got:
+        got_by_q.setdefault(r.qid, []).append(r)
+    assert set(got_by_q) == set(exact_by_q)
+    for q, rows in got_by_q.items():
+        want = exact_by_q[q][: len(rows)]
+        assert [r.cid for r in rows] == [r.cid for r in want]
+
+
 def test_ivf_index_probe_prunes_partitions(spark, emb, tmp_path):
     """nprobe < num_cells: the probe reads only its cells' postings
     partitions (partition pruning on the stored index) and still finds
