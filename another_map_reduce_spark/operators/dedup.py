@@ -211,6 +211,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    history: DataFrame,
+    delta: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: (new_doc, src_doc, containment) where
+    containment = |S(new) ∩ S(src)| / |S(new)| ≥ threshold — every new
+    document that is (mostly) CONTAINED in a history document.
+
+    This is the dedup axis Jaccard cannot see: a 200-word excerpt
+    quoted inside a 20k-word history page has Jaccard ≈ 0.01 but
+    containment ≈ 1.0, and excerpt/boilerplate reuse is exactly what
+    an ingest pipeline must catch (Broder's containment measure, the
+    companion to resemblance).  Same integer-ratio reproducibility
+    contract as ``ngram_jaccard_pairs``: intersection and size are
+    exact counts, so the division hashes identically cross-engine.
+
+    Scale shape: inverted-index equi-join on shingle between the
+    (small) delta and history — the delta side bounds every join
+    group, so unlike the Jaccard SELF-join there is no Σdf² term in
+    the carried rows, only Σ(df_hist × df_delta); ``max_df`` caps
+    hot boilerplate shingles on the history side (underestimates
+    containment for pairs sharing only capped shingles, same
+    declared bias as the Jaccard guard).
+    """
+    dsh = shingle_docs(delta, text_col, id_col, n).select(
+        F.col("doc").alias("new_doc"), F.explode("shingles").alias("shingle")
+    )
+    hsh = shingle_docs(history, text_col, id_col, n).select(
+        F.col("doc").alias("src_doc"), F.explode("shingles").alias("shingle")
+    )
+    if max_df is not None:
+        hot = (
+            hsh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        hsh = hsh.join(hot, "shingle")
+    dsizes = dsh.groupBy("new_doc").agg(F.count("*").alias("sz_new"))
+    # history side as the sort-merge partner: the post-aggregate size
+    # estimate undershoots exactly as in ngram_jaccard_pairs, and a
+    # broadcast of the CORPUS shingle set must never happen.
+    inter = (
+        dsh.join(hsh.hint("merge"), "shingle")
+        .groupBy("new_doc", "src_doc")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(dsizes, "new_doc")
+        .select(
+            "new_doc",
+            "src_doc",
+            (F.col("inter") / F.col("sz_new")).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+        .orderBy("new_doc", "src_doc")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + banded LSH
 # ---------------------------------------------------------------------------

@@ -435,6 +435,45 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_minhash_pairs(hist, delta, index, threshold=0.8)
 
 
+@register(
+    "dedup_containment",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id AS doc, unnest({_SHINGLES}) AS shingle FROM documents
+), sizes AS (
+  SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc
+), inter AS (
+  SELECT a.doc AS new_doc, b.doc AS src_doc, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc % 10 = 0 AND b.doc % 10 <> 0
+  GROUP BY 1, 2
+)
+SELECT new_doc, src_doc, inter / s1.sz AS containment
+FROM inter JOIN sizes s1 ON new_doc = s1.doc
+WHERE inter / s1.sz >= 0.5
+ORDER BY new_doc, src_doc
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT dedup of a new batch against history —
+    |S(new) ∩ S(src)| / |S(new)| ≥ 0.5 on word-3-gram sets: catches
+    excerpts/quotes/boilerplate reuse whose Jaccard is ~0 because the
+    source is much larger (Broder's containment, the companion measure
+    to resemblance; the axis every symmetric detector in this suite is
+    blind to).  Same delta/history split as dedup_incremental_minhash;
+    exact inverted-index join, no Σdf² self-join term (the delta side
+    bounds every shingle group).
+    """
+    from another_map_reduce_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs.where(F.col("doc_id") % 10 != 0),
+        docs.where(F.col("doc_id") % 10 == 0),
+        threshold=0.5,
+    )
+
+
 # Full cross-engine SimHash oracle: DuckDB recomputes the identical
 # pipeline — md5-derived 64-bit shingle hashes (md5_number_lower ==
 # Spark's md5_long_halves, verified bit-identical), ±1 votes per bit,

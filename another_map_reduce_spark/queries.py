@@ -66,6 +66,7 @@ def _load() -> None:
 _ORDER_FRONT = [
     # round-7 additions (never had a driver row):
     "ann_ivf_incremental",
+    "dedup_containment",
     # r1-era rows — the API-parity wordcount twins, refreshed for the
     # first time since round 1:
     "mr_wordcount",

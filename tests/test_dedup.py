@@ -47,6 +47,59 @@ def test_exact_jaccard_finds_planted_dups(spark, docs):
     assert all(r.d1 < r.d2 for r in pairs)
 
 
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """The asymmetric case containment exists for: a short excerpt of
+    a long source has containment ≈ 1 but Jaccard ≈ excerpt/source —
+    invisible to every symmetric detector at any usable threshold."""
+    from another_map_reduce_spark.operators.dedup import containment_pairs
+
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(300))
+    excerpt = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, f"{filler} {excerpt}"),  # history: long source
+            (3, " ".join(f"z{i} q{i}" for i in range(200))),  # unrelated
+            (10, excerpt),  # delta: pure excerpt
+        ],
+        "doc_id long, text string",
+    )
+    hist = df.where("doc_id % 10 != 0")
+    delta = df.where("doc_id % 10 = 0")
+    got = containment_pairs(hist, delta, threshold=0.9).collect()
+    assert [(r.new_doc, r.src_doc) for r in got] == [(10, 1)]
+    assert got[0].containment == 1.0
+    # the same pair is invisible to symmetric Jaccard
+    jac = ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert not any({r.d1, r.d2} == {1, 10} for r in jac)
+
+
+def test_containment_max_df_caps_history_side(spark):
+    """max_df drops hot history shingles BEFORE the join; capped
+    output is a subset with containment never increased."""
+    from another_map_reduce_spark.operators.dedup import containment_pairs
+
+    excerpt = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, f"boiler plate text {excerpt}") for i in range(1, 6)] + [
+        (10, excerpt)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hist = df.where("doc_id % 10 != 0")
+    delta = df.where("doc_id % 10 = 0")
+    full = {
+        (r.new_doc, r.src_doc): r.containment
+        for r in containment_pairs(hist, delta, threshold=0.1).collect()
+    }
+    capped = {
+        (r.new_doc, r.src_doc): r.containment
+        for r in containment_pairs(
+            hist, delta, threshold=0.1, max_df=2
+        ).collect()
+    }
+    assert set(capped) <= set(full)
+    for k, v in capped.items():
+        assert v <= full[k] + 1e-12
+
+
 def test_minhash_lsh_recall_vs_exact(spark, docs):
     """At jaccard ≥0.8 with k=128,b=16,r=8 the miss probability per pair
     is ≤(1-0.8^8)^16 ≈ 5%; the planted dups sit near 0.99 where it is
