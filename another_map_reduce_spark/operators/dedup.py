@@ -246,6 +246,23 @@ def containment_pairs(
     hsh = shingle_docs(history, text_col, id_col, n).select(
         F.col("doc").alias("src_doc"), F.explode("shingles").alias("shingle")
     )
+    return containment_from_shingles(dsh, hsh, threshold, max_df)
+
+
+def containment_from_shingles(
+    dsh: DataFrame,
+    hsh: DataFrame,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Containment core over pre-built shingle frames — ``dsh`` as
+    (new_doc, shingle), ``hsh`` as (src_doc, shingle).
+
+    Split out so a caller whose delta and history come from ONE parent
+    table can shingle that table once and filter (the minhash/triangle
+    dag-sharing lesson): ``containment_pairs`` tokenizes each side
+    separately because its inputs are arbitrary DataFrames.
+    """
     if max_df is not None:
         hot = (
             hsh.groupBy("shingle")

@@ -464,14 +464,23 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact inverted-index join, no Σdf² self-join term (the delta side
     bounds every shingle group).
     """
-    from another_map_reduce_spark.operators.dedup import containment_pairs
+    from another_map_reduce_spark.operators.dedup import (
+        containment_from_shingles,
+        shingle_docs,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    return containment_pairs(
-        docs.where(F.col("doc_id") % 10 != 0),
-        docs.where(F.col("doc_id") % 10 == 0),
-        threshold=0.5,
+    # Both sides come from ONE table: shingle it once (lazy
+    # localCheckpoint) and filter, instead of tokenizing the corpus
+    # twice — the same dag-sharing fix as dedup_incremental_minhash.
+    sh = shingle_docs(docs, "text", "doc_id", 3).localCheckpoint(eager=False)
+    dsh = sh.where(F.col("doc") % 10 == 0).select(
+        F.col("doc").alias("new_doc"), F.explode("shingles").alias("shingle")
     )
+    hsh = sh.where(F.col("doc") % 10 != 0).select(
+        F.col("doc").alias("src_doc"), F.explode("shingles").alias("shingle")
+    )
+    return containment_from_shingles(dsh, hsh, threshold=0.5)
 
 
 # Full cross-engine SimHash oracle: DuckDB recomputes the identical

@@ -43,6 +43,9 @@ QUERIES = [
     # round-4 additions (corpus-bound: LM build+probe join / window packing)
     "lm_novelty_score",
     "pack_sequences_report",
+    # round-7: asymmetric containment — linear under replicas (disjoint
+    # replica vocabularies ⇒ cross-replica shingles never join)
+    "dedup_containment",
 ]
 
 SCALES = [
