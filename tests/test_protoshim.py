@@ -122,3 +122,46 @@ def test_string_utf8_roundtrip(sm):
 def test_enum_wrapper_api(sm):
     assert sm.HandleState.Value("CLOSED") == sm.CLOSED == 5
     assert sm.HandleState.Name(0) == "PRE_INIT"
+
+
+def test_roundtrip_fuzz(sm):
+    """Property: serialize→parse is identity over the protocol's field
+    types (int32/int64 full signed ranges, bool, utf-8 strings, bytes,
+    repeated messages, nesting)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    i32 = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+    i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        status=i32,
+        err=st.text(max_size=60),
+        vals=st.lists(st.binary(max_size=40), max_size=6),
+        more=st.booleans(),
+        timers=st.lists(
+            st.tuples(st.binary(max_size=20), i64), max_size=5
+        ),
+    )
+    def check(status, err, vals, more, timers):
+        r1 = sm.StateResponseWithListGet(
+            statusCode=status, errorMessage=err, value=vals,
+            requireNextFetch=more,
+        )
+        b1 = sm.StateResponseWithListGet()
+        b1.ParseFromString(r1.SerializeToString())
+        assert b1.statusCode == status
+        assert b1.errorMessage == err
+        assert list(b1.value) == vals
+        assert b1.requireNextFetch == more
+
+        r2 = sm.StateResponseWithTimer(
+            statusCode=status,
+            timer=[sm.TimerInfo(key=k, timestampMs=t) for k, t in timers],
+        )
+        b2 = sm.StateResponseWithTimer()
+        b2.ParseFromString(r2.SerializeToString())
+        assert [(t.key, t.timestampMs) for t in b2.timer] == timers
+
+    check()
