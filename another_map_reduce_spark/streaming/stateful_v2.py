@@ -141,6 +141,90 @@ class FunnelProcessor(StatefulProcessor):
         pass
 
 
+SESSION_CLOSE_SCHEMA = "user_id BIGINT, session_end BIGINT"
+
+
+class SessionCloseProcessor(StatefulProcessor):
+    """Event-time TIMER demo: emit (user, session_end) when a user's
+    event stream goes quiet for ``gap_ms`` of EVENT time.
+
+    Exercises the half of the transformWithStateInPandas protocol the
+    funnel twin does not: ``registerTimer`` / ``listTimers`` /
+    ``deleteTimer`` on input, and the ``handleExpiredTimer`` callback
+    when the watermark passes a timer — i.e. the TimerStateCallCommand,
+    ListTimers/ExpiryTimerRequest iteration, and timer-expiry dispatch
+    wire paths (all through vendor/protoshim in this container).
+
+    Per key: value state holds the last event time; each batch slides
+    the one pending timer to ``last_ts + gap_ms`` (delete-then-
+    register), and when event time moves past it the expiry callback
+    emits the session end and clears the state.
+    """
+
+    def __init__(self, gap_ms: int):
+        self._gap_ms = gap_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._last = handle.getValueState("last_ts", "ts long")
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        mx = None
+        for pdf in rows:
+            ts = pd.to_datetime(pdf["ts"]).astype("int64") // 1_000_000
+            m = int(ts.max())
+            mx = m if mx is None else max(mx, m)
+        if mx is None:
+            return
+        prev = self._last.get()[0] if self._last.exists() else None
+        if prev is None or mx > prev:
+            for t in list(self._handle.listTimers()):
+                self._handle.deleteTimer(t)
+            self._last.update((mx,))
+            self._handle.registerTimer(mx + self._gap_ms)
+        return
+        yield  # pragma: no cover — makes this a generator
+
+    def handleExpiredTimer(
+        self, key, timerValues, expiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        self._last.clear()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_end": [expiredTimerInfo.getExpiryTimeInMs()],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def session_close_v2(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Session-close stream via event-time timers (see
+    SessionCloseProcessor).  Requires the RocksDB provider, like every
+    transformWithStateInPandas query."""
+    from pyspark.sql import functions as F
+
+    ensure_protobuf(events.sparkSession)
+    return (
+        # watermarks accept TIMESTAMP only — normalize NTZ inputs
+        events.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            SessionCloseProcessor(gap_minutes * 60_000),
+            outputStructType=SESSION_CLOSE_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
 def funnel_stages_v2(events: DataFrame) -> DataFrame:
     """``funnel_stages`` through transformWithStateInPandas.
 

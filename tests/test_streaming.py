@@ -555,6 +555,88 @@ def test_transform_with_state_funnel_matches_batch(spark, sf_dir, tmp_path):
     )
 
 
+def test_transform_with_state_event_time_timers(spark, tmp_path):
+    """The TIMER half of transformWithStateInPandas: registerTimer /
+    listTimers / deleteTimer on input and handleExpiredTimer when the
+    watermark passes — a session-close detector over a 3-file relay.
+
+    Batch 1 registers per-user timers at last_event + 30 min; batch 2
+    advances the watermark only via an unrelated user; batch 3's
+    watermark (t0+80 min) passes the batch-1 timers (~t0+35 min) and
+    exactly those three sessions close, at exactly last_event + gap.
+    The late user's timer (t0+150 min) must NOT fire."""
+    import pandas as pd
+
+    from another_map_reduce_spark.streaming.stateful_v2 import (
+        ROCKSDB_PROVIDER,
+        session_close_v2,
+    )
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    files = [
+        pd.DataFrame(
+            {
+                "user_id": [1, 1, 2, 3],
+                "ts": [t0, t0 + 2 * m, t0 + 3 * m, t0 + 5 * m],
+            }
+        ),
+        pd.DataFrame({"user_id": [99], "ts": [t0 + 90 * m]}),
+        pd.DataFrame({"user_id": [99], "ts": [t0 + 120 * m]}),
+    ]
+    d = tmp_path / "timer_src"
+    d.mkdir()
+    for i, pdf in enumerate(files):
+        # micro-precision: nanos would read back as BIGINT under the
+        # session's nanosAsLong conf (see load_table)
+        pdf.to_parquet(
+            d / f"b{i}.parquet",
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+    schema = spark.read.parquet(str(d)).schema
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        stream = session_close_v2(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d)),
+            gap_minutes=30,
+            watermark="10 minutes",
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("tws_timers")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        got = {
+            (r.user_id, r.session_end)
+            for r in spark.sql("SELECT * FROM tws_timers").collect()
+        }
+    finally:
+        for qq in spark.streams.active:
+            if qq.name == "tws_timers":
+                qq.stop()
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    gap = 30 * 60_000
+    ms = lambda t: int(t.value // 1_000_000)  # noqa: E731
+    want = {
+        (1, ms(t0 + 2 * m) + gap),
+        (2, ms(t0 + 3 * m) + gap),
+        (3, ms(t0 + 5 * m) + gap),
+    }
+    assert got == want
+
+
 def test_stream_drain_restores_shuffle_width(spark, sf_dir):
     """The narrowed stateful-drain width must not leak into the
     session: spark.sql.shuffle.partitions is restored after the
