@@ -637,6 +637,109 @@ def test_transform_with_state_event_time_timers(spark, tmp_path):
     assert got == want
 
 
+def test_transform_with_state_list_and_map_state(spark, tmp_path):
+    """The remaining two state-variable kinds of the
+    transformWithStateInPandas API — ListState (append/get) and
+    MapState (containsKey/getValue/updateValue/iterator) — run
+    end-to-end through the state server: per-user event log in list
+    state, per-type counts in map state, emitted totals must equal a
+    pandas groupby."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from another_map_reduce_spark.streaming.stateful_v2 import (
+        ROCKSDB_PROVIDER,
+        ensure_protobuf,
+    )
+
+    class TypeStatsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._log = handle.getListState("event_log", "et string")
+            self._counts = handle.getMapState(
+                "type_counts", "et string", "n long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                for et in pdf["event_type"]:
+                    self._log.appendValue((et,))
+                    prev = (
+                        self._counts.getValue((et,))[0]
+                        if self._counts.containsKey((et,))
+                        else 0
+                    )
+                    self._counts.updateValue((et,), (prev + 1,))
+            n_events = sum(1 for _ in self._log.get())
+            n_types = sum(1 for _ in self._counts.iterator())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n_events],
+                    "n_types": [n_types],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ensure_protobuf(spark)
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2, 3],
+            "event_type": ["view", "click", "view", "view", "view", "buy"],
+        }
+    )
+    d = tmp_path / "lm_src"
+    d.mkdir()
+    pdf.to_parquet(d / "b0.parquet")
+    schema = spark.read.parquet(str(d)).schema
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(str(d))
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                TypeStatsProcessor(),
+                outputStructType="user_id BIGINT, n_events BIGINT, n_types BIGINT",
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("tws_listmap")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "lm_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        got = {
+            r.user_id: (r.n_events, r.n_types)
+            for r in spark.sql("SELECT * FROM tws_listmap").collect()
+        }
+    finally:
+        for qq in spark.streams.active:
+            if qq.name == "tws_listmap":
+                qq.stop()
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    want = {
+        u: (len(g), g["event_type"].nunique())
+        for u, g in pdf.groupby("user_id")
+    }
+    assert got == want
+
+
 def test_stream_drain_restores_shuffle_width(spark, sf_dir):
     """The narrowed stateful-drain width must not leak into the
     session: spark.sql.shuffle.partitions is restored after the
