@@ -1651,6 +1651,108 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HISTQ_W = 5.0
+
+
+@register(
+    "histogram_quantile_rollup",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, DATE_TRUNC('day', ts) AS day,
+         CAST(FLOOR(value / {_HISTQ_W}) AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+), monthly AS (
+  SELECT event_type, DATE_TRUNC('month', day) AS month, bin,
+         CAST(SUM(n) AS BIGINT) AS n
+  FROM daily GROUP BY 1, 2, 3
+), days AS (
+  SELECT event_type, DATE_TRUNC('month', day) AS month,
+         CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, month, bin, n,
+         SUM(n) OVER (PARTITION BY event_type, month ORDER BY bin) AS cum,
+         SUM(n) OVER (PARTITION BY event_type, month) AS total
+  FROM monthly
+)
+SELECT c.event_type, c.month, MAX(d.n_days) AS n_days,
+       CAST(MAX(c.total) AS BIGINT) AS total_n,
+       MIN(CASE WHEN c.cum >= CEIL(0.5 * c.total) THEN c.bin END) * {_HISTQ_W} AS p50_est,
+       MIN(CASE WHEN c.cum >= CEIL(0.95 * c.total) THEN c.bin END) * {_HISTQ_W} AS p95_est
+FROM cum c JOIN days d ON c.event_type = d.event_type AND c.month = d.month
+GROUP BY c.event_type, c.month
+ORDER BY c.event_type, c.month
+""",
+)
+def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketches — the percentile face of the
+    hll_sketch_rollup pattern: per (event_type, DAY) fixed-grid
+    histograms (bin = floor(value/w), w = 5.0) are MATERIALIZED to
+    parquet as the stored partial aggregate, read back, bin-summed to
+    monthly, and quantiles extracted from the cumulative histogram
+    (smallest bin whose running count reaches ceil(q·total), reported
+    as the bin's lower edge — error bounded by the bin width w).
+
+    Unlike GK/t-digest partials (which Spark cannot export), the
+    fixed-grid histogram is a DETERMINISTIC mergeable summary: merge
+    order cannot change it, so both engines compute bit-identical
+    estimates and the driver hash is an EXACT match, not a tolerance
+    boolean.  At 100 TB: one scan per day into |bins| rows per group;
+    any coarser rollup (month, year, all-time) is answered from
+    kilobyte histograms with no second corpus pass — and two stored
+    histograms for different key sets union by bin-sum, which no
+    exact-percentile state can do.
+
+    Same pid-free overwrite-in-place store contract as
+    hll_sketch_rollup.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.floor(F.col("value") / _HISTQ_W).cast("long").alias("bin"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"amrs_histq_daily_{tag}")
+    daily.write.mode("overwrite").parquet(path)
+
+    sk = spark.read.parquet(path)
+    month = F.date_trunc("month", F.col("day")).alias("month")
+    monthly = sk.groupBy("event_type", month, "bin").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+    days = sk.groupBy("event_type", month).agg(
+        F.count_distinct("day").cast("long").alias("n_days")
+    )
+    grp = Window.partitionBy("event_type", "month")
+    cum = monthly.withColumn(
+        "cum", F.sum("n").over(grp.orderBy("bin"))
+    ).withColumn("total", F.sum("n").over(grp))
+    q_bin = lambda q: F.min(  # noqa: E731
+        F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("total")), F.col("bin"))
+    )
+    return (
+        cum.groupBy("event_type", "month")
+        .agg(
+            F.max("total").cast("long").alias("total_n"),
+            (q_bin(0.5) * _HISTQ_W).alias("p50_est"),
+            (q_bin(0.95) * _HISTQ_W).alias("p95_est"),
+        )
+        .join(F.broadcast(days), ["event_type", "month"])
+        .select(
+            "event_type", "month", "n_days", "total_n", "p50_est", "p95_est"
+        )
+        .orderBy("event_type", "month")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Runtime Bloom-filter join pruning (row-level runtime filter, dim → fact)
 # ---------------------------------------------------------------------------

@@ -67,6 +67,7 @@ _ORDER_FRONT = [
     # round-7 additions (never had a driver row):
     "ann_ivf_incremental",
     "dedup_containment",
+    "histogram_quantile_rollup",
     # r1-era rows — the API-parity wordcount twins, refreshed for the
     # first time since round 1:
     "mr_wordcount",

@@ -468,6 +468,54 @@ def test_hll_sketch_union_associativity(spark, tmp_path):
     assert abs(merged - 3137) < 0.05 * 3137
 
 
+def test_histogram_quantile_merge_and_error_bound(spark, sf_dir):
+    """The fixed-grid histogram sketch behind histogram_quantile_rollup:
+    (a) bin-sum merging of per-day histograms is EXACT (the merged
+    histogram equals the histogram of the whole month), so the rollup's
+    quantiles are partitioning-independent; (b) the lower-edge estimate
+    is within one bin width of the true discrete percentile."""
+    from pyspark.sql import functions as F
+
+    from another_map_reduce_spark.sources.tables import load_table
+
+    w = 5.0
+    ev = load_table(spark, sf_dir, "events").select("value")
+    merged_bins = {
+        r.bin: r.n
+        for r in ev.withColumn("day", F.monotonically_increasing_id() % 7)
+        .groupBy("day", F.floor(F.col("value") / w).alias("bin"))
+        .count()
+        .groupBy("bin")
+        .agg(F.sum("count").alias("n"))
+        .collect()
+    }
+    whole_bins = {
+        r.bin: r.n
+        for r in ev.groupBy(F.floor(F.col("value") / w).alias("bin"))
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert merged_bins == whole_bins  # merge is exact, any partitioning
+
+    vals = sorted(r.value for r in ev.collect())
+    total = len(vals)
+    import math
+
+    for q in (0.5, 0.95):
+        rank = math.ceil(q * total)
+        exact = vals[rank - 1]
+        cum = 0
+        est = None
+        for b in sorted(whole_bins):
+            cum += whole_bins[b]
+            if cum >= rank:
+                est = b * w
+                break
+        assert est is not None
+        assert est <= exact < est + w  # lower edge of the right bin
+
+
 def test_bloom_filter_join_pruning_plan_and_equivalence(spark, sf_dir):
     """Under the scoped confs, Catalyst must inject the runtime Bloom
     filter (bloom_filter_agg build over dim keys + might_contain on the
