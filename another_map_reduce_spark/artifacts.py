@@ -1,0 +1,68 @@
+"""Write-once derived-artifact cache for stored-index queries.
+
+Several queries materialize a derived artifact of the HISTORY side of
+an incremental operator — the LSH band index (`operators.dedup.
+lsh_band_index`), the IVF centroid+postings index (`operators.
+similarity.build_ivf_index`).  In the daily-pipeline regime those
+artifacts are built once and amortized across every later delta; a
+registered query that rebuilds its index on every invocation therefore
+prices the WRONG thing (the one-off build, not the recurring probe).
+
+`ensure_artifact` gives those queries the write-once contract: the
+builder runs only when the artifact is missing or its fingerprint —
+derived from the SOURCE parquet's (path, size, mtime) plus the build
+parameters — has changed.  A changed fixture or parameter set rebuilds
+automatically; a repeated suite/bench invocation reuses the store, so
+the suite row prices the probe, exactly like a real deployment.
+
+The marker is written AFTER the builder succeeds (a crashed build
+leaves no marker → next run rebuilds), mirroring the two-phase
+temp+rename commit of the reference's sink (`/root/reference/src/
+worker.rs:107-114`) at artifact granularity.  Serial-harness contract:
+one builder per path at a time (the driver/bench/pytest harnesses are
+serial; concurrent builders would race the marker like any overwrite).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from collections.abc import Callable
+
+_MARKER = "_AMRS_ARTIFACT"
+
+
+def source_fingerprint(sf_dir: str, table: str, **params: object) -> str:
+    """Fingerprint of one source table + build parameters.
+
+    Uses the parquet file's (size, mtime_ns) — cheap, no data scan —
+    so a regenerated fixture at the same path invalidates the cache.
+    """
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    st = os.stat(p)
+    key = json.dumps(
+        {"src": p, "size": st.st_size, "mtime_ns": st.st_mtime_ns,
+         "params": {k: repr(v) for k, v in sorted(params.items())}},
+        sort_keys=True,
+    )
+    return hashlib.md5(key.encode()).hexdigest()
+
+
+def ensure_artifact(
+    path: str, fingerprint: str, builder: Callable[[], None]
+) -> bool:
+    """Run ``builder()`` unless ``path`` already holds an artifact with
+    this ``fingerprint``.  Returns True iff the builder ran."""
+    marker = os.path.join(path, _MARKER)
+    try:
+        with open(marker, encoding="utf-8") as fh:
+            if fh.read().strip() == fingerprint:
+                return False
+    except OSError:
+        pass
+    builder()
+    os.makedirs(path, exist_ok=True)
+    with open(marker, "w", encoding="utf-8") as fh:
+        fh.write(fingerprint)
+    return True

@@ -54,75 +54,17 @@ def _load() -> None:
 # All parked queries remain proven each round by the sf0.001
 # differential suite and the driver-faithful local gate at sf0.01.
 #
-# Round 7 rotation (same rolling policy as r4/r5/r6): after r6 the
-# row-age census is 50×r6, 50×r5, 44×r4 and 2×r1 (`mr_wordcount`,
-# `pandas_wordcount`, sacrificed to the tail since r4).  This round's
-# window: (1) the new r7 queries (no row at all yet), (2) the two
-# r1-era rows, (3) all 44 r4-era rows in their r4 driver-check order.
-# That is 46 + new ≤ 50 — so after r7 EVERY registered query has a
-# driver row from r6 or r7.  Any slack refreshes the head of the
-# overflow block, which is the whole r5 cohort in r5 driver-check
-# order (and fronts the r8 window).
+# Round 8 rotation (same rolling policy as r4..r7): after r7 the
+# row-age census is exactly 50×r7, 50×r6, 49×r5 — nothing older than
+# r5 (the r7 window refreshed the last r4/r1 stragglers plus the r5
+# cohort head, `stream_dedup_counts`).  This round's window: (1) the
+# new r8 queries (no row at all yet), (2) the 49 remaining r5-era
+# rows in their r5 driver-check order.  That is 49 + new ≤ 50 — so
+# after r8 EVERY registered query has a driver row from r6–r8.
 _ORDER_FRONT = [
-    # round-7 additions (never had a driver row):
-    "ann_ivf_incremental",
-    "dedup_containment",
-    "histogram_quantile_rollup",
-    # r1-era rows — the API-parity wordcount twins, refreshed for the
-    # first time since round 1:
-    "mr_wordcount",
-    "pandas_wordcount",
-    # the 44 r4-era rows, r4 driver-check order:
-    "pack_sequences_report",
-    "stream_join_purchase_view",
-    "pysource_wordcount",
-    "wordcount",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "window_topk_per_group",
-    "window_running_sum",
-    "window_lag_lead",
-    "topk_global",
-    "distinct_pairs",
-    "set_intersect",
-    "set_except",
-    "set_union_all",
-    "scalar_string_date_math",
-    "scalar_case_bucket",
-    "json_extract_agg",
-    "events_hourly",
-    "subquery_above_avg",
-    "asof_last_purchase",
-    "range_views_before_purchase",
-    "session_windows_batch",
-    "pivot_lang_source",
-    "grouping_sets",
-    "percentiles_by_priority",
-    "q3_shipping_priority",
-    "window_rank_family",
-    "array_functions",
-    "json_struct_parse",
-    "q10_returned_items",
-    "string_match_funcs",
-    "null_handling",
-    "cross_join_regions",
-    "text_token_stats",
-    "text_quality_by_lang",
-    "lang_id_confusion",
-    "dedup_exact_stats",
-    "dedup_fingerprint_stats",
-    "dedup_ngram_jaccard",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q19_disjunctive_predicates",
-    "q1_pricing_summary",
-]
-# Overflow across the 50-row window boundary: the r5 cohort in its r5
-# driver-check order — slack slots this round refresh its head, and
-# the whole block is first in line for r8.
-_ORDER_NEXT = [
-    "stream_dedup_counts",
+    # round-8 additions (never had a driver row):
+    "pipeline_ingest_delta",
+    # the 49 r5-era rows, r5 driver-check order:
     "stream_static_join_segments",
     "recursive_calendar_gaps",
     "variant_props_stats",
@@ -173,9 +115,63 @@ _ORDER_NEXT = [
     "dedup_minhash_lsh",
     "dedup_simhash",
 ]
-# The r6 cohort (freshest rows) lands in the mid block in natural
-# registration order; nothing is pinned to the tail this round — the
-# former tail twins are fronted for their first refresh since r1.
+# Overflow across the 50-row window boundary: the r6 cohort in its r6
+# driver-check order — after r8 it is the oldest block (r6-era) and
+# fronts the r9 window.
+_ORDER_NEXT = [
+    "quantile_cutpoint_buckets",
+    "bm25_retrieval",
+    "scd2_order_history",
+    "incremental_agg_maintenance",
+    "fuzzy_lev1_neighbors",
+    "unpivot_metrics",
+    "dup_substring_removal",
+    "pysource_stream_wordcount",
+    "hll_sketch_rollup",
+    "bloom_join_pruned_revenue",
+    "skew_join_aqe",
+    "pysource_stream_sink_roundtrip",
+    "dedup_incremental_minhash",
+    "graph_triangle_count",
+    "session_overlap_pairs",
+    "session_peak_concurrency",
+    "length_batching_report",
+    "stream_foreachbatch_upsert",
+    "udtf_wordcount",
+    "tfidf_top_terms",
+    "inverted_index",
+    "dedup_cc_clusters",
+    "ann_cosine_topk",
+    "ann_cosine_pairs",
+    "ann_ivf_topk",
+    "multimodal_meta",
+    "multimodal_frames",
+    "doc_winnowing_stats",
+    "skew_salted_agg",
+    "embedding_centroids",
+    "bigram_lm_topk",
+    "heavy_hitter_words",
+    "split_train_val_test",
+    "pii_redaction",
+    "doc_chunks",
+    "text_normalize_stats",
+    "stratified_sample",
+    "doc_repetition_stats",
+    "decontam_overlap",
+    "quality_filter_gopher",
+    "domain_mix_report",
+    "dup_substring_stats",
+    "corpus_build_report",
+    "semantic_dedup_stats",
+    "stream_events_hourly_append",
+    "multimodal_audio_meta",
+    "stream_funnel_stateful",
+    "cdc_upsert_balances",
+    "udaf_median_doclen",
+    "lm_novelty_score",
+]
+# The r7 cohort (freshest rows) lands in the mid block in natural
+# registration order; nothing is pinned to the tail this round.
 _ORDER_HEAVY: list[str] = []
 _ORDER_TAIL: list[str] = []
 
