@@ -561,9 +561,16 @@ def build_ivf_index(
     # The model is DRIVER-side data (num_cells × dim floats); write it
     # with pyarrow directly — a Spark job for 8 rows costs ~5 s of pure
     # scheduling overhead and buys nothing (measured; the read side is
-    # ordinary parquet either way).  Recreate the directory so a
-    # re-build with different num_cells can't leave stale part files
-    # beside the new model (overwrite-in-place contract).
+    # ordinary parquet either way).  CONSTRAINT: this makes `path`
+    # local-filesystem-only — the pyarrow half and Spark's Hadoop half
+    # must land on the SAME filesystem, and pyarrow here writes through
+    # the local FS.  For an hdfs://`/s3:// index root, swap this write
+    # for `spark.createDataFrame(...).coalesce(1).write.parquet(...)`
+    # (paying the scheduling overhead once per build) or a pyarrow
+    # filesystem handle; the on-disk layout is identical either way.
+    # Recreate the directory so a re-build with different num_cells
+    # can't leave stale part files beside the new model
+    # (overwrite-in-place contract).
     shutil.rmtree(f"{path}/centroids", ignore_errors=True)
     os.makedirs(f"{path}/centroids", exist_ok=True)
     pq.write_table(

@@ -210,11 +210,16 @@ class _RefTextStreamWriter(DataSourceStreamWriter):
     ``commit()`` also sweeps any ``part-<batchId>-*`` file NOT in this
     attempt's commit messages, so a narrower replay (fewer tasks after
     an executor loss) removes the wider failed attempt's leftovers.
-    Temps carry uuid names inside the shared ``_temporary/`` dir and
-    commit/abort touch ONLY the paths listed in this batch's commit
-    messages — no rmtree of shared state (the concurrent-writer
-    lesson from the batch writer applies doubly here, since batch N+1
-    may be planning while N's temps still exist on a slow store).
+    That sweep supersedes a touch-only-listed-paths rule for FINAL
+    files: the output directory is single-query-owned (two streaming
+    queries sharing one directory would collide on the
+    ``part-<batchId>-<pid>`` names regardless, and the sweep would
+    actively delete the other query's same-batch files).  Temps carry
+    uuid names inside the shared ``_temporary/`` dir, and commit/abort
+    remove only THEIR OWN temp paths — no rmtree of shared temp state
+    (the concurrent-writer lesson from the batch writer applies doubly
+    here, since batch N+1 may be planning while N's temps still exist
+    on a slow store).
     """
 
     def __init__(self, options: dict):

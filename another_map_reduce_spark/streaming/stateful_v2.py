@@ -48,10 +48,16 @@ def ensure_protobuf(spark: SparkSession | None = None) -> str:
 
     Returns "system" when the real runtime exists (shim untouched) or
     "shim" after activating ``vendor/protoshim``: driver-side via
-    sys.path, worker-side via an addPyFile zip rooted at ``google/``
-    (workers do not inherit the driver's sys.path; the zip lands on
-    every worker's path, including the JVM-spawned driver-side state
-    worker, through the same mechanism as session.ensure_worker_imports).
+    sys.path, EXECUTOR-worker-side via an addPyFile zip rooted at
+    ``google/`` (workers do not inherit the driver's sys.path).
+
+    The addPyFile zip does NOT reach the JVM-spawned driver-side TWS
+    state worker — that process's sys.path comes from the PYTHONPATH
+    the JVM inherited (see session._export_protoshim_pythonpath, which
+    get_spark applies before JVM launch).  A session built directly
+    via SparkSession.builder in a no-protobuf environment therefore
+    needs PYTHONPATH to include the shim before the JVM starts; warn
+    when that is missing rather than failing later in the state server.
     """
     try:
         import google.protobuf  # noqa: F401
@@ -88,6 +94,18 @@ def ensure_protobuf(spark: SparkSession | None = None) -> str:
                 raise
             sc.addPyFile(str(zip_path))
             sc._amrs_protoshim_added = True
+        if str(shim_dir) not in os.environ.get("PYTHONPATH", ""):
+            import warnings
+
+            warnings.warn(
+                "protoshim active but PYTHONPATH lacks it: the "
+                "JVM-spawned driver-side TWS state worker will not "
+                "find google.protobuf.  Build the session via "
+                "session.get_spark (which exports PYTHONPATH before "
+                "JVM launch) for transformWithStateInPandas.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return "shim"
 
 

@@ -165,3 +165,47 @@ def test_roundtrip_fuzz(sm):
         assert [(t.key, t.timestampMs) for t in b2.timer] == timers
 
     check()
+
+
+def test_whichoneof_scans_only_the_requested_oneof(sm):
+    """A set NON-member (version) must not masquerade as the oneof's
+    arm, the set arm is reported by name, and an unknown oneof name
+    fails loudly — matching the real runtime's contract."""
+    req = sm.StateRequest(version=2)
+    assert req.WhichOneof("method") is None
+    req2 = sm.StateRequest(
+        version=2,
+        statefulProcessorCall=sm.StatefulProcessorCall(
+            setHandleState=sm.SetHandleState(state=sm.CREATED)
+        ),
+    )
+    assert req2.WhichOneof("method") == "statefulProcessorCall"
+    with pytest.raises(ValueError):
+        req2.WhichOneof("no_such_oneof")
+
+
+def test_split_singular_message_field_merges(sm):
+    """Repeated wire occurrences of a singular embedded message MERGE
+    (legal proto3 encoding): sub-fields from the first occurrence must
+    survive the second, not be silently dropped."""
+    # occurrence 1: statefulProcessorCall.setHandleState(state=CREATED)
+    b1 = sm.StateRequest(
+        statefulProcessorCall=sm.StatefulProcessorCall(
+            setHandleState=sm.SetHandleState(state=sm.CREATED)
+        )
+    ).SerializeToString()
+    # occurrence 2: version only — concatenation = field split across
+    # two records of the same message (version rides along to prove
+    # non-message fields still last-win)
+    b2 = sm.StateRequest(
+        version=7,
+        statefulProcessorCall=sm.StatefulProcessorCall(
+            getValueState=sm.ValueStateCall(stateName="s")
+        ),
+    ).SerializeToString()
+    back = sm.StateRequest()
+    back.ParseFromString(b1 + b2)
+    assert back.version == 7
+    # both sub-arms present: first occurrence's content merged, not replaced
+    assert back.statefulProcessorCall.setHandleState.state == sm.CREATED
+    assert back.statefulProcessorCall.getValueState.stateName == "s"
