@@ -522,6 +522,25 @@ def ivf_topk(
     )
 
 
+# The default-recall probe contract (r8, promoting the r7 SCALE.md
+# finding): a FIXED nprobe probes a shrinking fraction of the corpus
+# as cells grow with the corpus (constant inverted-list size), so its
+# recall decays — measured 0.49 → 0.17 at 1×→10× on the isotropic
+# synthetic corpus.  Probing a constant FRACTION of the cells makes
+# the probed-corpus share scale-invariant, and recall holds ~flat at
+# the level the fraction buys (tools/bench_scale_ann.py measures both
+# regimes; tests/test_similarity.py pins the floor).  0.5 is the
+# isotropic-worst-case setting: clustered real embeddings concentrate
+# neighbors in the query's nearest cells and reach the same recall at
+# far smaller fractions — tune DOWN per corpus, never below 2 cells.
+NPROBE_FRACTION = 0.5
+
+
+def proportional_nprobe(num_cells: int, fraction: float = NPROBE_FRACTION) -> int:
+    """nprobe ∝ cells — the scale-invariant-recall probe width."""
+    return max(2, int(num_cells * fraction))
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,

@@ -302,3 +302,48 @@ def test_vector_centroids_match_numpy(spark, emb):
         want = np.mean(np.array(vecs, dtype=np.float64), axis=0)
         for d in range(dim):
             assert abs(got[(label, d + 1)] - want[d]) < 1e-9
+
+
+def test_proportional_nprobe_recall_contract(spark, emb, tmp_path):
+    """The nprobe ∝ cells contract (r8, SCALE.md): probing a constant
+    FRACTION of the inverted lists keeps recall scale-invariant while
+    a fixed nprobe decays as cells grow — measured on the scale corpus
+    (BENCH_SCALE_r8ann: proportional 0.73/0.81/0.89 vs fixed
+    0.49/0.27/0.17 at 1×/3×/10×); pinned here at two cell counts on
+    the fixture corpus."""
+    from another_map_reduce_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe_topk,
+        proportional_nprobe,
+    )
+
+    hist = emb.where(F.col("vec_id") % 10 != 0)
+    delta = emb.where(F.col("vec_id") % 10 == 0).where(F.col("vec_id") < 300)
+
+    def mean_recall(path, cells, nprobe):
+        got: dict[int, set] = {}
+        for r in ivf_probe_topk(spark, path, delta, k=5, nprobe=nprobe).collect():
+            got.setdefault(r.qid, set()).add(r.cid)
+        full: dict[int, set] = {}
+        for r in ivf_probe_topk(spark, path, delta, k=5, nprobe=cells).collect():
+            full.setdefault(r.qid, set()).add(r.cid)
+        recalls = [
+            len(full[q] & got.get(q, set())) / len(full[q]) for q in full
+        ]
+        return sum(recalls) / len(recalls)
+
+    results = {}
+    for cells in (8, 32):
+        path = str(tmp_path / f"ivf_{cells}")
+        build_ivf_index(hist, path, num_cells=cells, train_iters=1)
+        results[cells] = {
+            "prop": mean_recall(path, cells, proportional_nprobe(cells)),
+            "fixed": mean_recall(path, cells, 2),
+        }
+    # floor holds at BOTH cell counts under the proportional config
+    assert results[8]["prop"] >= 0.6, results
+    assert results[32]["prop"] >= 0.6, results
+    # scale-invariance: growing cells 4x must not collapse proportional
+    # recall (fixed nprobe demonstrably does on this corpus)
+    assert results[32]["prop"] >= results[8]["prop"] - 0.1, results
+    assert results[32]["fixed"] < results[32]["prop"], results
