@@ -662,6 +662,46 @@ def ivf_probe_topk(
     )
 
 
+def ivf_append_vectors(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """APPEND a day's vectors to a stored IVF index — the maintenance
+    half of the index lifecycle (`build_ivf_index` builds once;
+    this adds each day's delta in O(delta), no retraining, no
+    rewrite of existing postings).
+
+    The stored centroid model is read back (cells × dim — the model,
+    not data), the delta is assigned cell ids with the same shared
+    ``top_cells`` argmax as the original build (so an appended vector
+    lands exactly where a rebuild would put it — append ≡ rebuild,
+    pytest-pinned), and the rows are APPENDED into the cell-partitioned
+    postings: ``repartition("cell")`` first, so each append adds at
+    most one file per touched cell directory.  At 100 TB the daily
+    cost is the delta scan + one small write; accumulated append files
+    per cell are a compaction concern, not a correctness one — a
+    periodic per-cell rewrite (read cell, coalesce, overwrite cell
+    partition) restores one-file-per-cell without touching the model
+    or other cells.  Centroids drift as the corpus grows; the
+    fingerprinted artifact contract (artifacts.ensure_artifact)
+    already forces a full rebuild when build params change — re-train
+    cadence is an operator policy knob, not hidden here.
+    """
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    cents = [[float(x) for x in r.centroid] for r in cent_rows]
+    rows = delta.select(
+        F.element_at(top_cells(F.col(vec_col), cents, 1), 1).alias("cell"),
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+    )
+    rows.repartition("cell").write.mode("append").partitionBy("cell").parquet(
+        f"{path}/postings"
+    )
+
+
 def vector_centroids(
     df: DataFrame,
     vec_col: str = "embedding",

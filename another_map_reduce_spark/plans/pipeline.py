@@ -824,6 +824,80 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_probe_topk(spark, path, delta, k=5, nprobe=8)
 
 
+@register(
+    "ann_ivf_append",
+    oracle=f"""
+WITH scored AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cid,
+         {_DDOT} / ({_DNORM_A} * {_DNORM_B}) AS cos
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+), ranked AS (
+  SELECT qid, cid, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+  FROM scored
+)
+SELECT qid, cid, cos, rank FROM ranked WHERE rank <= 5
+ORDER BY qid, rank
+""",
+)
+def ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index MAINTENANCE — the append half of the stored-index
+    lifecycle that ann_ivf_incremental's probe half assumes: the
+    history index (vec_id % 10 ≠ 0) is built once, then the day's
+    delta (vec_id % 10 = 0) is APPENDED into the cell-partitioned
+    postings in O(delta) via the stored centroid model
+    (`operators.similarity.ivf_append_vectors`) — no retraining, no
+    rewrite of existing postings, at most one new file per touched
+    cell.  A probe over the appended index at nprobe = num_cells is
+    LOSSLESS over the WHOLE corpus (history ∪ delta — every vector
+    lives in exactly one cell), so the result must hash-match the
+    brute-force all-corpus top-5 oracle — proving appended vectors are
+    findable exactly as a full rebuild would make them (append ≡
+    rebuild is also pinned directly in tests/test_similarity.py).
+
+    Build+append run once per fixture under the write-once
+    `artifacts` contract (the appended state is part of the
+    fingerprint), so repeat invocations price the probe — the daily
+    cost — and the append can't double-apply.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from another_map_reduce_spark.artifacts import (
+        ensure_artifact,
+        source_fingerprint,
+    )
+    from another_map_reduce_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_append_vectors,
+        ivf_probe_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hist = emb.where(F.col("vec_id") % 10 != 0)
+    delta = emb.where(F.col("vec_id") % 10 == 0)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"amrs_ivf_appended_{tag}")
+
+    def _build_then_append() -> None:
+        build_ivf_index(hist, path, num_cells=8, train_iters=1)
+        ivf_append_vectors(spark, path, delta)
+
+    ensure_artifact(
+        path,
+        source_fingerprint(
+            sf_dir, "embeddings", op="ivf_append", num_cells=8,
+            train_iters=1, hist_mod=10,
+        ),
+        _build_then_append,
+    )
+    return ivf_probe_topk(
+        spark, path, emb.where(F.col("vec_id") < 10), k=5, nprobe=8
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -347,3 +347,47 @@ def test_proportional_nprobe_recall_contract(spark, emb, tmp_path):
     # recall (fixed nprobe demonstrably does on this corpus)
     assert results[32]["prop"] >= results[8]["prop"] - 0.1, results
     assert results[32]["fixed"] < results[32]["prop"], results
+
+
+def test_ivf_append_equals_rebuild(spark, emb, tmp_path):
+    """Appending a delta into a stored index (ivf_append_vectors) must
+    leave the postings — and therefore every probe — identical to
+    rebuilding the index over history ∪ delta with the same centroids:
+    assignment goes through the same stored-model argmax, so the only
+    difference is file layout."""
+    from another_map_reduce_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_append_vectors,
+        ivf_probe_topk,
+    )
+
+    hist = emb.where(F.col("vec_id") % 10 != 0)
+    delta = emb.where(F.col("vec_id") % 10 == 0)
+    queries = emb.where(F.col("vec_id") < 30)
+
+    appended = str(tmp_path / "appended")
+    build_ivf_index(hist, appended, num_cells=8, train_iters=1)
+    ivf_append_vectors(spark, appended, delta)
+
+    rebuilt = str(tmp_path / "rebuilt")
+    build_ivf_index(emb, rebuilt, num_cells=8, train_iters=1, train_mod=1)
+    # NOTE: rebuild trains on history ∪ delta, so centroids differ —
+    # compare POSTINGS CONTENT (cid sets per index) and the lossless
+    # full-probe results, which are centroid-independent at
+    # nprobe = num_cells.
+    a_ids = {
+        r.cid for r in spark.read.parquet(f"{appended}/postings").collect()
+    }
+    r_ids = {
+        r.cid for r in spark.read.parquet(f"{rebuilt}/postings").collect()
+    }
+    assert a_ids == r_ids
+    probe_a = [
+        (r.qid, r.rank, r.cid)
+        for r in ivf_probe_topk(spark, appended, queries, k=5, nprobe=8).collect()
+    ]
+    probe_r = [
+        (r.qid, r.rank, r.cid)
+        for r in ivf_probe_topk(spark, rebuilt, queries, k=5, nprobe=8).collect()
+    ]
+    assert probe_a == probe_r
