@@ -739,6 +739,34 @@ def lsh_band_index(
     return bands_from_signature(sig, k, bands)
 
 
+def lsh_append_docs(
+    df: DataFrame,
+    path: str,
+    n: int = 3,
+    k: int = 128,
+    bands: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """APPEND a day's documents to a stored LSH band index — the
+    maintenance half of the index lifecycle (`lsh_band_index` builds
+    the initial artifact; this adds each day's accepted batch in
+    O(delta)).
+
+    The band index is append-only BY CONSTRUCTION: a document's
+    |bands| (doc, band, sig) rows are a pure function of its own text
+    (independent slot hashes, no corpus statistics), so appending new
+    rows is exactly what a monolithic rebuild would produce for the
+    union — no rewrite of existing rows, no retraining, one new file
+    per append (append ≡ rebuild is oracle-proven by
+    dedup_lsh_append's hash row and pinned in tests/test_dedup.py).
+    Same parameters as the original build or the band keys won't align
+    — keep them in the artifact fingerprint.
+    """
+    lsh_band_index(df, n=n, k=k, bands=bands, text_col=text_col,
+                   id_col=id_col).write.mode("append").parquet(path)
+
+
 def incremental_minhash_pairs(
     history: DataFrame,
     delta: DataFrame,

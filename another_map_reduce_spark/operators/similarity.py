@@ -702,6 +702,43 @@ def ivf_append_vectors(
     )
 
 
+def ivf_compact_cells(spark: SparkSession, path: str) -> None:
+    """COMPACT a stored IVF index's postings back to one file per cell
+    (the OPTIMIZE step of the index lifecycle): daily
+    ``ivf_append_vectors`` calls add one small file per touched cell,
+    and after many days the probe's file-open cost erodes the
+    partition-pruning win — compaction restores the one-file-per-cell
+    layout without touching the centroid model or changing any row.
+
+    Read-then-overwrite of the SAME path is illegal in Spark (the scan
+    would race the delete), so this writes to a ``postings__compact``
+    sibling and atomically swaps directories with two ``os.replace``
+    renames — the reference's temp+rename commit
+    (`/root/reference/src/worker.rs:107-114`) at directory granularity.
+    Like the centroid write, the swap is local-filesystem-only; on an
+    object store, compact cell-by-cell with `partitionOverwriteMode=
+    dynamic` instead.  Probe parity before/after is pytest-pinned.
+    """
+    import os
+    import shutil
+
+    src = f"{path}/postings"
+    tmp = f"{path}/postings__compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        spark.read.parquet(src)
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp)
+    )
+    old = f"{path}/postings__old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(src, old)
+    os.replace(tmp, src)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def vector_centroids(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -376,9 +376,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_incremental_minhash",
-    oracle=f"""
+# Exact delta×history Jaccard — shared by dedup_incremental_minhash
+# (monolithic index build) and dedup_lsh_append (the same index built
+# as base + appended day): both must produce THIS answer, which is
+# what proves append ≡ rebuild at the artifact level.
+_INCR_JACCARD_SQL = f"""
 WITH sh AS (
   SELECT doc_id AS doc, unnest({_SHINGLES}) AS shingle FROM documents
 ), sizes AS (
@@ -395,8 +397,10 @@ JOIN sizes s1 ON new_doc = s1.doc
 JOIN sizes s2 ON dup_of = s2.doc
 WHERE inter / (s1.sz + s2.sz - inter) >= 0.8
 ORDER BY new_doc, dup_of
-""",
-)
+"""
+
+
+@register("dedup_incremental_minhash", oracle=_INCR_JACCARD_SQL)
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL near-dup dedup — the daily-pipeline shape none of
     the batch dedup queries exercise: the corpus splits into history
@@ -432,6 +436,62 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lsh_band_index(hist).write.mode("overwrite").parquet(path)
     index = spark.read.parquet(path)
+    return incremental_minhash_pairs(hist, delta, index, threshold=0.8)
+
+
+@register("dedup_lsh_append", oracle=_INCR_JACCARD_SQL)
+def dedup_lsh_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH index MAINTENANCE — the dedup twin of ann_ivf_append: the
+    stored band index is built from a BASE corpus (doc_id % 10 ∉
+    {0, 5}) and then a later day's batch (doc_id % 10 = 5) is APPENDED
+    via `operators.dedup.lsh_append_docs` — O(day) cost, no rewrite of
+    existing index rows, no corpus re-scan.  Today's delta
+    (doc_id % 10 = 0) then probes the two-generation index exactly as
+    dedup_incremental_minhash probes its monolithic one, and must
+    produce the SAME answer (shared `_INCR_JACCARD_SQL` oracle: the
+    indexed history is %10 ≠ 0 either way) — the hash row IS the
+    append ≡ rebuild proof at the stored-artifact level, because a
+    document's band rows are a pure function of its own text.
+
+    Build+append run once per fixture under the write-once `artifacts`
+    contract; repeat invocations price the daily probe.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from another_map_reduce_spark.artifacts import (
+        ensure_artifact,
+        source_fingerprint,
+    )
+    from another_map_reduce_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        lsh_append_docs,
+        lsh_band_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(~(F.col("doc_id") % 10).isin(0, 5))
+    day1 = docs.where(F.col("doc_id") % 10 == 5)
+    hist = docs.where(F.col("doc_id") % 10 != 0)  # base ∪ day1
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"amrs_lsh_appended_{tag}")
+    bands = os.path.join(path, "bands")
+
+    def _build_then_append() -> None:
+        lsh_band_index(base).write.mode("overwrite").parquet(bands)
+        lsh_append_docs(day1, bands)
+
+    ensure_artifact(
+        path,
+        source_fingerprint(
+            sf_dir, "documents", op="lsh_append", n=3, k=128, bands=32,
+            base_mods=(0, 5),
+        ),
+        _build_then_append,
+    )
+    index = spark.read.parquet(bands)
     return incremental_minhash_pairs(hist, delta, index, threshold=0.8)
 
 

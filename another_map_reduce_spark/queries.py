@@ -115,14 +115,16 @@ _ORDER_FRONT = [
     "dedup_minhash_lsh",
     "dedup_simhash",
 ]
-# Overflow across the 50-row window boundary: ann_ivf_append (the
-# second r8 addition — the 49 refreshes + pipeline_ingest_delta fill
-# the window exactly, so it waits one round; proven this round by the
-# sf0.001 differential and the driver-faithful sf0.01 local gate),
-# then the r6 cohort in its r6 driver-check order — after r8 that
-# cohort is the oldest block and fronts the r9 window.
+# Overflow across the 50-row window boundary: the index-maintenance
+# additions ann_ivf_append and dedup_lsh_append (the 49 refreshes +
+# pipeline_ingest_delta fill the r8 window exactly, so they wait one
+# round; both proven this round by the sf0.001 differential and the
+# driver-faithful sf0.01 local gate), then the r6 cohort in its r6
+# driver-check order — after r8 that cohort is the oldest block and
+# fronts the r9 window with the two maintenance queries.
 _ORDER_NEXT = [
     "ann_ivf_append",
+    "dedup_lsh_append",
     "quantile_cutpoint_buckets",
     "bm25_retrieval",
     "scd2_order_history",

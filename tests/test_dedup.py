@@ -415,3 +415,31 @@ def test_triangle_stats_random_graph_bruteforce(spark):
     r = triangle_stats(df).collect()[0]
     assert (r.n_edges, r.n_triangles, r.n_wedges) == (len(edges), tris, wedges)
     assert r.clustering == round(3.0 * tris / wedges, 6)
+
+
+def test_lsh_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """Appending a batch to a stored band index (lsh_append_docs) must
+    yield exactly the row set of a monolithic lsh_band_index over the
+    union — band rows are a pure function of each doc's text."""
+    from pyspark.sql import functions as F
+
+    from another_map_reduce_spark.operators.dedup import (
+        lsh_append_docs,
+        lsh_band_index,
+    )
+    from another_map_reduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(~(F.col("doc_id") % 10).isin(0, 5))
+    day1 = docs.where(F.col("doc_id") % 10 == 5)
+    path = str(tmp_path / "bands")
+    lsh_band_index(base).write.mode("overwrite").parquet(path)
+    lsh_append_docs(day1, path)
+    appended = {
+        (r.doc, r.band, r.sig) for r in spark.read.parquet(path).collect()
+    }
+    rebuilt = {
+        (r.doc, r.band, r.sig)
+        for r in lsh_band_index(docs.where(F.col("doc_id") % 10 != 0)).collect()
+    }
+    assert appended == rebuilt

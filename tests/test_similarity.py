@@ -391,3 +391,48 @@ def test_ivf_append_equals_rebuild(spark, emb, tmp_path):
         for r in ivf_probe_topk(spark, rebuilt, queries, k=5, nprobe=8).collect()
     ]
     assert probe_a == probe_r
+
+
+def test_ivf_compact_restores_one_file_per_cell(spark, emb, tmp_path):
+    """After daily appends fragment the postings, ivf_compact_cells
+    must restore ≤1 parquet file per cell directory WITHOUT changing
+    any probe result (compaction is layout-only)."""
+    import glob
+
+    from another_map_reduce_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_append_vectors,
+        ivf_compact_cells,
+        ivf_probe_topk,
+    )
+
+    hist = emb.where(F.col("vec_id") % 10 != 0)
+    path = str(tmp_path / "idx")
+    build_ivf_index(hist, path, num_cells=8, train_iters=1)
+    for m in (0, 5):  # two "days" of appends
+        ivf_append_vectors(
+            spark, path, emb.where(F.col("vec_id") % 10 == m).where(
+                F.col("vec_id") % 2 == (0 if m == 0 else 1)
+            )
+        )
+
+    def files_per_cell():
+        return {
+            d: len(glob.glob(f"{d}/*.parquet"))
+            for d in glob.glob(f"{path}/postings/cell=*")
+        }
+
+    queries = emb.where(F.col("vec_id") < 30)
+    before = [
+        (r.qid, r.rank, r.cid)
+        for r in ivf_probe_topk(spark, path, queries, k=5, nprobe=8).collect()
+    ]
+    assert max(files_per_cell().values()) > 1  # fragmentation is real
+    ivf_compact_cells(spark, path)
+    after_counts = files_per_cell()
+    assert max(after_counts.values()) == 1, after_counts
+    after = [
+        (r.qid, r.rank, r.cid)
+        for r in ivf_probe_topk(spark, path, queries, k=5, nprobe=8).collect()
+    ]
+    assert before == after
