@@ -125,6 +125,7 @@ _ORDER_FRONT = [
 _ORDER_NEXT = [
     "ann_ivf_append",
     "dedup_lsh_append",
+    "pipeline_ingest_replay",
     "quantile_cutpoint_buckets",
     "bm25_retrieval",
     "scd2_order_history",

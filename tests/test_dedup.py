@@ -443,3 +443,21 @@ def test_lsh_append_equals_rebuild(spark, sf_dir, tmp_path):
         for r in lsh_band_index(docs.where(F.col("doc_id") % 10 != 0)).collect()
     }
     assert appended == rebuilt
+
+
+def test_ingest_replay_feedback_blocks_day2_dup(spark, sf_dir):
+    """The index-feedback property, pinned on the fixture's planted
+    chain: day-1 doc 467 (sf0.001) passes the gate with no base dup →
+    accepted → enters the index; day-2 doc 110's only corpus near-dup
+    is 467, so it MUST be rejected with dup_of_min = 467.  If the
+    day-1 append were skipped, 110 would be wrongly accepted."""
+    from another_map_reduce_spark.queries import QUERIES
+
+    rows = {
+        (r.day, r.doc_id): r
+        for r in QUERIES["pipeline_ingest_replay"](spark, sf_dir).collect()
+    }
+    d1 = rows[(1, 467)]
+    assert d1.pass_gate and d1.accepted and d1.dup_of_min == -1
+    d2 = rows[(2, 110)]
+    assert d2.pass_gate and not d2.accepted and d2.dup_of_min == 467
