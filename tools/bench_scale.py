@@ -107,6 +107,17 @@ EVENT_SCALES = [
     ("30x", "/tmp/evscale30", 30),
 ]
 
+# --pipeline: the composed r8 ingest jobs over the document-corpus
+# scales.  Measured TWICE per scale: the cold pass builds the stored
+# index artifacts (amortized in production), the warm pass prices the
+# recurring daily run — gate + connector drain + probe — which is the
+# number the composition claim ("no wide stage beyond the components")
+# must keep near the component sum.
+PIPE_QUERIES = [
+    "pipeline_ingest_delta",
+    "pipeline_ingest_replay",
+]
+
 # Output-bound queries stop early: session_overlap_pairs' true answer
 # grows ~quadratically with concurrent users (136M real pairs at 30x),
 # so measuring past 10x times the answer's size, not the plan.
@@ -139,12 +150,15 @@ def _shuffle_bytes(port: int, app_id: str, group: str) -> dict:
 def main() -> None:
     relational = "--relational" in sys.argv
     events = "--events" in sys.argv
+    pipeline = "--pipeline" in sys.argv
     queries = REL_QUERIES if relational else QUERIES
     scales = REL_SCALES if relational else SCALES
     if "--r6" in sys.argv:
         queries, scales = R6_QUERIES, SCALES
     if events:
         queries, scales = EVENT_QUERIES, EVENT_SCALES
+    if pipeline:
+        queries, scales = PIPE_QUERIES, SCALES
     probe = (
         "orders" if relational else "events" if events else "documents"
     )
@@ -189,12 +203,20 @@ def main() -> None:
             if _n > MAX_SCALE.get(qname, 10**9):
                 continue
             group = f"{qname}@{label}"
+            rec: dict = {}
+            if pipeline:
+                # cold pass first (builds the stored artifacts), then
+                # the warm pass under the job group so shuffle bytes
+                # describe the recurring daily run
+                t0 = time.time()
+                len(Q.QUERIES[qname](spark, d).collect())
+                rec["sec_cold"] = round(time.time() - t0, 2)
             sc.setJobGroup(group, group)
             t0 = time.time()
             n_rows = len(Q.QUERIES[qname](spark, d).collect())
             dt = round(time.time() - t0, 2)
             sc.setJobGroup("", "")
-            rec = {"sec": dt, "rows": n_rows}
+            rec.update({"sec": dt, "rows": n_rows})
             try:
                 rec.update(_shuffle_bytes(port, app_id, group))
             except Exception as e:  # REST hiccup → still record timing
@@ -205,7 +227,11 @@ def main() -> None:
                 f" shw={rec.get('shuffle_write', -1)}",
                 file=sys.stderr,
             )
-    args = [a for a in sys.argv[1:] if a not in ("--relational", "--r6", "--events")]
+    args = [
+        a
+        for a in sys.argv[1:]
+        if a not in ("--relational", "--r6", "--events", "--pipeline")
+    ]
     dest = args[0] if args else "/tmp/bench_scale.json"
     Path(dest).write_text(json.dumps(out, indent=2))
     print(json.dumps(out))
