@@ -495,9 +495,11 @@ def dedup_lsh_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_minhash_pairs(hist, delta, index, threshold=0.8)
 
 
-@register(
-    "dedup_containment",
-    oracle=f"""
+# Exact delta×history containment — shared by dedup_containment
+# (history shingled in-flight) and dedup_containment_incremental (the
+# same history read from a STORED inverted index): identical answers
+# prove the persisted index is a faithful substitute for re-shingling.
+_CONTAINMENT_SQL = f"""
 WITH sh AS (
   SELECT doc_id AS doc, unnest({_SHINGLES}) AS shingle FROM documents
 ), sizes AS (
@@ -512,8 +514,10 @@ SELECT new_doc, src_doc, inter / s1.sz AS containment
 FROM inter JOIN sizes s1 ON new_doc = s1.doc
 WHERE inter / s1.sz >= 0.5
 ORDER BY new_doc, src_doc
-""",
-)
+"""
+
+
+@register("dedup_containment", oracle=_CONTAINMENT_SQL)
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric CONTAINMENT dedup of a new batch against history —
     |S(new) ∩ S(src)| / |S(new)| ≥ 0.5 on word-3-gram sets: catches
@@ -541,6 +545,74 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc").alias("src_doc"), F.explode("shingles").alias("shingle")
     )
     return containment_from_shingles(dsh, hsh, threshold=0.5)
+
+
+@register("dedup_containment_incremental", oracle=_CONTAINMENT_SQL)
+def dedup_containment_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup against a STORED inverted index — the
+    O(delta)-per-day form of dedup_containment, completing the
+    stored-index story on the third dedup axis (MinHash has
+    lsh_band_index, ANN has the IVF artifact; containment needs the
+    full (shingle, src_doc) postings because intersection SIZES, not
+    signatures, are the statistic).  History (doc_id % 10 ≠ 0) is
+    shingled ONCE into a persisted inverted index under the write-once
+    `artifacts` contract; each day only the delta is shingled and
+    equi-joined against the stored postings — history text is never
+    re-tokenized.
+
+    The index is corpus-sized (one row per (shingle, doc) — that is
+    what an inverted index is), so at 100 TB it is written
+    shuffle-clustered on `shingle`; a bucketed/sorted table layout
+    (bucketBy on shingle) upgrades the daily probe to a co-located
+    join with no shuffle on the index side.  Oracle = the SAME
+    containment SQL as dedup_containment: identical hashes prove the
+    stored index is a faithful substitute for in-flight re-shingling.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from another_map_reduce_spark.artifacts import (
+        ensure_artifact,
+        source_fingerprint,
+    )
+    from another_map_reduce_spark.operators.dedup import (
+        containment_from_shingles,
+        shingle_docs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"amrs_cont_index_{tag}")
+    postings = os.path.join(path, "postings")
+
+    def _build() -> None:
+        hist = docs.where(F.col("doc_id") % 10 != 0)
+        (
+            shingle_docs(hist, "text", "doc_id", 3)
+            .select(
+                F.col("doc").alias("src_doc"),
+                F.explode("shingles").alias("shingle"),
+            )
+            .repartition("shingle")
+            .write.mode("overwrite")
+            .parquet(postings)
+        )
+
+    ensure_artifact(
+        path,
+        source_fingerprint(
+            sf_dir, "documents", op="cont_index", n=3, hist_mod=10
+        ),
+        _build,
+    )
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+    dsh = shingle_docs(delta, "text", "doc_id", 3).select(
+        F.col("doc").alias("new_doc"), F.explode("shingles").alias("shingle")
+    )
+    return containment_from_shingles(
+        dsh, spark.read.parquet(postings), threshold=0.5
+    )
 
 
 # Full cross-engine SimHash oracle: DuckDB recomputes the identical

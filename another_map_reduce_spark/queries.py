@@ -115,17 +115,19 @@ _ORDER_FRONT = [
     "dedup_minhash_lsh",
     "dedup_simhash",
 ]
-# Overflow across the 50-row window boundary: the index-maintenance
-# additions ann_ivf_append and dedup_lsh_append (the 49 refreshes +
+# Overflow across the 50-row window boundary: the later r8 additions
+# (index maintenance ann_ivf_append / dedup_lsh_append, the multi-day
+# replay, and the stored-index containment — the 49 refreshes +
 # pipeline_ingest_delta fill the r8 window exactly, so they wait one
-# round; both proven this round by the sf0.001 differential and the
+# round; all proven this round by the sf0.001 differential and the
 # driver-faithful sf0.01 local gate), then the r6 cohort in its r6
 # driver-check order — after r8 that cohort is the oldest block and
-# fronts the r9 window with the two maintenance queries.
+# fronts the r9 window together with these four.
 _ORDER_NEXT = [
     "ann_ivf_append",
     "dedup_lsh_append",
     "pipeline_ingest_replay",
+    "dedup_containment_incremental",
     "quantile_cutpoint_buckets",
     "bm25_retrieval",
     "scd2_order_history",
