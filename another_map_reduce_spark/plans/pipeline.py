@@ -2285,6 +2285,129 @@ def pipeline_ingest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RRF_K = 60  # the standard reciprocal-rank-fusion constant
+
+
+@register(
+    "hybrid_retrieval_rrf",
+    oracle=f"""
+WITH qd AS (
+  SELECT d.doc_id AS qid, {_SHINGLES} AS sh,
+         e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.doc_id < 10
+), cd AS (
+  SELECT d.doc_id AS cid, {_SHINGLES} AS sh,
+         e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+), scored AS (
+  SELECT a.qid, b.cid,
+         len(list_intersect(a.sh, b.sh))
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+           AS jac,
+         {_DDOT} / ({_DNORM_A} * {_DNORM_B}) AS cos
+  FROM qd a JOIN cd b ON b.cid <> a.qid
+), ranked AS (
+  SELECT qid, cid,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY jac DESC, cid)
+           AS r_lex,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid)
+           AS r_dense
+  FROM scored
+), fused AS (
+  SELECT qid, cid, CAST(r_lex AS BIGINT) AS r_lex,
+         CAST(r_dense AS BIGINT) AS r_dense,
+         round(1.0 / ({_RRF_K} + r_lex) + 1.0 / ({_RRF_K} + r_dense), 9)
+           AS rrf
+  FROM ranked
+)
+SELECT qid, cid, r_lex, r_dense, rrf,
+       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, cid) AS rank
+FROM fused
+QUALIFY rank <= 5
+ORDER BY qid, rank
+""",
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — lexical (word-3-gram Jaccard) and dense
+    (embedding cosine) rankings fused by reciprocal-rank fusion
+    (Cormack et al. 2009: score = Σ 1/(k + rank), k = 60) — the
+    standard two-tower retrieval pattern for curation/search over a
+    training corpus, and the suite's demonstration that its lexical
+    and vector stacks compose on a shared doc key.
+
+    Both rankings are computed EXACTLY over all candidates here
+    (queries broadcast, one pass over the corpus, two bounded-key
+    windows), so the driver hash is exact; at 100 TB each arm swaps in
+    its in-suite approximate twin (MinHash-LSH for the lexical arm,
+    IVF probe for the dense arm) and RRF fuses the top-k lists
+    instead — fusion itself is rank arithmetic and never touches the
+    corpus.  Rank determinism: every ORDER BY carries the cid
+    tie-break, and the RRF score is one addition of two exact-integer
+    reciprocals, rounded identically in both engines.
+    """
+    from another_map_reduce_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from another_map_reduce_spark.operators.dedup import shingle_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = (
+        shingle_docs(docs, "text", "doc_id", 3)
+        .join(emb, F.col("doc") == F.col("vec_id"))
+        .select(F.col("doc").alias("cid"), "shingles", "embedding")
+        .localCheckpoint(eager=False)
+    )
+    q = corpus.where(F.col("cid") < 10).select(
+        F.col("cid").alias("qid"),
+        F.col("shingles").alias("q_sh"),
+        F.col("embedding").alias("q_emb"),
+    )
+    inter = F.size(F.array_intersect("q_sh", "shingles"))
+    scored = (
+        corpus.join(F.broadcast(q), F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            (
+                inter
+                / (F.size("q_sh") + F.size("shingles") - inter)
+            ).alias("jac"),
+            cosine_similarity(F.col("q_emb"), F.col("embedding")).alias(
+                "cos"
+            ),
+        )
+    )
+    by_q = Window.partitionBy("qid")
+    ranked = scored.select(
+        "qid",
+        "cid",
+        F.row_number()
+        .over(by_q.orderBy(F.col("jac").desc(), "cid"))
+        .cast("long")
+        .alias("r_lex"),
+        F.row_number()
+        .over(by_q.orderBy(F.col("cos").desc(), "cid"))
+        .cast("long")
+        .alias("r_dense"),
+    )
+    rrf = F.round(
+        1.0 / (F.lit(_RRF_K) + F.col("r_lex"))
+        + 1.0 / (F.lit(_RRF_K) + F.col("r_dense")),
+        9,
+    ).alias("rrf")
+    fused = ranked.select("qid", "cid", "r_lex", "r_dense", rrf)
+    return (
+        fused.withColumn(
+            "rank",
+            F.row_number().over(by_q.orderBy(F.col("rrf").desc(), "cid")),
+        )
+        .where(F.col("rank") <= 5)
+        .orderBy("qid", "rank")
+    )
+
+
 def _ingest_replay_oracle() -> str:
     """Two-day replay unrolled in SQL: day2's history is base ∪ the
     docs day1 ACCEPTED — so the oracle hash pins the index FEEDBACK

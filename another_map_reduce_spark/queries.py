@@ -117,17 +117,18 @@ _ORDER_FRONT = [
 ]
 # Overflow across the 50-row window boundary: the later r8 additions
 # (index maintenance ann_ivf_append / dedup_lsh_append, the multi-day
-# replay, and the stored-index containment — the 49 refreshes +
-# pipeline_ingest_delta fill the r8 window exactly, so they wait one
-# round; all proven this round by the sf0.001 differential and the
-# driver-faithful sf0.01 local gate), then the r6 cohort in its r6
-# driver-check order — after r8 that cohort is the oldest block and
-# fronts the r9 window together with these four.
+# replay, the stored-index containment, and hybrid RRF retrieval —
+# the 49 refreshes + pipeline_ingest_delta fill the r8 window exactly,
+# so they wait one round; all proven this round by the sf0.001
+# differential and the driver-faithful sf0.01 local gate), then the
+# r6 cohort in its r6 driver-check order — after r8 that cohort is
+# the oldest block and fronts the r9 window together with these five.
 _ORDER_NEXT = [
     "ann_ivf_append",
     "dedup_lsh_append",
     "pipeline_ingest_replay",
     "dedup_containment_incremental",
+    "hybrid_retrieval_rrf",
     "quantile_cutpoint_buckets",
     "bm25_retrieval",
     "scd2_order_history",
