@@ -492,29 +492,9 @@ def simhash64(shingles: Column) -> Column:
     )
 
 
-def simhash_pairs(
-    df: DataFrame,
-    max_hamming: int = 3,
-    n: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    hasher: str = "xxhash64",
-) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
-    Pigeonhole blocking: split the 64-bit hash into 4 chunks of 16;
-    any pair at distance ≤ 3 agrees on ≥ 1 chunk, so candidates are
-    4 equi-joins on (chunk_idx, chunk_value) instead of all-pairs.
-    Exact when max_hamming ≤ 3 (no false negatives, verified distance);
-    a larger ``max_hamming`` would silently drop true pairs the 4-chunk
-    scheme can't capture, so it is rejected.
 
-    ``hasher`` picks the per-shingle 64-bit hash: ``"xxhash64"`` (the
-    fast default) or ``"md5"`` (``md5_long_halves`` — DuckDB can
-    recompute it via ``md5_number_lower``, making the whole operator
-    cross-engine verifiable; both are uniform, so near-dup quality is
-    identical and the only cost is md5 vs xxhash per shingle).
-    """
+def _check_simhash_args(max_hamming: int, hasher: str) -> None:
     if max_hamming > 3:
         raise ValueError(
             f"max_hamming={max_hamming} exceeds the 4x16-bit pigeonhole "
@@ -523,7 +503,20 @@ def simhash_pairs(
         )
     if hasher not in ("xxhash64", "md5"):
         raise ValueError(f"unknown hasher {hasher!r}")
+
+
+def simhash_frame(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """(doc, sh) — each document's 64-bit SimHash (the per-doc half of
+    ``simhash_pairs``, split out so the incremental path can hash ONLY
+    a delta batch)."""
     docs = shingle_docs(df, text_col, id_col, n)
+
     # Votes via explode + 64 conditional-sum aggregates (whole-stage
     # codegen + map-side combine) instead of the interpreted HOF fold —
     # same construction as simhash64, ~5× faster; see minhash above.
@@ -585,7 +578,15 @@ def simhash_pairs(
     for t in bit_terms[1:]:
         sh_col = sh_col + t
     hashed = votes.select("doc", sh_col.alias("sh"))
-    chunked = hashed.select(
+    return hashed
+
+
+def simhash_chunks(hashed: DataFrame) -> DataFrame:
+    """(doc, sh, idx, chunk) — the 4x16-bit pigeonhole block keys of a
+    (doc, sh) frame: the PERSISTABLE SimHash index (4 small rows per
+    document carrying the full hash, so candidate verification needs
+    no corpus access at all — bit_count(xor) on stored values)."""
+    return hashed.select(
         "doc",
         "sh",
         F.explode(
@@ -602,6 +603,34 @@ def simhash_pairs(
             )
         ).alias("c"),
     ).select("doc", "sh", "c.idx", "c.chunk")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Pigeonhole blocking: split the 64-bit hash into 4 chunks of 16;
+    any pair at distance ≤ 3 agrees on ≥ 1 chunk, so candidates are
+    4 equi-joins on (chunk_idx, chunk_value) instead of all-pairs.
+    Exact when max_hamming ≤ 3 (no false negatives, verified distance);
+    a larger ``max_hamming`` would silently drop true pairs the 4-chunk
+    scheme can't capture, so it is rejected.
+
+    ``hasher`` picks the per-shingle 64-bit hash: ``"xxhash64"`` (the
+    fast default) or ``"md5"`` (``md5_long_halves`` — DuckDB can
+    recompute it via ``md5_number_lower``, making the whole operator
+    cross-engine verifiable; both are uniform, so near-dup quality is
+    identical and the only cost is md5 vs xxhash per shingle).
+    """
+    _check_simhash_args(max_hamming, hasher)
+    hashed = simhash_frame(df, n, text_col, id_col, hasher)
+    chunked = simhash_chunks(hashed)
     a = chunked.alias("a")
     # merge hint: the chunked frame is corpus-scale (4 rows/doc) —
     # same never-broadcast rule as the minhash band join
@@ -622,6 +651,49 @@ def simhash_pairs(
         .dropDuplicates(["d1", "d2"])
         .where(F.col("hamming") <= max_hamming)
         .orderBy("d1", "d2")
+    )
+
+
+def incremental_simhash_pairs(
+    delta: DataFrame,
+    index: DataFrame,
+    max_hamming: int = 3,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Near-dups of a NEW batch against a STORED SimHash index
+    (``simhash_chunks`` rows persisted to parquet) — the fourth stored
+    -index axis beside MinHash bands, IVF cells, and shingle postings.
+
+    Only the delta is shingled and hashed; its 4 chunk rows per doc
+    broadcast against the index's (idx, chunk) keys, and — unlike the
+    MinHash path — verification needs NO corpus access at all: the
+    index rows carry the full 64-bit hash, so the exact hamming
+    distance is ``bit_count(xor)`` on stored values.  The day's cost
+    is O(delta + index scan), with the same ≤3-hamming pigeonhole
+    capture guarantee as ``simhash_pairs``.  Output: (new_doc,
+    dup_of, hamming ≤ max_hamming).
+    """
+    _check_simhash_args(max_hamming, hasher)
+    dch = simhash_chunks(
+        simhash_frame(delta, n, text_col, id_col, hasher)
+    ).select(
+        F.col("doc").alias("new_doc"),
+        F.col("sh").alias("sh_new"),
+        "idx",
+        "chunk",
+    )
+    hamming = F.bit_count(F.col("sh").bitwiseXOR(F.col("sh_new")))
+    return (
+        index.join(F.broadcast(dch), ["idx", "chunk"])
+        .select(
+            "new_doc", F.col("doc").alias("dup_of"), hamming.alias("hamming")
+        )
+        .dropDuplicates(["new_doc", "dup_of"])
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("new_doc", "dup_of")
     )
 
 

@@ -663,6 +663,86 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_simhash_incremental",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id AS doc, unnest({_SHINGLES}) AS shingle FROM documents
+),
+votes AS (
+  SELECT doc, i,
+         SUM(CASE WHEN (md5_number_lower(shingle) >> i) & 1 = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 64)) AS i) bits
+  GROUP BY doc, i
+),
+hashes AS (
+  SELECT doc,
+         CAST(SUM(CASE WHEN v > 0 THEN
+                CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                     ELSE (CAST(1 AS BIGINT) << i) END
+              ELSE 0 END) AS BIGINT) AS sh64
+  FROM votes GROUP BY doc
+)
+SELECT a.doc AS new_doc, b.doc AS dup_of,
+       bit_count(xor(a.sh64, b.sh64)) AS hamming
+FROM hashes a JOIN hashes b ON a.doc % 10 = 0 AND b.doc % 10 <> 0
+WHERE bit_count(xor(a.sh64, b.sh64)) <= 3
+ORDER BY new_doc, dup_of
+""",
+)
+def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SimHash vs a STORED index — the fourth stored-index
+    dedup axis (MinHash bands, IVF cells, shingle postings, now
+    SimHash chunks): history's ``simhash_chunks`` rows (4 per doc,
+    carrying the full 64-bit hash) persist once under the write-once
+    `artifacts` contract; each day only the delta is hashed, its chunk
+    keys broadcast against the stored index, and the exact hamming
+    verdict is ``bit_count(xor)`` on STORED hashes — the one
+    incremental path needing zero history access even for
+    verification.  md5 hasher so the DuckDB oracle replays the whole
+    construction (votes → sign bits → hamming) on the delta×history
+    split, exact hash.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from another_map_reduce_spark.artifacts import (
+        ensure_artifact,
+        source_fingerprint,
+    )
+    from another_map_reduce_spark.operators.dedup import (
+        incremental_simhash_pairs,
+        simhash_chunks,
+        simhash_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"amrs_simhash_index_{tag}")
+    chunks = os.path.join(path, "chunks")
+
+    def _build() -> None:
+        hist = docs.where(F.col("doc_id") % 10 != 0)
+        simhash_chunks(simhash_frame(hist, hasher="md5")).write.mode(
+            "overwrite"
+        ).parquet(chunks)
+
+    ensure_artifact(
+        path,
+        source_fingerprint(
+            sf_dir, "documents", op="simhash_index", n=3, hasher="md5",
+            hist_mod=10,
+        ),
+        _build,
+    )
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+    return incremental_simhash_pairs(
+        delta, spark.read.parquet(chunks), hasher="md5"
+    )
+
+
+@register(
     "inverted_index",
     oracle=f"""
 WITH tok AS (

@@ -461,3 +461,38 @@ def test_ingest_replay_feedback_blocks_day2_dup(spark, sf_dir):
     assert d1.pass_gate and d1.accepted and d1.dup_of_min == -1
     d2 = rows[(2, 110)]
     assert d2.pass_gate and not d2.accepted and d2.dup_of_min == 467
+
+
+def test_incremental_simhash_equals_batch_boundary(spark, sf_dir, tmp_path):
+    """The stored-index incremental SimHash must equal the batch
+    operator's pairs restricted to the delta×history boundary (same
+    hashes, same pigeonhole capture)."""
+    from pyspark.sql import functions as F
+
+    from another_map_reduce_spark.operators.dedup import (
+        incremental_simhash_pairs,
+        simhash_chunks,
+        simhash_frame,
+        simhash_pairs,
+    )
+    from another_map_reduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.where(F.col("doc_id") % 10 != 0)
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+    path = str(tmp_path / "chunks")
+    simhash_chunks(simhash_frame(hist)).write.parquet(path)
+    inc = {
+        (r.new_doc, r.dup_of, r.hamming)
+        for r in incremental_simhash_pairs(
+            delta, spark.read.parquet(path)
+        ).collect()
+    }
+    batch = {
+        (min(r.d1, r.d2), max(r.d1, r.d2), r.hamming)
+        for r in simhash_pairs(docs).collect()
+        if (r.d1 % 10 == 0) != (r.d2 % 10 == 0)
+    }
+    # normalize incremental pairs to (min, max) for comparison
+    inc_norm = {(min(a, b), max(a, b), h) for a, b, h in inc}
+    assert inc_norm == batch
