@@ -118,6 +118,19 @@ PIPE_QUERIES = [
     "pipeline_ingest_replay",
 ]
 
+# --incremental: the stored-index incremental family (r8) — cold pass
+# builds each query's persisted index artifact, warm pass prices the
+# recurring O(delta) daily probe.  dedup_incremental_minhash is the
+# contrast row: its contract rebuilds the index in-query, so cold ≈
+# warm and the artifact queries' cold-warm gap IS the amortization.
+INCR_QUERIES = [
+    "dedup_incremental_minhash",
+    "dedup_lsh_append",
+    "dedup_containment_incremental",
+    "dedup_simhash_incremental",
+    "ann_ivf_append",
+]
+
 # Output-bound queries stop early: session_overlap_pairs' true answer
 # grows ~quadratically with concurrent users (136M real pairs at 30x),
 # so measuring past 10x times the answer's size, not the plan.
@@ -150,15 +163,17 @@ def _shuffle_bytes(port: int, app_id: str, group: str) -> dict:
 def main() -> None:
     relational = "--relational" in sys.argv
     events = "--events" in sys.argv
-    pipeline = "--pipeline" in sys.argv
+    pipeline = "--pipeline" in sys.argv or "--incremental" in sys.argv
     queries = REL_QUERIES if relational else QUERIES
     scales = REL_SCALES if relational else SCALES
     if "--r6" in sys.argv:
         queries, scales = R6_QUERIES, SCALES
     if events:
         queries, scales = EVENT_QUERIES, EVENT_SCALES
-    if pipeline:
+    if "--pipeline" in sys.argv:
         queries, scales = PIPE_QUERIES, SCALES
+    if "--incremental" in sys.argv:
+        queries, scales = INCR_QUERIES, SCALES
     probe = (
         "orders" if relational else "events" if events else "documents"
     )
@@ -230,7 +245,7 @@ def main() -> None:
     args = [
         a
         for a in sys.argv[1:]
-        if a not in ("--relational", "--r6", "--events", "--pipeline")
+        if a not in ("--relational", "--r6", "--events", "--pipeline", "--incremental")
     ]
     dest = args[0] if args else "/tmp/bench_scale.json"
     Path(dest).write_text(json.dumps(out, indent=2))
