@@ -32,17 +32,28 @@ from collections.abc import Callable
 
 _MARKER = "_AMRS_ARTIFACT"
 
+# Bump this whenever ANY index-producing operator changes its on-disk
+# layout or construction (band hashing, shingle definition, centroid
+# training, chunking) — artifacts persist in /tmp ACROSS working
+# sessions, and a stale index built by old code probed by new code
+# would silently miss matches instead of failing.  The revision rides
+# in every fingerprint, so bumping it invalidates every cached
+# artifact at once.
+ARTIFACT_SCHEMA_REV = 1
+
 
 def source_fingerprint(sf_dir: str, table: str, **params: object) -> str:
     """Fingerprint of one source table + build parameters.
 
     Uses the parquet file's (size, mtime_ns) — cheap, no data scan —
-    so a regenerated fixture at the same path invalidates the cache.
+    so a regenerated fixture at the same path invalidates the cache;
+    ``ARTIFACT_SCHEMA_REV`` folds in so algorithm revisions do too.
     """
     p = os.path.join(sf_dir, f"{table}.parquet")
     st = os.stat(p)
     key = json.dumps(
         {"src": p, "size": st.st_size, "mtime_ns": st.st_mtime_ns,
+         "rev": ARTIFACT_SCHEMA_REV,
          "params": {k: repr(v) for k, v in sorted(params.items())}},
         sort_keys=True,
     )

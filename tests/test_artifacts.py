@@ -52,3 +52,13 @@ def test_source_fingerprint_tracks_file_and_params(tmp_path):
     src.write_bytes(b"y" * 11)
     os.utime(src)
     assert fp1 != source_fingerprint(str(tmp_path), "documents", k=128)
+
+
+def test_schema_rev_invalidates_fingerprints(tmp_path, monkeypatch):
+    import another_map_reduce_spark.artifacts as A
+
+    src = tmp_path / "documents.parquet"
+    src.write_bytes(b"x")
+    fp1 = A.source_fingerprint(str(tmp_path), "documents")
+    monkeypatch.setattr(A, "ARTIFACT_SCHEMA_REV", A.ARTIFACT_SCHEMA_REV + 1)
+    assert fp1 != A.source_fingerprint(str(tmp_path), "documents")
