@@ -712,12 +712,17 @@ def ivf_compact_cells(spark: SparkSession, path: str) -> None:
 
     Read-then-overwrite of the SAME path is illegal in Spark (the scan
     would race the delete), so this writes to a ``postings__compact``
-    sibling and atomically swaps directories with two ``os.replace``
-    renames — the reference's temp+rename commit
-    (`/root/reference/src/worker.rs:107-114`) at directory granularity.
-    Like the centroid write, the swap is local-filesystem-only; on an
-    object store, compact cell-by-cell with `partitionOverwriteMode=
-    dynamic` instead.  Probe parity before/after is pytest-pinned.
+    sibling and swaps directories with two ``os.replace`` renames.
+    Each rename is atomic but the PAIR is not: a crash between them
+    leaves no ``postings/`` — recover by renaming ``postings__old``
+    back (the data is never lost; this is weaker than the reference's
+    single-file temp+rename commit, `/root/reference/src/
+    worker.rs:107-114`, because POSIX has no two-directory atomic
+    swap).  Like the centroid write, the swap is local-filesystem-
+    only; on an object store, compact cell-by-cell with
+    `partitionOverwriteMode=dynamic` instead — per-cell replacement is
+    atomic there and needs no swap.  Probe parity before/after is
+    pytest-pinned.
     """
     import os
     import shutil

@@ -1662,9 +1662,14 @@ _HISTQ_W = 5.0
 # adversarial-range case.  The fixture's values (0‥491) occupy bins
 # 0‥98, so the clamp is invisible to the driver hash.
 _HISTQ_NB = 256
+# clamp in DOUBLE before the BIGINT cast: DuckDB's CAST raises on
+# |value| beyond int64 range, so casting first would crash the oracle
+# on exactly the adversarial inputs the clamp exists for (Spark's
+# floor().cast('long') saturates, so only the oracle needed the order
+# fixed — both engines agree once the clamp bounds the double).
 _HISTQ_BIN_SQL = (
-    f"LEAST(GREATEST(CAST(FLOOR(value / {_HISTQ_W}) AS BIGINT), 0), "
-    f"{_HISTQ_NB - 1})"
+    f"CAST(LEAST(GREATEST(FLOOR(value / {_HISTQ_W}), 0), "
+    f"{_HISTQ_NB - 1}) AS BIGINT)"
 )
 
 

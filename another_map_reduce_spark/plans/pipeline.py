@@ -2382,9 +2382,11 @@ WITH qd AS (
   FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 ), scored AS (
   SELECT a.qid, b.cid,
-         len(list_intersect(a.sh, b.sh))
-           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-           AS jac,
+         CASE WHEN len(a.sh) + len(b.sh)
+                   - len(list_intersect(a.sh, b.sh)) = 0 THEN 0.0
+              ELSE len(list_intersect(a.sh, b.sh))
+                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         END AS jac,
          {_DDOT} / ({_DNORM_A} * {_DNORM_B}) AS cos
   FROM qd a JOIN cd b ON b.cid <> a.qid
 ), ranked AS (
@@ -2433,8 +2435,12 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
+    # drop_short=False: a < 3-token doc still ranks in the dense arm
+    # (empty shingle set, jac 0) — dropping it would silently shift
+    # every dense rank below it and diverge from the oracle, which
+    # keeps all docs (r8 review finding).
     corpus = (
-        shingle_docs(docs, "text", "doc_id", 3)
+        shingle_docs(docs, "text", "doc_id", 3, drop_short=False)
         .join(emb, F.col("doc") == F.col("vec_id"))
         .select(F.col("doc").alias("cid"), "shingles", "embedding")
         .localCheckpoint(eager=False)
@@ -2445,15 +2451,15 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
     )
     inter = F.size(F.array_intersect("q_sh", "shingles"))
+    union = F.size("q_sh") + F.size("shingles") - inter
     scored = (
         corpus.join(F.broadcast(q), F.col("cid") != F.col("qid"))
         .select(
             "qid",
             "cid",
-            (
-                inter
-                / (F.size("q_sh") + F.size("shingles") - inter)
-            ).alias("jac"),
+            F.when(union > 0, inter / union)
+            .otherwise(F.lit(0.0))
+            .alias("jac"),
             cosine_similarity(F.col("q_emb"), F.col("embedding")).alias(
                 "cos"
             ),

@@ -557,3 +557,16 @@ def test_histogram_quantile_grid_is_range_independent(spark):
     assert all(0 <= b <= _HISTQ_NB - 1 for b in bins)
     # in-grid values are untouched by the clamp
     assert 7.5 // _HISTQ_W == 1
+    # the ORACLE fragment must survive the same adversarial range:
+    # DuckDB's CAST raises beyond int64, so the clamp must bound the
+    # double BEFORE the cast (values out at 1e20 crash a cast-first
+    # formulation outright)
+    import duckdb
+
+    from another_map_reduce_spark.plans.analytics import _HISTQ_BIN_SQL
+
+    got = duckdb.sql(
+        "SELECT " + _HISTQ_BIN_SQL + " AS b FROM (SELECT unnest(["
+        "-1e20, -0.01, 0.0, 7.5, 1e20]) AS value)"
+    ).fetchall()
+    assert {r[0] for r in got} == {0, 1, _HISTQ_NB - 1}

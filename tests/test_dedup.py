@@ -496,3 +496,49 @@ def test_incremental_simhash_equals_batch_boundary(spark, sf_dir, tmp_path):
     # normalize incremental pairs to (min, max) for comparison
     inc_norm = {(min(a, b), max(a, b), h) for a, b, h in inc}
     assert inc_norm == batch
+
+
+def test_incremental_probes_ignore_self_on_replayed_batch(spark, sf_dir, tmp_path):
+    """Crash-restart replay: a batch ALREADY in the stored index is
+    re-probed — neither incremental path may report a doc as a dup of
+    itself (hamming 0 / jaccard 1 self-pairs)."""
+    from pyspark.sql import functions as F
+
+    from another_map_reduce_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        incremental_simhash_pairs,
+        lsh_band_index,
+        simhash_chunks,
+        simhash_frame,
+    )
+    from another_map_reduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    # index CONTAINS the batch (the post-append state)
+    hist = docs  # full corpus, batch included
+    sh_path = str(tmp_path / "sim")
+    simhash_chunks(simhash_frame(hist)).write.parquet(sh_path)
+    sim = incremental_simhash_pairs(batch, spark.read.parquet(sh_path)).collect()
+    assert all(r.new_doc != r.dup_of for r in sim)
+    mh_path = str(tmp_path / "mh")
+    lsh_band_index(hist).write.parquet(mh_path)
+    mh = incremental_minhash_pairs(
+        hist, batch, spark.read.parquet(mh_path), threshold=0.8
+    ).collect()
+    assert all(r.new_doc != r.dup_of for r in mh)
+
+
+def test_shingle_docs_keep_short(spark):
+    """drop_short=False keeps < n-token docs with empty shingle sets
+    (hybrid retrieval needs every doc rankable in the dense arm)."""
+    from another_map_reduce_spark.operators.dedup import shingle_docs
+
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, "three tokens right here")],
+        "doc_id long, text string",
+    )
+    kept = {r.doc: r.shingles for r in shingle_docs(df, "text", "doc_id", 3, drop_short=False).collect()}
+    assert set(kept) == {1, 2} and kept[1] == []
+    dropped = {r.doc for r in shingle_docs(df, "text", "doc_id", 3).collect()}
+    assert dropped == {2}
