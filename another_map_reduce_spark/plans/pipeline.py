@@ -358,6 +358,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_prefix_filter", oracle=_JACCARD_08_SQL)
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup pairs at jac ≥ 0.8 via prefix filtering
+    (SSJoin/PPJoin family) — the deterministic-complete scale path
+    beside the probabilistic MinHash-LSH: candidates come only from
+    each doc's rarest ⌊(1−t)|x|⌋+1 shingles under a global
+    rarest-first order, then full-set verification.  Same oracle as
+    the all-pairs ground truth and dedup_minhash_lsh, so the hash row
+    proves the prefix theorem's completeness on real data.
+    """
+    from another_map_reduce_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    return prefix_filter_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
 @register("dedup_minhash_lsh", oracle=_JACCARD_08_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (the scale path; see operators.dedup).

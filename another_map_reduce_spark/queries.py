@@ -122,7 +122,7 @@ _ORDER_FRONT = [
 # so they wait one round; all proven this round by the sf0.001
 # differential and the driver-faithful sf0.01 local gate), then the
 # r6 cohort in its r6 driver-check order — after r8 that cohort is
-# the oldest block and fronts the r9 window together with these six.
+# the oldest block and fronts the r9 window together with these seven.
 _ORDER_NEXT = [
     "ann_ivf_append",
     "dedup_lsh_append",
@@ -130,6 +130,7 @@ _ORDER_NEXT = [
     "dedup_containment_incremental",
     "hybrid_retrieval_rrf",
     "dedup_simhash_incremental",
+    "dedup_prefix_filter",
     "quantile_cutpoint_buckets",
     "bm25_retrieval",
     "scd2_order_history",

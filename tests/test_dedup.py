@@ -542,3 +542,25 @@ def test_shingle_docs_keep_short(spark):
     assert set(kept) == {1, 2} and kept[1] == []
     dropped = {r.doc for r in shingle_docs(df, "text", "doc_id", 3).collect()}
     assert dropped == {2}
+
+
+def test_prefix_filter_equals_allpairs_exact(spark, sf_dir):
+    """Prefix filtering is EXACT: its pairs must equal the all-pairs
+    ground-truth operator at the same threshold (the prefix theorem's
+    completeness, asserted directly operator-to-operator)."""
+    from another_map_reduce_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+    from another_map_reduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pf = {
+        (r.d1, r.d2, round(r.jac, 9))
+        for r in prefix_filter_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    ap = {
+        (r.d1, r.d2, round(r.jac, 9))
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert pf == ap and pf  # equal and non-vacuous
