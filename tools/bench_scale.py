@@ -46,6 +46,9 @@ QUERIES = [
     # round-7: asymmetric containment — linear under replicas (disjoint
     # replica vocabularies ⇒ cross-replica shingles never join)
     "dedup_containment",
+    # round-8: exact-complete prefix filtering (rarest-first candidate
+    # pruning; disjoint replica vocabularies keep prefixes local)
+    "dedup_prefix_filter",
 ]
 
 SCALES = [
