@@ -331,6 +331,12 @@ def prefix_filter_jaccard_pairs(
     Cost: the df aggregate is one extra corpus-scale shuffle, and the
     per-doc rarest-first sort is O(|x| log |x|) in a column expression.
     """
+    # Three consumers (df aggregate via explode, both verify sides)
+    # already share the shingle work through shingle_docs's staged
+    # exchange (ReusedExchange) — a localCheckpoint here was measured
+    # SLOWER (6.7 vs 5.3 s at sf0.1): the materialization cost exceeds
+    # the saved recompute, unlike the minhash path where the shared
+    # frame carries 128-hash signatures.
     sh = shingle_docs(df, text_col, id_col, n)
     exploded = sh.select("doc", F.explode("shingles").alias("shingle"))
     dfreq = exploded.groupBy("shingle").agg(
