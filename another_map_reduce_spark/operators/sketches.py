@@ -143,3 +143,106 @@ def heavy_hitters_exact(
         )
         .orderBy(F.col("cnt").desc(), word_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta distinct sketches — mergeable, with INTERSECTION support
+# ---------------------------------------------------------------------------
+#
+# K-minimum-values (Bar-Yossef et al. 2002; Beyer et al. SIGMOD 2007)
+# keeps the k smallest hash values of the distinct keys.  Like HLL it
+# is a mergeable distinct-count summary (union = k smallest of the
+# concatenated sketches), but UNLIKE HLL it supports set INTERSECTION
+# (the theta-sketch estimator, Dasgupta et al. 2016): restrict both
+# sketches to the common sampling threshold θ = min(θ_a, θ_b); every
+# retained hash is a uniform θ-rate sample of the underlying set, so
+# |A∩B ∩ [0,θ)| / θ estimates |A∩B|.  HLL registers cannot answer
+# this without inclusion–exclusion (whose error explodes for small
+# intersections) — KMV is the standard remedy.
+#
+# Everything below is deterministic column arithmetic over
+# md5-derived 52-bit hashes, so a DuckDB oracle replays the sketch
+# bit-for-bit and the driver hash is EXACT, not a tolerance boolean.
+# 52 bits keeps every value exactly representable in a double as well
+# as a BIGINT on both engines.
+
+_KMV_BITS = 52
+_KMV_SPACE = float(1 << _KMV_BITS)  # 2^52, exact in double
+
+
+def kmv_hash(key) -> "F.Column":
+    """Uniform 52-bit hash of ``key`` as BIGINT: the leading 13 hex
+    chars of md5(CAST(key AS STRING)).  Identical SQL spelling:
+    ``CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 13) AS BIGINT)``.
+    """
+    col = F.col(key) if isinstance(key, str) else key
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 13), 16, 10
+    ).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame, group_cols: list[str], key_col: str, k: int
+) -> DataFrame:
+    """Per-group KMV sketch: the ``k`` smallest distinct 52-bit key
+    hashes, as a sorted ``array<long>`` column ``sk``.
+
+    Plan shape: ONE distinct shuffle on (group, hash) — exactly the
+    exchange an exact COUNT(DISTINCT) needs — then an in-partition
+    row_number top-k and a k-bounded collect per group.  The output is
+    |groups| rows of ≤ k longs: kilobyte summaries that answer any
+    later union/intersection question without re-scanning the corpus,
+    the same store-partials contract as hll_sketch_rollup.
+    """
+    h = kmv_hash(key_col).alias("_h")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    return (
+        df.select(*group_cols, h)
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_list("_h")).alias("sk"))
+    )
+
+
+def kmv_union(a, b, k: int) -> "F.Column":
+    """Merged sketch of two KMV arrays: k smallest of the distinct
+    union — the mergeable-summaries merge, associative and
+    commutative, so sketches roll up across partitions/days freely."""
+    return F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
+
+
+def kmv_theta(sk, k: int) -> "F.Column":
+    """Sampling threshold θ·2^52 of a sketch: its k-th smallest hash
+    when full, else the whole space (the sketch is then exact)."""
+    return F.when(
+        F.size(sk) >= k, F.element_at(sk, k)
+    ).otherwise(F.lit(1 << _KMV_BITS).cast("long"))
+
+
+def kmv_estimate(sk, k: int) -> "F.Column":
+    """Distinct-count estimate: exact |sk| below capacity, else the
+    unbiased KMV estimator (k-1)·2^52 / kth-min (Beyer et al. 2007).
+    One correctly-rounded double division — bit-stable cross-engine."""
+    return F.round(
+        F.when(F.size(sk) < k, F.size(sk).cast("double")).otherwise(
+            F.lit(float(k - 1) * _KMV_SPACE) / F.element_at(sk, k).cast("double")
+        ),
+        4,
+    )
+
+
+def theta_intersect_estimate(a, b, k: int) -> "F.Column":
+    """Theta-sketch intersection estimate of two KMV arrays: count the
+    common hashes below the shared threshold θ = min(θ_a, θ_b), then
+    scale by 1/θ.  Exact when both sketches are below capacity."""
+    theta = F.least(kmv_theta(a, k), kmv_theta(b, k))
+    below = F.size(
+        F.filter(F.array_intersect(a, b), lambda x: x < theta)
+    )
+    return F.round(
+        below.cast("double") * F.lit(_KMV_SPACE) / theta.cast("double"), 4
+    )

@@ -1651,6 +1651,159 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# KMV parameters shared by the Spark plan and the oracle text below.
+_KMV_K = 64
+_KMV_SPACE_INT = 1 << 52
+_KMV_NUM = float(_KMV_K - 1) * float(_KMV_SPACE_INT)  # 63·2^52, exact double
+
+_KMV_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13) AS BIGINT)
+             AS hv
+  FROM events
+), ranked AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+), sk AS (
+  SELECT event_type, list_sort(list(hv)) AS sk
+  FROM ranked WHERE rn <= {_KMV_K} GROUP BY event_type
+), ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_n
+  FROM events GROUP BY event_type
+), s AS (
+  SELECT sk.event_type, sk.sk, ex.exact_n FROM sk JOIN ex USING (event_type)
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.exact_n AS exact_a, b.exact_n AS exact_b,
+         a.sk AS sk_a, b.sk AS sk_b,
+         list_sort(list_distinct(list_concat(a.sk, b.sk)))[1:{_KMV_K}] AS sk_u,
+         least(
+           CASE WHEN len(a.sk) >= {_KMV_K} THEN a.sk[{_KMV_K}]
+                ELSE {_KMV_SPACE_INT} END,
+           CASE WHEN len(b.sk) >= {_KMV_K} THEN b.sk[{_KMV_K}]
+                ELSE {_KMV_SPACE_INT} END) AS theta
+  FROM s a JOIN s b ON a.event_type < b.event_type
+), inter AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         COUNT(*) AS exact_inter
+  FROM (SELECT DISTINCT event_type, user_id FROM events) x
+  JOIN (SELECT DISTINCT event_type, user_id FROM events) y
+    ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, exact_a, exact_b,
+       CAST(COALESCE(exact_inter, 0) AS BIGINT) AS exact_inter,
+       CASE WHEN len(sk_a) < {_KMV_K}
+            THEN round(CAST(len(sk_a) AS DOUBLE), 4)
+            ELSE round({_KMV_NUM!r} / CAST(sk_a[{_KMV_K}] AS DOUBLE), 4)
+       END AS est_a,
+       CASE WHEN len(sk_b) < {_KMV_K}
+            THEN round(CAST(len(sk_b) AS DOUBLE), 4)
+            ELSE round({_KMV_NUM!r} / CAST(sk_b[{_KMV_K}] AS DOUBLE), 4)
+       END AS est_b,
+       CASE WHEN len(sk_u) < {_KMV_K}
+            THEN round(CAST(len(sk_u) AS DOUBLE), 4)
+            ELSE round({_KMV_NUM!r} / CAST(sk_u[{_KMV_K}] AS DOUBLE), 4)
+       END AS est_union,
+       round(CAST(len(list_filter(list_intersect(sk_a, sk_b),
+                                  x -> x < theta)) AS DOUBLE)
+             * {float(_KMV_SPACE_INT)!r} / CAST(theta AS DOUBLE), 4)
+           AS est_inter
+FROM pairs LEFT JOIN inter USING (type_a, type_b)
+ORDER BY type_a, type_b
+"""
+
+
+@register("kmv_theta_sketch_ops", oracle=_KMV_SQL)
+def kmv_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta distinct sketches with set operations — the
+    capability HLL registers cannot provide: per-event-type k-minimum-
+    values sketches of the user set (k=64), merged pairwise for UNION
+    estimates and intersected under the shared θ threshold for
+    INTERSECTION estimates (Beyer et al. SIGMOD 2007; the theta-sketch
+    framework of Dasgupta et al. 2016).  HLL supports only union;
+    audience-overlap questions ("users who did A and B") at 100 TB
+    need exactly this sketch family.
+
+    Unlike the tolerance-boolean contract of approx_distinct_users /
+    hll_sketch_rollup, every estimate here is DETERMINISTIC column
+    arithmetic over md5-derived 52-bit hashes, so the oracle replays
+    the sketch bit-for-bit and the driver hash is exact.
+
+    Plan shape: the sketch build is ONE distinct shuffle on
+    (event_type, hash) — the same exchange an exact COUNT(DISTINCT)
+    pays once — followed by an in-partition top-k; after that,
+    |types| kilobyte rows answer every pairwise union/intersection
+    with no further corpus access.  The exact_{{a,b,inter}} baseline
+    columns (a second distinct + a bounded self-join on the distinct
+    frame) exist to demonstrate estimator quality in the report; a
+    100 TB deployment ships only the sketch half.  [extension] —
+    the reference has no sketch surface (src/worker.rs:36-38).
+    """
+    from another_map_reduce_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+        kmv_union,
+        theta_intersect_estimate,
+    )
+
+    k = _KMV_K
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_n")
+    )
+    skx = kmv_sketch(ev, ["event_type"], "user_id", k).join(
+        exact, "event_type"
+    )
+    a = skx.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("exact_n").alias("exact_a"),
+    )
+    b = skx.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("exact_n").alias("exact_b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    du = ev.select("event_type", "user_id").distinct()
+    inter = (
+        du.alias("x")
+        .join(
+            du.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    u = kmv_union(F.col("sk_a"), F.col("sk_b"), k)
+    return (
+        pairs.join(inter, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "exact_a",
+            "exact_b",
+            F.coalesce("exact_inter", F.lit(0)).cast("long").alias(
+                "exact_inter"
+            ),
+            kmv_estimate(F.col("sk_a"), k).alias("est_a"),
+            kmv_estimate(F.col("sk_b"), k).alias("est_b"),
+            kmv_estimate(u, k).alias("est_union"),
+            theta_intersect_estimate(
+                F.col("sk_a"), F.col("sk_b"), k
+            ).alias("est_inter"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 _HISTQ_W = 5.0
 # Clamped grid: bins [0, _HISTQ_NB-1], so the sketch size is
 # RANGE-INDEPENDENT — a heavy-tailed value column costs at most NB rows

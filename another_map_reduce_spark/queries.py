@@ -131,6 +131,7 @@ _ORDER_NEXT = [
     "hybrid_retrieval_rrf",
     "dedup_simhash_incremental",
     "dedup_prefix_filter",
+    "kmv_theta_sketch_ops",
     "quantile_cutpoint_buckets",
     "bm25_retrieval",
     "scd2_order_history",

@@ -570,3 +570,95 @@ def test_histogram_quantile_grid_is_range_independent(spark):
         "-1e20, -0.01, 0.0, 7.5, 1e20]) AS value)"
     ).fetchall()
     assert {r[0] for r in got} == {0, 1, _HISTQ_NB - 1}
+
+
+def test_kmv_union_merge_associativity(spark):
+    """KMV merging is exact w.r.t. the sketch algebra: the k smallest
+    of a set is recoverable from the k smallest of any partition of it,
+    so union-of-half-sketches must equal the whole-set sketch ARRAY
+    (not just its estimate) — the mergeable-summaries contract that
+    lets per-day sketches roll up to any grain."""
+    from another_map_reduce_spark.operators.sketches import (
+        kmv_sketch,
+        kmv_union,
+    )
+
+    k = 32
+    df = spark.range(5000).select(
+        (F.col("id") % 2).alias("half"), (F.col("id") % 997).alias("v")
+    )
+    whole = kmv_sketch(
+        df.select(F.lit(1).alias("g"), "v"), ["g"], "v", k
+    ).collect()[0].sk
+    halves = kmv_sketch(df, ["half"], "v", k).collect()
+    a, b = [r.sk for r in sorted(halves, key=lambda r: r.half)]
+    merged = (
+        spark.range(1)
+        .select(
+            kmv_union(
+                F.lit(a).cast("array<long>"), F.lit(b).cast("array<long>"), k
+            ).alias("u")
+        )
+        .collect()[0]
+        .u
+    )
+    assert merged == whole
+
+
+def test_kmv_estimates_exact_below_capacity_and_in_tolerance(spark):
+    """Below capacity the sketch IS the distinct set (estimate exact);
+    at capacity the KMV estimator lands within the standard ~1/sqrt(k)
+    relative-error band; theta intersection of two below-capacity
+    sketches is the exact overlap."""
+    from another_map_reduce_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+        theta_intersect_estimate,
+    )
+
+    k = 64
+    # two overlapping small sets: A = 0..39, B = 20..59 (overlap 20)
+    small = spark.range(60).select(
+        F.when(F.col("id") < 40, F.lit("A")).alias("ga"),
+        F.when(F.col("id") >= 20, F.lit("B")).alias("gb"),
+        F.col("id").alias("v"),
+    )
+    a_rows = small.where(F.col("ga").isNotNull()).select(
+        F.lit("A").alias("g"), "v"
+    )
+    b_rows = small.where(F.col("gb").isNotNull()).select(
+        F.lit("B").alias("g"), "v"
+    )
+    sk = kmv_sketch(a_rows.union(b_rows), ["g"], "v", k)
+    got = {
+        r.g: r
+        for r in sk.select(
+            "g",
+            F.col("sk").alias("sk"),
+            kmv_estimate(F.col("sk"), k).alias("est"),
+        ).collect()
+    }
+    assert got["A"].est == 40.0 and got["B"].est == 40.0
+    inter = (
+        spark.range(1)
+        .select(
+            theta_intersect_estimate(
+                F.lit(got["A"].sk).cast("array<long>"),
+                F.lit(got["B"].sk).cast("array<long>"),
+                k,
+            ).alias("i")
+        )
+        .collect()[0]
+        .i
+    )
+    assert inter == 20.0
+    # large set: estimator within 3/sqrt(k) of truth (well inside the
+    # tail for a fixed deterministic hash draw)
+    big = spark.range(20000).select(F.lit("G").alias("g"), F.col("id").alias("v"))
+    est = (
+        kmv_sketch(big, ["g"], "v", k)
+        .select(kmv_estimate(F.col("sk"), k).alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert abs(est - 20000) < 3.0 / (k ** 0.5) * 20000, est
