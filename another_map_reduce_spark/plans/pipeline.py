@@ -2693,6 +2693,111 @@ def pipeline_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("day", "doc_id")
 
 
+# ---------------------------------------------------------------------------
+# Distributed BPE tokenizer training (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+_BPE_N = 8
+
+
+def _bpe_oracle(n: int = _BPE_N) -> str:
+    """The n merge iterations unrolled as chained CTEs (the same
+    data-independent-unroll construction as the pagerank oracle); the
+    greedy merge fold is DuckDB's list_reduce with a string
+    accumulator — the identical function Spark's F.aggregate folds."""
+    parts = [
+        r"""
+WITH words AS (
+  SELECT word, COUNT(*) AS cnt FROM (
+    SELECT unnest(string_split(
+             regexp_replace(lower(text), '[^a-z]', ' ', 'g'), ' ')) AS word
+    FROM documents
+  ) WHERE word <> '' GROUP BY word
+), v0 AS (
+  SELECT word, cnt, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seq
+  FROM words
+)"""
+    ]
+    for i in range(1, n + 1):
+        parts.append(
+            f""", x{i} AS (
+  SELECT cnt, s, unnest(range(1, len(s))) AS j
+  FROM (SELECT cnt, string_split(seq, ' ') AS s FROM v{i - 1})
+), p{i} AS (
+  SELECT s[j] AS a, s[j + 1] AS b, SUM(cnt) AS c FROM x{i} GROUP BY 1, 2
+), w{i} AS (
+  SELECT a, b, c FROM p{i} ORDER BY c DESC, a, b LIMIT 1
+), v{i} AS (
+  SELECT word, cnt,
+         list_reduce(string_split(seq, ' '),
+           (acc, x) -> CASE
+             WHEN x = w{i}.b
+                  AND (acc = w{i}.a OR ends_with(acc, ' ' || w{i}.a))
+             THEN left(acc, length(acc) - length(w{i}.a)) || w{i}.a || w{i}.b
+             ELSE acc || ' ' || x END) AS seq
+  FROM v{i - 1}, w{i}
+), t{i} AS (
+  SELECT CAST(SUM(cnt * len(string_split(seq, ' '))) AS BIGINT)
+             AS tokens_after
+  FROM v{i}
+)"""
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, a AS sym_a, b AS sym_b, "
+        f"CAST(c AS BIGINT) AS pair_count, "
+        f"(SELECT tokens_after FROM t{i}) AS tokens_after FROM w{i}"
+        for i in range(1, n + 1)
+    )
+    return "".join(parts) + f" {rows} ORDER BY step"
+
+
+@register("bpe_train_merges", oracle=_bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al., ACL 2016):
+    learn the first {n} merge rules of a byte-pair encoding over the
+    corpus vocabulary, reporting each winning pair, its frequency-
+    weighted count, and the corpus token total after the merge.
+
+    The missing rung between token COUNTING (text_token_stats) and a
+    real subword tokenizer: the merge table is the tokenizer, and
+    training it is a corpus-scale job.  Scale shape (operators/bpe.py):
+    the corpus collapses to the (word, count) vocab frame in ONE scan;
+    each of the n iterations is a vocab-sized pair-count shuffle plus
+    a map-side fold — corpus tokens are never re-shuffled.  The only
+    driver actions are the 1-row argmax winner and 1-row token total
+    per iteration (the bounded-collect budget of the CC convergence
+    probe, graph.py:104).
+
+    The oracle unrolls the same n iterations as chained CTEs; both
+    engines apply merges with the SAME fold function (space-delimited
+    string accumulator, first-element seed), so winners, counts, and
+    token totals hash-match exactly.  [extension] — the reference's
+    only aggregate is count-by-key (src/worker.rs:36-38).
+    """
+    from another_map_reduce_spark.operators.bpe import (
+        bpe_init_vocab,
+        bpe_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(bpe_init_vocab(docs), _BPE_N)
+    out = spark.createDataFrame(
+        [
+            (
+                m["step"],
+                m["sym_a"],
+                m["sym_b"],
+                m["pair_count"],
+                m["tokens_after"],
+            )
+            for m in merges
+        ],
+        "step long, sym_a string, sym_b string, pair_count long, "
+        "tokens_after long",
+    )
+    return out.orderBy("step")
+
+
 # Registry-order repair: if THIS module was the user's first import, the
 # circular import through queries._load() saw it partially initialized
 # and ordered the registry without its entries (they append afterwards).

@@ -132,6 +132,7 @@ _ORDER_NEXT = [
     "dedup_simhash_incremental",
     "dedup_prefix_filter",
     "kmv_theta_sketch_ops",
+    "bpe_train_merges",
     "quantile_cutpoint_buckets",
     "bm25_retrieval",
     "scd2_order_history",

@@ -1,0 +1,109 @@
+"""Distributed BPE trainer (operators/bpe.py) vs an independent
+pure-Python reference implementation of Sennrich et al.'s learn_bpe
+loop — the operator-level proof the oracle differential can't give
+(the oracle shares the fold construction; this reference doesn't)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from another_map_reduce_spark.operators.bpe import (
+    bpe_init_vocab,
+    bpe_pair_counts,
+    bpe_train,
+    merge_fold,
+)
+
+
+def _ref_bpe(word_counts: dict[str, int], n: int) -> list[tuple]:
+    """Reference learn_bpe: tuple-of-symbols words, greedy left-to-right
+    merge application, (count DESC, a, b) tie-break."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n):
+        pairs: Counter = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (a, b), c = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        new_vocab = {}
+        for syms, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = cnt
+        vocab = new_vocab
+        tokens = sum(len(s) * c for s, c in vocab.items())
+        merges.append((a, b, c, tokens))
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    corpus = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest widest",
+        "widest widest banana bananas",
+    ]
+    docs = spark.createDataFrame([(t,) for t in corpus], ["text"])
+    vocab = bpe_init_vocab(docs)
+    got, final_vocab = bpe_train(vocab, 6)
+
+    wc = Counter(w for line in corpus for w in line.split())
+    want = _ref_bpe(dict(wc), 6)
+    assert [
+        (m["sym_a"], m["sym_b"], m["pair_count"], m["tokens_after"])
+        for m in got
+    ] == want
+
+    # the final vocab's sequences re-split into symbols that concatenate
+    # back to the original words (merge application loses nothing)
+    for r in final_vocab.collect():
+        assert "".join(r.seq.split(" ")) == r.word
+
+
+def test_merge_fold_greedy_semantics(spark):
+    """Greedy left-to-right fold edge cases: overlapping occurrences
+    take the left one; symbol-boundary confusions (a prefix of a longer
+    symbol) never match."""
+    cases = [
+        ("a b a b", "a", "b", "ab ab"),
+        ("a a a a a", "a", "a", "aa aa a"),
+        ("x a b c", "a", "b", "x ab c"),
+        ("a bc", "a", "b", "a bc"),  # 'b' is a prefix of symbol 'bc'
+        ("ab c", "b", "c", "ab c"),  # 'b' is a suffix of symbol 'ab'
+        ("q", "a", "b", "q"),  # single symbol: fold is the seed
+    ]
+    df = spark.createDataFrame(
+        [(s, a, b, w) for s, a, b, w in cases], ["seq", "a", "b", "want"]
+    )
+    for r in df.collect():
+        out = (
+            spark.range(1)
+            .select(merge_fold(F.lit(r.seq), r.a, r.b).alias("m"))
+            .collect()[0]
+            .m
+        )
+        assert out == r.want, (r.seq, r.a, r.b, out)
+
+
+def test_pair_counts_weighted(spark):
+    vocab = bpe_init_vocab(
+        spark.createDataFrame([("aa aa ab",)], ["text"])
+    )
+    counts = {
+        (r.a, r.b): r.c for r in bpe_pair_counts(vocab).collect()
+    }
+    # 'aa' appears twice (weight 2), 'ab' once
+    assert counts == {("a", "a"): 2, ("a", "b"): 1}
