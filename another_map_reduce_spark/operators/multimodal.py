@@ -440,3 +440,151 @@ def sample_frames(
             )
 
     return df.select(id_col, blob_col).mapInPandas(_frames, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing — near-duplicate detection for binary media
+# ---------------------------------------------------------------------------
+#
+# Average hash (aHash) — the classic perceptual-dedup baseline (pHash
+# family; Monga & Evans 2006 for the general construction): pool the
+# media's sample stream to a fixed 64-cell grid, threshold each cell
+# against the global mean, pack the bits.  Visually/acoustically
+# near-identical media differ in a few cells → small hamming distance;
+# the SimHash pigeonhole machinery (operators/dedup.py) then finds
+# pairs at distance ≤ 3 with 4 equi-joins instead of all-pairs — the
+# same block-then-verify scale shape as every other dedup axis, now
+# over the BINARY column.
+#
+# All arithmetic is integer-exact (cross-multiplied means, no
+# division), so a SQL oracle replays the hash bit-for-bit from the
+# payload bytes.  In production the pooled cells would come from
+# decoded luminance (PIL rung) — the hash/blocking/verify plan is
+# identical; only the cell extraction swaps.
+
+
+def ahash64(blob: bytes) -> int:
+    """64-bit average hash of a byte stream viewed as a sample grid.
+
+    Cell i = bytes[⌊i·n/64⌋ : ⌊(i+1)·n/64⌋]; bit i set iff the cell
+    mean strictly exceeds the global mean, compared cross-multiplied
+    (sum_i·n > total·len_i) so the construction is integer-exact.
+    Empty cells (n < 64) read as sum 0 → bit 0.  Result is a SIGNED
+    64-bit int (bit 63 = sign), matching BIGINT on both engines.
+    """
+    import numpy as np
+
+    arr = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
+    n = int(arr.size)
+    if n == 0:
+        return 0
+    c = np.concatenate([[0], np.cumsum(arr)])
+    bounds = (np.arange(65, dtype=np.int64) * n) // 64
+    sums = c[bounds[1:]] - c[bounds[:-1]]
+    lens = bounds[1:] - bounds[:-1]
+    total = int(c[-1])
+    bits = (sums * n) > (total * lens)
+    h = int(
+        np.bitwise_or.reduce(
+            bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)
+        )
+    )
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def perceptual_hash_frame(
+    df: DataFrame, blob_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc, sh) perceptual hashes via the Arrow-batched decode stage —
+    the same mapInPandas plumbing as extract_image_metadata; blobs
+    never leave the stage, only 8-byte hashes shuffle."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "doc": batch[id_col],
+                    "sh": [ahash64(b) for b in batch[blob_col]],
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        _hash, schema="doc long, sh long"
+    )
+
+
+def phash_pairs(hashed: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate media pairs at hamming ≤ max_hamming (≤ 3: the
+    4×16 pigeonhole capture guarantee) over a (doc, sh) frame —
+    identical block-then-verify plan to dedup.simhash_pairs, reusing
+    its chunk index."""
+    from another_map_reduce_spark.operators.dedup import (
+        _check_simhash_args,
+        simhash_chunks,
+    )
+
+    _check_simhash_args(max_hamming, "md5")
+    chunked = simhash_chunks(hashed)
+    a = chunked.alias("a")
+    b = chunked.hint("merge").alias("b")
+    hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a.idx") == F.col("b.idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("d1"),
+            F.col("b.doc").alias("d2"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["d1", "d2"])
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("d1", "d2")
+    )
+
+
+def phash_candidate_stats(hashed: DataFrame) -> DataFrame:
+    """Per-doc blocking diagnostic over the perceptual-hash index:
+    (doc, sh, n_cand, min_hamming) where candidates are the OTHER docs
+    sharing ≥ 1 of the 4 pigeonhole chunks — the report that sizes the
+    verify stage before running a media-dedup pass (min_hamming = 64
+    sentinel when a doc collides with nothing)."""
+    from another_map_reduce_spark.operators.dedup import simhash_chunks
+
+    chunked = simhash_chunks(hashed)
+    a = chunked.alias("a")
+    b = chunked.hint("merge").alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.idx") == F.col("b.idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc") != F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc"),
+            F.col("b.doc").alias("other"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias(
+                "ham"
+            ),
+        )
+        .dropDuplicates(["doc", "other"])
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_cand"),
+            F.min("ham").alias("_mh"),
+        )
+    )
+    return (
+        hashed.join(cands, "doc", "left")
+        .select(
+            "doc",
+            "sh",
+            F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_cand"),
+            F.coalesce("_mh", F.lit(64)).cast("long").alias("min_hamming"),
+        )
+        .orderBy("doc")
+    )

@@ -2694,6 +2694,87 @@ def pipeline_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Perceptual-hash media dedup (operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+# The oracle replays the integer-exact aHash from the payload bytes
+# (recovered via hex()), the 4×16 pigeonhole chunking, and the
+# candidate stats — so the driver hash proves the UDF's hash
+# construction AND the blocking behavior cross-engine.
+_PHASH_SQL = """
+WITH b AS (
+  SELECT doc_id AS doc, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
+), px AS (
+  SELECT doc, n,
+         list_transform(range(1, n + 1),
+           i -> CAST('0x' || substr(h, CAST((i-1)*2 + 1 AS BIGINT), 2)
+                     AS BIGINT)) AS bytes
+  FROM b
+), hashes AS (
+  SELECT doc,
+    CAST(list_sum(list_transform(range(0, 64), i ->
+      CASE WHEN COALESCE(list_sum(bytes[(i*n)//64 + 1 : ((i+1)*n)//64]), 0)
+                  * n
+                > list_sum(bytes) * (((i+1)*n)//64 - (i*n)//64)
+           THEN CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                     ELSE (CAST(1 AS BIGINT) << i) END
+           ELSE 0 END)) AS BIGINT) AS sh
+  FROM px
+), chunks AS (
+  SELECT doc, sh, i AS idx, (sh >> CAST(i * 16 AS INT)) & 65535 AS chunk
+  FROM hashes CROSS JOIN (SELECT unnest(range(0, 4)) AS i) t
+), cand AS (
+  SELECT DISTINCT a.doc, b.doc AS other, bit_count(xor(a.sh, b.sh)) AS ham
+  FROM chunks a
+  JOIN chunks b ON a.idx = b.idx AND a.chunk = b.chunk AND a.doc <> b.doc
+), stats AS (
+  SELECT doc, COUNT(*) AS n_cand, MIN(ham) AS mh FROM cand GROUP BY doc
+)
+SELECT h.doc, h.sh,
+       CAST(COALESCE(s.n_cand, 0) AS BIGINT) AS n_cand,
+       CAST(COALESCE(s.mh, 64) AS BIGINT) AS min_hamming
+FROM hashes h LEFT JOIN stats s USING (doc)
+ORDER BY h.doc
+"""
+
+
+@register("multimodal_phash_index", oracle=_PHASH_SQL)
+def multimodal_phash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash media-dedup index + blocking diagnostic: per
+    blob, the 64-bit average hash (aHash — the classic perceptual
+    near-dup baseline) computed in the Arrow-batched decode stage,
+    plus the 4×16 pigeonhole candidate count and the minimum hamming
+    distance among chunk-sharing candidates — the report that sizes a
+    media-dedup verify stage before running it.
+
+    Extends dedup to the BINARY column: the hash is integer-exact
+    (cross-multiplied means, operators/multimodal.ahash64), so the
+    oracle replays it bit-for-bit from the payload bytes; the blocking
+    reuses the SimHash chunk machinery, and pair extraction at
+    hamming ≤ 3 (multimodal.phash_pairs) carries the same pigeonhole
+    capture guarantee — on this corpus the closest blobs sit at
+    hamming 9, so the truthful pair set is empty and the INDEX is the
+    driver-checked face (pairs are pinned on planted near-identical
+    blobs in tests/test_multimodal.py, including brute-force parity).
+
+    Scale shape: blobs never leave the decode stage (only 8-byte
+    hashes shuffle); candidates come from 4 equi-joins on the chunk
+    index instead of all-pairs — the dedup.simhash_pairs plan over
+    media payloads.
+    """
+    from another_map_reduce_spark.operators.multimodal import (
+        attach_binary_payload,
+        perceptual_hash_frame,
+        phash_candidate_stats,
+    )
+
+    docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return phash_candidate_stats(perceptual_hash_frame(docs))
+
+
+# ---------------------------------------------------------------------------
 # Distributed BPE tokenizer training (operators/bpe.py)
 # ---------------------------------------------------------------------------
 

@@ -133,6 +133,7 @@ _ORDER_NEXT = [
     "dedup_prefix_filter",
     "kmv_theta_sketch_ops",
     "bpe_train_merges",
+    "multimodal_phash_index",
     "quantile_cutpoint_buckets",
     "bm25_retrieval",
     "scd2_order_history",

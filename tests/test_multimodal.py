@@ -406,3 +406,81 @@ def test_pure_png_over_unfilter_budget_reports_true_dims():
         + chunk(b"IEND", b"")
     )
     assert mm.decode_png_pure(png_short) is None
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (aHash) + pigeonhole media dedup
+# ---------------------------------------------------------------------------
+
+
+def _ref_ahash(blob: bytes) -> int:
+    """Independent pure-Python aHash (no numpy, no shared code path)."""
+    n = len(blob)
+    if n == 0:
+        return 0
+    total = sum(blob)
+    h = 0
+    for i in range(64):
+        lo, hi = (i * n) // 64, ((i + 1) * n) // 64
+        s = sum(blob[lo:hi])
+        if s * n > total * (hi - lo):
+            h |= 1 << i
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def test_ahash64_matches_reference():
+    from another_map_reduce_spark.operators.multimodal import ahash64
+
+    cases = [
+        b"",
+        b"x",
+        b"short blob",  # n < 64: empty cells
+        bytes(range(256)),
+        b"\x00" * 100,  # all-equal bytes: no strict winner, hash 0
+        hashlib.md5(b"seed").digest() * 40,
+    ]
+    for blob in cases:
+        assert ahash64(blob) == _ref_ahash(blob), blob[:16]
+    assert ahash64(b"\x00" * 100) == 0
+
+
+def test_phash_pairs_planted_neardups_and_bruteforce_parity(spark):
+    """A blob with a few flipped bytes lands within hamming ≤ 3 of its
+    source and the pigeonhole join finds exactly the pairs a
+    brute-force all-pairs scan finds (capture guarantee on real
+    hashes)."""
+    from pyspark.sql import functions as F
+
+    from another_map_reduce_spark.operators.multimodal import (
+        ahash64,
+        perceptual_hash_frame,
+        phash_pairs,
+    )
+
+    base = hashlib.sha256(b"media-blob").digest() * 16  # 512 bytes
+    near = bytearray(base)
+    near[10] ^= 0xFF  # perturb a couple of cells
+    near = bytes(near)
+    far = hashlib.sha256(b"other-media").digest() * 16
+    blobs = [(1, base), (2, near), (3, far), (4, base)]  # 4 = exact dup
+    df = spark.createDataFrame(blobs, "doc_id long, payload binary")
+
+    hashed = perceptual_hash_frame(df)
+    got = {(r.d1, r.d2): r.hamming for r in phash_pairs(hashed).collect()}
+
+    # brute force over the same hashes
+    hs = {r.doc: r.sh for r in hashed.collect()}
+    want = {}
+    ids = sorted(hs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                want[(a, b)] = d
+    assert got == want
+    assert (1, 4) in got and got[(1, 4)] == 0  # exact dup found
+    assert (1, 2) in got  # planted near-dup found
+    assert not any(3 in p for p in got)  # unrelated blob excluded
+    # and the UDF hash agrees with the local function on every blob
+    for doc, blob in blobs:
+        assert hs[doc] == ahash64(blob)
