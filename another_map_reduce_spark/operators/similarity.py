@@ -775,3 +775,59 @@ def vector_centroids(
         )
         .orderBy(*groups, "dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sign random projection (Johnson–Lindenstrauss dimensionality reduction)
+# ---------------------------------------------------------------------------
+#
+# Project d-dim embeddings to m < d dims with a fixed ±1 matrix
+# (Achlioptas 2003: database-friendly random projections — sign
+# entries satisfy the JL lemma with the same distortion bounds as
+# Gaussians).  The matrix is derived from md5 of (seed, j, i), so
+# BOTH engines materialize the identical constants and every dot
+# product is replayable; at 100 TB the projection is a pure map-side
+# column expression — no shuffle, no model state beyond the seed —
+# and cuts every downstream ANN/cosine stage's bandwidth by d/m.
+
+
+def sign_projection_matrix(
+    d: int, m: int, seed: str = "amrs-rp-v1"
+) -> list[list[float]]:
+    """m rows of d deterministic ±1.0 signs: row j, column i drawn
+    from the first hex digit of md5(f"{seed}-{j}-{i}")."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(
+                hashlib.md5(f"{seed}-{j}-{i}".encode()).hexdigest()[0], 16
+            )
+            < 8
+            else -1.0
+            for i in range(d)
+        ]
+        for j in range(m)
+    ]
+
+
+def rp_dot(vec: Column, consts: list[float]) -> Column:
+    """Σ vec[i]·consts[i] folded strictly left-to-right — the same
+    IEEE add order DuckDB's list_dot_product uses, so rounded results
+    are bit-identical cross-engine (the embedding_quantize_stats
+    precedent)."""
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            F.array(*[F.lit(c) for c in consts]),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def rp_project(vec: Column, signs: list[list[float]]) -> Column:
+    """array<double> of the m sign-projection components of ``vec``."""
+    return F.array(*[rp_dot(vec, row) for row in signs])

@@ -2694,6 +2694,131 @@ def pipeline_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sign random projection — JL dimensionality reduction (similarity.py)
+# ---------------------------------------------------------------------------
+
+_RP_D, _RP_M = 64, 16
+
+
+def _rp_oracle() -> str:
+    """Oracle with the SAME ±1 matrix constants as the Spark plan —
+    each projection component is a list_dot_product against a literal
+    sign list, matching rp_dot's left-to-right fold exactly."""
+    from another_map_reduce_spark.operators.similarity import (
+        sign_projection_matrix,
+    )
+
+    signs = sign_projection_matrix(_RP_D, _RP_M)
+    comps = ",\n           ".join(
+        "list_dot_product(e, ["
+        + ", ".join(str(c) for c in row)
+        + "])"
+        for row in signs
+    )
+    return f"""
+WITH e0 AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), p AS (
+  SELECT label, e,
+         [{comps}] AS p
+  FROM e0
+), n AS (
+  SELECT label, list_dot_product(e, e) AS nx,
+         list_dot_product(p, p) AS ny
+  FROM p
+), r AS (
+  SELECT label,
+         CASE WHEN nx = 0 THEN 1.0
+              ELSE round(ny / ({float(_RP_M)!r} * nx), 6) END AS ratio
+  FROM n
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST({_RP_D} AS BIGINT) AS d_in,
+       CAST({_RP_M} AS BIGINT) AS d_out,
+       CAST(SUM(CAST(ratio AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+           AS avg_ratio,
+       MIN(ratio) AS min_ratio,
+       MAX(ratio) AS max_ratio
+FROM r GROUP BY label ORDER BY label
+"""
+
+
+@register("embedding_rp_distortion", oracle=_rp_oracle())
+def embedding_rp_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss sign random projection (Achlioptas 2003)
+    of the 64-dim embeddings to 16 dims, signed off by the norm-
+    preservation report JL guarantees: per label, the distribution of
+    ||Px||²/(m·||x||²) (≈ 1 when the projection is distortion-safe).
+    The dimensionality-reduction rung of the ANN storage path —
+    embedding_quantize_stats cuts bytes/dim, this cuts dims — and at
+    100 TB it is a pure map-side column expression: no shuffle, no
+    trained model, just the seed.
+
+    The ±1 matrix comes from md5(seed, j, i) so both engines
+    materialize identical constants; every component is an in-order
+    dot-product fold (similarity.rp_dot ≡ DuckDB list_dot_product —
+    the proven quantize-stats parity), ratios are rounded before the
+    DECIMAL-mean, and the driver hash is exact.  [extension].
+    """
+    from another_map_reduce_spark.operators.similarity import (
+        rp_dot,
+        rp_project,
+        sign_projection_matrix,
+    )
+
+    signs = sign_projection_matrix(_RP_D, _RP_M)
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = emb.select(
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    # each intermediate in its own projection: HOF lambdas are
+    # interpreted per element, so inlining p into the norms would
+    # re-evaluate all 16 dot products per element of the self-dot
+    t = t.select("label", "e", rp_project(F.col("e"), signs).alias("p"))
+    t = t.select(
+        "label",
+        F.aggregate(
+            F.zip_with(F.col("e"), F.col("e"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("nx"),
+        F.aggregate(
+            F.zip_with(F.col("p"), F.col("p"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("ny"),
+    )
+    ratio = F.when(F.col("nx") == 0, F.lit(1.0)).otherwise(
+        F.round(F.col("ny") / (F.lit(float(_RP_M)) * F.col("nx")), 6)
+    )
+    t = t.select("label", ratio.alias("ratio"))
+    return (
+        t.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            (
+                F.sum(F.col("ratio").cast("decimal(38,6)")).cast("double")
+                / F.count("*")
+            ).alias("avg_ratio"),
+            F.min("ratio").alias("min_ratio"),
+            F.max("ratio").alias("max_ratio"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            F.lit(_RP_D).cast("long").alias("d_in"),
+            F.lit(_RP_M).cast("long").alias("d_out"),
+            "avg_ratio",
+            "min_ratio",
+            "max_ratio",
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Perceptual-hash media dedup (operators/multimodal.py)
 # ---------------------------------------------------------------------------
 

@@ -134,6 +134,7 @@ _ORDER_NEXT = [
     "kmv_theta_sketch_ops",
     "bpe_train_merges",
     "multimodal_phash_index",
+    "embedding_rp_distortion",
     "quantile_cutpoint_buckets",
     "bm25_retrieval",
     "scd2_order_history",

@@ -436,3 +436,57 @@ def test_ivf_compact_restores_one_file_per_cell(spark, emb, tmp_path):
         for r in ivf_probe_topk(spark, path, queries, k=5, nprobe=8).collect()
     ]
     assert before == after
+
+
+def test_sign_projection_norm_and_cosine_preservation(spark, sf_dir):
+    """JL contract on the real fixture: the sign projection to m=16
+    preserves norms in expectation (mean ratio ≈ 1) and pairwise
+    cosines within the JL distortion band; rp_dot's fold equals numpy
+    exactly when products are exactly representable."""
+    import numpy as np
+
+    from another_map_reduce_spark.operators.similarity import (
+        rp_dot,
+        rp_project,
+        sign_projection_matrix,
+    )
+
+    signs = sign_projection_matrix(64, 16)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(60)
+    t = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    rows = t.select(
+        "vec_id", "e", rp_project(F.col("e"), signs).alias("p")
+    ).collect()
+
+    S = np.array(signs)  # m × d
+    X = np.array([r.e for r in rows])
+    P = np.array([r.p for r in rows])
+    # projection components match a numpy replay to float tolerance
+    assert np.allclose(P, X @ S.T, rtol=1e-12, atol=1e-12)
+
+    # norm preservation: mean ratio within 15% of 1 on this sample
+    ratios = (P * P).sum(1) / (16.0 * (X * X).sum(1))
+    assert abs(ratios.mean() - 1.0) < 0.15, ratios.mean()
+
+    # cosine preservation on a handful of pairs: |cos_p - cos_x| small
+    def cosims(M):
+        nrm = M / np.linalg.norm(M, axis=1, keepdims=True)
+        return nrm @ nrm.T
+
+    cx, cp = cosims(X), cosims(P)
+    iu = np.triu_indices(len(rows), 1)
+    err = np.abs(cx[iu] - cp[iu])
+    assert np.median(err) < 0.25, np.median(err)
+
+    # integer-valued vectors: the Spark fold is EXACT (bit-level)
+    ints = spark.createDataFrame(
+        [([float(i % 7 - 3) for i in range(64)],)], "e array<double>"
+    )
+    got = ints.select(rp_dot(F.col("e"), signs[0]).alias("d")).collect()[0].d
+    want = float(
+        sum((i % 7 - 3) * signs[0][i] for i in range(64))
+    )
+    assert got == want
