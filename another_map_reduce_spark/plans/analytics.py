@@ -1651,6 +1651,68 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Constraint-audit rule spec — drives BOTH the Spark plan and the
+# oracle SQL (operators/audit.py).  Two rules fail BY DESIGN on this
+# data (negative balances; the 'error' event type) so the report
+# demonstrates violation accounting, not just green checkmarks.
+_AUDIT_SPEC = [
+    {"table": "customer", "kind": "not_null", "col": "c_name"},
+    {"table": "customer", "kind": "unique", "col": "c_custkey"},
+    {"table": "customer", "kind": "range", "col": "c_acctbal",
+     "lo": -1000.0, "hi": 10000.0},
+    {"table": "customer", "kind": "range", "col": "c_acctbal",
+     "lo": 0.0, "hi": 10000.0},
+    {"table": "orders", "kind": "unique", "col": "o_orderkey"},
+    {"table": "orders", "kind": "in_set", "col": "o_orderstatus",
+     "values": ["F", "O", "P"]},
+    {"table": "orders", "kind": "fk", "col": "o_custkey",
+     "ref": "customer", "refcol": "c_custkey"},
+    {"table": "lineitem", "kind": "range", "col": "l_quantity",
+     "lo": 1.0, "hi": 50.0},
+    {"table": "lineitem", "kind": "range", "col": "l_discount",
+     "lo": 0.0, "hi": 0.1},
+    {"table": "lineitem", "kind": "fk", "col": "l_orderkey",
+     "ref": "orders", "refcol": "o_orderkey"},
+    {"table": "events", "kind": "not_null", "col": "user_id"},
+    {"table": "events", "kind": "in_set", "col": "event_type",
+     "values": ["click", "view", "purchase", "signup"]},
+]
+
+
+def _audit_oracle() -> str:
+    from another_map_reduce_spark.operators.audit import audit_oracle_sql
+
+    return audit_oracle_sql(_AUDIT_SPEC)
+
+
+@register("constraint_audit", oracle=_audit_oracle())
+def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint audit (the Deequ / Great
+    Expectations pattern — Schelter et al., VLDB 2018): completeness,
+    uniqueness, value-range, set-membership and referential-integrity
+    rules compiled from ONE spec into one aggregation pass per table
+    plus one anti-join per foreign key — the validation gate a
+    training-data ingest runs before data is admitted.
+
+    Two rules fail by design on this corpus (negative account
+    balances; the 'error' event type outside the allowed set), so the
+    report exercises the violation-accounting path.  The oracle SQL is
+    generated from the SAME spec (operators/audit.audit_oracle_sql),
+    making drift between the engines impossible.  Scale shape: scan
+    rules share their table's single scan (SUMs of boolean casts —
+    map-side partials); FK anti-joins broadcast dim-sized parents and
+    shuffle otherwise; output is |rules| rows.  [extension] — the
+    reference has no schema, let alone constraints (SURVEY §1).
+    """
+    from another_map_reduce_spark.operators.audit import run_audit
+
+    tables = {
+        t: load_table(spark, sf_dir, t)
+        for t in sorted({r["table"] for r in _AUDIT_SPEC})
+    }
+    return run_audit(tables, _AUDIT_SPEC)
+
+
 # KMV parameters shared by the Spark plan and the oracle text below.
 _KMV_K = 64
 _KMV_SPACE_INT = 1 << 52

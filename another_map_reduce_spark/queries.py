@@ -135,6 +135,7 @@ _ORDER_NEXT = [
     "bpe_train_merges",
     "multimodal_phash_index",
     "embedding_rp_distortion",
+    "constraint_audit",
     "quantile_cutpoint_buckets",
     "bm25_retrieval",
     "scd2_order_history",

@@ -662,3 +662,48 @@ def test_kmv_estimates_exact_below_capacity_and_in_tolerance(spark):
         .e
     )
     assert abs(est - 20000) < 3.0 / (k ** 0.5) * 20000, est
+
+
+def test_constraint_audit_detects_planted_violations(spark):
+    """The audit machinery on a crafted table: every rule kind fires on
+    exactly the planted violations (null, dup, out-of-range, out-of-set,
+    orphan FK) and passes on clean columns."""
+    from another_map_reduce_spark.operators.audit import run_audit
+
+    child = spark.createDataFrame(
+        [
+            (1, "a", 5.0, "X", 10),
+            (2, None, 5.0, "X", 10),   # null name
+            (2, "c", 99.0, "Y", 10),   # dup id, range high, bad set
+            (3, "d", -1.0, "X", 77),   # range low, orphan fk
+            (4, "e", 5.0, "X", None),  # null fk: NOT an orphan
+        ],
+        "id long, name string, v double, s string, ref long",
+    )
+    parent = spark.createDataFrame([(10,)], "pk long")
+    spec = [
+        {"table": "child", "kind": "not_null", "col": "name"},
+        {"table": "child", "kind": "unique", "col": "id"},
+        {"table": "child", "kind": "range", "col": "v", "lo": 0.0, "hi": 10.0},
+        {"table": "child", "kind": "in_set", "col": "s", "values": ["X"]},
+        {"table": "child", "kind": "fk", "col": "ref", "ref": "parent",
+         "refcol": "pk"},
+    ]
+    rows = {
+        r.rule: r
+        for r in run_audit({"child": child, "parent": parent}, spec).collect()
+    }
+    assert rows["not_null(name)"].violations == 1
+    assert rows["unique(id)"].violations == 1
+    assert rows["range(v, 0.0, 10.0)"].violations == 2
+    assert rows["in_set(s: X)"].violations == 1
+    assert rows["fk(ref -> parent.pk)"].violations == 1
+    assert all(r.n_rows == 5 for r in rows.values())
+    assert not any(r.passed for r in rows.values())
+
+    clean_spec = [
+        {"table": "child", "kind": "range", "col": "v",
+         "lo": -10.0, "hi": 100.0},
+    ]
+    ok = run_audit({"child": child}, clean_spec).collect()[0]
+    assert ok.passed and ok.violations == 0
