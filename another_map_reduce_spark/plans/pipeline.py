@@ -2957,6 +2957,31 @@ WITH words AS (
     return "".join(parts) + f" {rows} ORDER BY step"
 
 
+def _bpe_encode_oracle(n: int = _BPE_N) -> str:
+    """Corpus encoding with the learned table: the SAME training CTE
+    chain as _bpe_oracle, then every word occurrence joined to its
+    final segmentation v{n} for per-language token accounting."""
+    train = _bpe_oracle(n)
+    ctes = train[: train.rindex(" SELECT CAST(1 AS BIGINT)")]
+    return (
+        ctes
+        + f""", wl AS (
+  SELECT lang, unnest(string_split(
+           regexp_replace(lower(text), '[^a-z]', ' ', 'g'), ' ')) AS word
+  FROM documents
+), occ AS (SELECT lang, word FROM wl WHERE word <> '')
+SELECT occ.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(occ.word)) AS BIGINT) AS n_chars,
+       CAST(SUM(len(string_split(v{n}.seq, ' '))) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(length(occ.word)) AS DOUBLE)
+             / SUM(len(string_split(v{n}.seq, ' '))), 4) AS chars_per_token
+FROM occ JOIN v{n} ON occ.word = v{n}.word
+GROUP BY occ.lang ORDER BY occ.lang
+"""
+    )
+
+
 @register("bpe_train_merges", oracle=_bpe_oracle())
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich et al., ACL 2016):
@@ -3002,6 +3027,58 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens_after long",
     )
     return out.orderBy("step")
+
+
+@register("bpe_encode_report", oracle=_bpe_encode_oracle())
+def bpe_encode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — the other half of bpe_train_merges:
+    encode the corpus with the learned merge table and account the
+    result per language (word/char/token totals, chars-per-token
+    compression) — the fertility/compression sign-off every tokenizer
+    change ships with.
+
+    Encoding reuses the trainer's final vocab frame (each distinct
+    word already carries its segmentation — at 100 TB this is the
+    point: the corpus re-join is one shuffle of (word → token count),
+    never a re-segmentation of every occurrence).  The oracle extends
+    the training CTE chain with the same occurrence join, so token
+    totals hash-match exactly.
+    """
+    from another_map_reduce_spark.operators.bpe import (
+        bpe_init_vocab,
+        bpe_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, final_vocab = bpe_train(bpe_init_vocab(docs), _BPE_N)
+    tok = final_vocab.select(
+        "word", F.size(F.split("seq", " ")).alias("ntok")
+    )
+    occ = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.split(
+                    F.regexp_replace(F.lower(F.col("text")), "[^a-z]", " "),
+                    " ",
+                )
+            ).alias("word"),
+        )
+        .where(F.col("word") != "")
+    )
+    return (
+        occ.join(tok, "word")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.length("word")).cast("double") / F.sum("ntok"), 4
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
 
 
 # Registry-order repair: if THIS module was the user's first import, the

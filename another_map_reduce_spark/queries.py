@@ -136,6 +136,7 @@ _ORDER_NEXT = [
     "multimodal_phash_index",
     "embedding_rp_distortion",
     "constraint_audit",
+    "bpe_encode_report",
     "quantile_cutpoint_buckets",
     "bm25_retrieval",
     "scd2_order_history",

@@ -107,3 +107,16 @@ def test_pair_counts_weighted(spark):
     }
     # 'aa' appears twice (weight 2), 'ab' once
     assert counts == {("a", "a"): 2, ("a", "b"): 1}
+
+
+def test_encode_accounting_consistency(spark):
+    """Per-word token counts from the final vocab reconcile with the
+    trainer's tokens_after total, and chars are conserved."""
+    corpus = ["aaab aaab aaab cab cab", "aaab dab dab"]
+    docs = spark.createDataFrame([(t,) for t in corpus], ["text"])
+    merges, final_vocab = bpe_train(bpe_init_vocab(docs), 3)
+    rows = final_vocab.collect()
+    total = sum(len(r.seq.split(" ")) * r.cnt for r in rows)
+    assert total == merges[-1]["tokens_after"]
+    for r in rows:
+        assert sum(len(s) for s in r.seq.split(" ")) == len(r.word)
