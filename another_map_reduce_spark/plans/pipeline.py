@@ -2896,7 +2896,11 @@ def multimodal_phash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
-    return phash_candidate_stats(perceptual_hash_frame(docs))
+    # checkpoint the 16-byte/row hash frame: the stats plan reads it
+    # three times (both sides of the chunk self-join + the final
+    # left join), and without this each read re-decodes every blob
+    hashed = perceptual_hash_frame(docs).localCheckpoint(eager=True)
+    return phash_candidate_stats(hashed)
 
 
 # ---------------------------------------------------------------------------

@@ -49,6 +49,15 @@ QUERIES = [
     # round-8: exact-complete prefix filtering (rarest-first candidate
     # pruning; disjoint replica vocabularies keep prefixes local)
     "dedup_prefix_filter",
+    # round-8 additions: BPE training (vocab frame grows ~linearly —
+    # disjoint replica vocabularies — while the iteration count stays
+    # fixed), its encode join, the perceptual-hash index (one decode
+    # pass + chunk self-join), and the JL projection (pure map +
+    # |labels|-row aggregate — the flattest curve in the family)
+    "bpe_train_merges",
+    "bpe_encode_report",
+    "multimodal_phash_index",
+    "embedding_rp_distortion",
 ]
 
 SCALES = [
@@ -101,6 +110,9 @@ EVENT_QUERIES = [
     "event_transition_matrix",
     "stream_events_hourly",
     "session_overlap_pairs",
+    # round-8: KMV sketch build — one distinct shuffle on (type, hash)
+    # plus the declared exact-baseline self-join (grows with users)
+    "kmv_theta_sketch_ops",
 ]
 
 EVENT_SCALES = [
@@ -177,6 +189,12 @@ def main() -> None:
         queries, scales = PIPE_QUERIES, SCALES
     if "--incremental" in sys.argv:
         queries, scales = INCR_QUERIES, SCALES
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+    if only:
+        queries = [q for q in queries if q in only]
     probe = (
         "orders" if relational else "events" if events else "documents"
     )
@@ -265,6 +283,7 @@ def main() -> None:
         a
         for a in sys.argv[1:]
         if a not in ("--relational", "--r6", "--events", "--pipeline", "--incremental")
+        and not a.startswith("--only=")
     ]
     dest = args[0] if args else "/tmp/bench_scale.json"
     Path(dest).write_text(json.dumps(out, indent=2))
