@@ -77,3 +77,63 @@ def upsert_latest(
         for p in payload_cols
     ]
     return kept.select(*resolved)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level diff of two snapshots of one table — the data-
+    reconciliation complement of ``upsert_latest``: CDC APPLIES a
+    change feed; this RECOVERS one from two table versions (regression
+    testing a pipeline rewrite, validating a backfill, or deriving a
+    feed where the source can't emit one).
+
+    One full-outer co-partitioned join on the key (bucketed layouts
+    remove even that at 100 TB), classifying each key as
+    added / removed / changed / unchanged, with a per-compare-column
+    change flag for the changed rows.  NULL-safe comparison via
+    eqNullSafe, so NULL→value and value→NULL both count as changes.
+    """
+    o = old.select(
+        *[F.col(k).alias(f"_ko_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_kn_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_new"),
+    )
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"_ko_{k}") == F.col(f"_kn_{k}")
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer")
+    changed_flags = [
+        (~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))).alias(f"chg_{c}")
+        for c in compare_cols
+    ]
+    any_change = None
+    for c in compare_cols:
+        t = ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        any_change = t if any_change is None else (any_change | t)
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(any_change, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    keys = [
+        F.coalesce(F.col(f"_ko_{k}"), F.col(f"_kn_{k}")).alias(k)
+        for k in key_cols
+    ]
+    flags = [
+        F.when(status == "changed", f).otherwise(F.lit(False)).alias(
+            f"chg_{c}"
+        )
+        for c, f in zip(compare_cols, changed_flags)
+    ]
+    return j.select(*keys, status.alias("status"), *flags)

@@ -1651,6 +1651,98 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SNAPDIFF_SQL = """
+WITH v_new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 101 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'N', o_totalprice
+  FROM orders WHERE o_orderkey % 103 = 0
+), d AS (
+  SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+              THEN 'changed' ELSE 'unchanged' END AS status,
+         o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+           AND o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+             AS chg_status,
+         o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+           AND o.o_totalprice IS DISTINCT FROM n.o_totalprice
+             AS chg_price
+  FROM orders o FULL OUTER JOIN v_new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (chg_status) AS BIGINT) AS n_status_chg,
+       CAST(COUNT(*) FILTER (chg_price) AS BIGINT) AS n_price_chg
+FROM d GROUP BY status ORDER BY status
+"""
+
+
+@register("snapshot_diff_orders", oracle=_SNAPDIFF_SQL)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / data reconciliation (operators/cdc.snapshot_
+    diff): recover the change feed BETWEEN two versions of a table —
+    the inverse of CDC's apply — used to regression-test a pipeline
+    rewrite or validate a backfill.  The second snapshot is derived
+    deterministically in both engines (keys %101 removed, %97 mutated
+    in two columns, %103 re-inserted under offset keys), then one
+    full-outer co-partitioned join classifies every key as added /
+    removed / changed / unchanged with per-column change flags
+    (NULL-safe comparison — NULL→value counts as a change).
+
+    Scale shape: ONE key exchange per side (bucketed snapshot layouts
+    remove both); the report is 4 rows.  [extension] — the reference
+    has no notion of table versions (src/worker.rs:36-38).
+    """
+    from another_map_reduce_spark.operators.cdc import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    key = F.col("o_orderkey")
+    mut = key % 97 == 0
+    v_new = (
+        o.where(key % 101 != 0)
+        .select(
+            "o_orderkey",
+            F.when(mut, F.lit("X")).otherwise(F.col("o_orderstatus")).alias(
+                "o_orderstatus"
+            ),
+            F.when(mut, F.col("o_totalprice") + 1.0)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            o.where(key % 103 == 0).select(
+                (key + 10000000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.col("o_totalprice"),
+            )
+        )
+    )
+    d = snapshot_diff(
+        o, v_new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+    return (
+        d.groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.col("chg_o_orderstatus").cast("long"))
+            .cast("long")
+            .alias("n_status_chg"),
+            F.sum(F.col("chg_o_totalprice").cast("long"))
+            .cast("long")
+            .alias("n_price_chg"),
+        )
+        .orderBy("status")
+    )
+
+
 # Constraint-audit rule spec — drives BOTH the Spark plan and the
 # oracle SQL (operators/audit.py).  Two rules fail BY DESIGN on this
 # data (negative balances; the 'error' event type) so the report

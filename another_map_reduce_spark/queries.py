@@ -137,6 +137,7 @@ _ORDER_NEXT = [
     "embedding_rp_distortion",
     "constraint_audit",
     "bpe_encode_report",
+    "snapshot_diff_orders",
     "quantile_cutpoint_buckets",
     "bm25_retrieval",
     "scd2_order_history",

@@ -235,3 +235,38 @@ def test_fold_funnel_chunking_invariant(events, data):
     # the DataFrame side's ns scaling (t*1000) is undone by the fold's
     # ns→µs division, so the oracle folds the raw seconds directly
     assert got == _py_funnel(events)
+
+
+def test_snapshot_diff_classifies_all_quadrants(spark):
+    """Each diff class on a crafted pair of snapshots, including the
+    NULL-safe column comparison (NULL -> value is a change)."""
+    from another_map_reduce_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, "a", 1.0),
+            (2, "b", None),   # value appears in new -> changed
+            (3, "c", 3.0),    # removed
+            (4, "d", 4.0),    # unchanged
+        ],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a2", 1.0),   # status change only
+            (2, "b", 2.0),    # NULL -> 2.0 price change
+            (4, "d", 4.0),
+            (5, "e", 5.0),    # added
+        ],
+        "k long, s string, v double",
+    )
+    rows = {
+        r.k: r
+        for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
+    }
+    assert rows[1].status == "changed" and rows[1].chg_s and not rows[1].chg_v
+    assert rows[2].status == "changed" and not rows[2].chg_s and rows[2].chg_v
+    assert rows[3].status == "removed"
+    assert rows[4].status == "unchanged"
+    assert rows[5].status == "added"
+    assert not rows[3].chg_s and not rows[5].chg_v  # flags false outside 'changed'
