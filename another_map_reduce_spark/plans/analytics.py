@@ -1496,6 +1496,115 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RETR_MOD = 59  # every 59th base order is retracted (deterministic feed)
+
+
+@register(
+    "incremental_agg_retraction",
+    oracle=f"""
+WITH live AS (
+  SELECT (o_custkey % 100) AS bucket, o_totalprice
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{_MV_CUTOFF}'
+     OR o_orderkey % {_RETR_MOD} <> 0
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           AS sum_total,
+       MAX(o_totalprice) AS max_total
+FROM live GROUP BY bucket ORDER BY bucket
+""",
+)
+def incremental_agg_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance under RETRACTIONS — the case
+    incremental_agg_maintenance's insert-only merge cannot handle:
+    the delta carries deletes (every 59th base order) as well as
+    inserts (orders after the cutoff).
+
+    COUNT and SUM are GROUPS under retraction (subtract the deleted
+    partials — still a pure monoid merge, DECIMAL-exact).  MAX is only
+    a semigroup: a deleted row may BE the group max, so maxima are
+    recomputed — but ONLY for the groups the delete feed touches
+    (semi-join pruning), which is the standard bounded-maintenance
+    remedy (Gupta & Mumick's self-maintainability taxonomy): at
+    100 TB the re-aggregate scans the touched groups' partitions of
+    the base table, not the table.  Untouched groups keep the stored
+    max merged with the insert-side max.
+
+    The oracle computes the one-shot GROUP BY over (base ∖ deletes) ∪
+    inserts, so the hash match IS the proof that incremental-with-
+    retractions ≡ full recompute.  [extension].
+    """
+    cut = F.lit(_MV_CUTOFF).cast("timestamp")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+        (F.col("o_custkey") % 100).alias("bucket"),
+    )
+    base = o.where(F.col("o_orderdate") < cut)
+    ins = o.where(F.col("o_orderdate") >= cut)
+    dels = base.where(F.col("o_orderkey") % _RETR_MOD == 0)
+
+    def _state(df: DataFrame, with_max: bool) -> DataFrame:
+        aggs = [
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(_dec(F.col("o_totalprice"))).alias("s"),
+        ]
+        if with_max:
+            aggs.append(F.max("o_totalprice").alias("m"))
+        return df.groupBy("bucket").agg(*aggs)
+
+    mv = _state(base, True).alias("b")  # the stored MV
+    d_del = _state(dels, False).alias("x")
+    d_ins = _state(ins, True).alias("i")
+
+    # bounded recompute of maxima for the touched groups only:
+    # (base ∖ deletes) ∪ inserts, semi-joined to the delete feed's keys
+    touched = dels.select("bucket").distinct()
+    live_detail = (
+        base.join(dels.select("o_orderkey"), "o_orderkey", "left_anti")
+        .select("bucket", "o_totalprice")
+        .unionByName(ins.select("bucket", "o_totalprice"))
+    )
+    rec_max = (
+        live_detail.join(touched, "bucket", "left_semi")
+        .groupBy("bucket")
+        .agg(F.max("o_totalprice").alias("m_rec"))
+        .alias("r")
+    )
+
+    zero = F.lit(0).cast("decimal(38,6)")
+    merged = (
+        mv.join(d_del, "bucket", "full_outer")
+        .join(d_ins, "bucket", "full_outer")
+        .join(rec_max, "bucket", "left_outer")
+    )
+    n = (
+        F.coalesce(F.col("b.n"), F.lit(0))
+        - F.coalesce(F.col("x.n"), F.lit(0))
+        + F.coalesce(F.col("i.n"), F.lit(0))
+    )
+    s = (
+        F.coalesce(F.col("b.s"), zero)
+        - F.coalesce(F.col("x.s"), zero)
+        + F.coalesce(F.col("i.s"), zero)
+    )
+    m = F.when(
+        F.col("r.m_rec").isNotNull() | F.col("x.n").isNotNull(),
+        F.col("r.m_rec"),
+    ).otherwise(F.greatest(F.col("b.m"), F.col("i.m")))
+    return (
+        merged.select(
+            "bucket",
+            n.alias("n_orders"),
+            s.cast("double").alias("sum_total"),
+            m.alias("max_total"),
+        )
+        .where(F.col("n_orders") > 0)
+        .orderBy("bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SCD Type-2 history build — validity intervals from a change feed
 # ---------------------------------------------------------------------------

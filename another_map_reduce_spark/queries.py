@@ -138,6 +138,7 @@ _ORDER_NEXT = [
     "constraint_audit",
     "bpe_encode_report",
     "snapshot_diff_orders",
+    "incremental_agg_retraction",
     "quantile_cutpoint_buckets",
     "bm25_retrieval",
     "scd2_order_history",

@@ -707,3 +707,41 @@ def test_constraint_audit_detects_planted_violations(spark):
     ]
     ok = run_audit({"child": child}, clean_spec).collect()[0]
     assert ok.passed and ok.violations == 0
+
+
+def test_retraction_mv_recomputes_deleted_maxima(spark, tmp_path):
+    """The sharp retraction case: the deleted row IS its group's max,
+    so the naive greatest(stored_max, insert_max) merge would be wrong
+    and only the touched-group recompute gives the true value; a group
+    whose every row is retracted disappears."""
+    import datetime as dt
+
+    from another_map_reduce_spark.plans.analytics import (
+        incremental_agg_retraction,
+    )
+
+    before = dt.datetime(1997, 1, 1)
+    after = dt.datetime(1998, 1, 1)
+    rows = [
+        # bucket 1: retracted row (key 59) holds the max
+        (59, 1, before, 100.0),
+        (2, 1, before, 50.0),
+        # bucket 2: untouched by deletes, insert merges in
+        (3, 2, before, 10.0),
+        (4, 2, after, 20.0),
+        # bucket 3: fully retracted -> must vanish
+        (118, 3, before, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_totalprice double",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r.bucket: r
+        for r in incremental_agg_retraction(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1].n_orders == 1 and got[1].max_total == 50.0
+    assert got[2].n_orders == 2 and got[2].max_total == 20.0
+    assert got[2].sum_total == 30.0
