@@ -1496,6 +1496,93 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANOM_SQL = """
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), win AS (
+  SELECT event_type, hr, cnt,
+         COUNT(*) OVER w AS n_prev,
+         CAST(SUM(cnt) OVER w AS BIGINT) AS s1,
+         CAST(SUM(cnt * cnt) OVER w AS BIGINT) AS s2
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+), z AS (
+  SELECT event_type, hr, cnt,
+         (CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / 24.0)
+           / sqrt((CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 24.0)
+                  / 24.0) AS zs
+  FROM win
+  WHERE n_prev = 24
+    AND (CAST(s2 AS DOUBLE)
+         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 24.0) > 0
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_scored_hours,
+       CAST(COUNT(*) FILTER (abs(zs) >= 3.0) AS BIGINT) AS n_anomalies,
+       round(MAX(abs(zs)), 4) AS max_abs_z
+FROM z GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("timeseries_anomaly_zscore", oracle=_ANOM_SQL)
+def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection over the event stream — the
+    monitoring rung of the time-series block: hourly event counts per
+    type scored against the trailing 24 observed hours (mean/std from
+    the window's exact integer sums), anomalies = |z| ≥ 3.
+
+    Aggregate-then-window discipline: the corpus collapses to
+    (type, hour) counts first, so the window input is |types|·|hours|
+    rows at any corpus size; the window carries two integer sums (no
+    running doubles — fold-order-free), and mean/std/z are the same
+    spelled-out IEEE expression in both engines.  Hours with an
+    incomplete trailing window or zero variance are excluded on both
+    sides (a z-score against undefined variance is noise, not signal).
+    [extension] — the reference has no time at all (SURVEY §1).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-24, -1)
+    )
+    win = hourly.select(
+        "event_type",
+        "hr",
+        "cnt",
+        F.count("*").over(w).alias("n_prev"),
+        F.sum("cnt").over(w).cast("long").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).cast("long").alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    var_num = s2d - s1d * s1d / F.lit(24.0)
+    zs = (F.col("cnt").cast("double") - s1d / F.lit(24.0)) / F.sqrt(
+        var_num / F.lit(24.0)
+    )
+    z = win.where((F.col("n_prev") == 24) & (var_num > 0)).select(
+        "event_type", zs.alias("zs")
+    )
+    return (
+        z.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_scored_hours"),
+            F.sum((F.abs(F.col("zs")) >= 3.0).cast("long"))
+            .cast("long")
+            .alias("n_anomalies"),
+            F.round(F.max(F.abs(F.col("zs"))), 4).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _RETR_MOD = 59  # every 59th base order is retracted (deterministic feed)
 
 

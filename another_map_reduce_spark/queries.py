@@ -139,6 +139,7 @@ _ORDER_NEXT = [
     "bpe_encode_report",
     "snapshot_diff_orders",
     "incremental_agg_retraction",
+    "timeseries_anomaly_zscore",
     "quantile_cutpoint_buckets",
     "bm25_retrieval",
     "scd2_order_history",

@@ -745,3 +745,45 @@ def test_retraction_mv_recomputes_deleted_maxima(spark, tmp_path):
     assert got[1].n_orders == 1 and got[1].max_total == 50.0
     assert got[2].n_orders == 2 and got[2].max_total == 20.0
     assert got[2].sum_total == 30.0
+
+
+def test_anomaly_zscore_flags_planted_spike(spark, tmp_path):
+    """A planted 10x spike after 24 flat hours scores |z| >= 3; the
+    first 24 hours (incomplete trailing window) and a zero-variance
+    series are excluded."""
+    import datetime as dt
+
+    from another_map_reduce_spark.plans.analytics import (
+        timeseries_anomaly_zscore,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 'spiky': hours 0..23 alternate 1/2 events; hour 24 has 20 events
+    for h in range(24):
+        for _ in range(1 + (h % 2)):
+            rows.append((eid, t0 + dt.timedelta(hours=h), 1, "spiky", 0.0, "{}"))
+            eid += 1
+    for _ in range(20):
+        rows.append((eid, t0 + dt.timedelta(hours=24), 1, "spiky", 0.0, "{}"))
+        eid += 1
+    # 'flat': constant 3 events/hour -> zero variance, never scored
+    for h in range(30):
+        for _ in range(3):
+            rows.append((eid, t0 + dt.timedelta(hours=h), 2, "flat", 0.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.event_type: r
+        for r in timeseries_anomaly_zscore(spark, str(tmp_path)).collect()
+    }
+    assert got["spiky"].n_scored_hours == 1  # only hour 24 has 24 prior hours
+    assert got["spiky"].n_anomalies == 1
+    assert got["spiky"].max_abs_z >= 3.0
+    assert "flat" not in got  # zero variance excluded everywhere
