@@ -109,24 +109,39 @@ def run_audit(
                 )
             )
         for r in fks:
-            parent = tables[r["ref"]].select(
-                F.col(r["refcol"]).alias("_pk")
+            # one pass per FK: left join against the deduped parent
+            # keys, counting rows and orphans in the same aggregate —
+            # no separate COUNT(*) scan for n_rows
+            parent = (
+                tables[r["ref"]]
+                .select(F.col(r["refcol"]).alias("_pk"))
+                .distinct()
             )
-            orphans = (
-                df.select(F.col(r["col"]).alias("_k"))
-                .where(F.col("_k").isNotNull())
-                .join(parent, F.col("_k") == F.col("_pk"), "left_anti")
-                .agg(F.count("*").alias("violations"))
+            joined = df.select(F.col(r["col"]).alias("_k")).join(
+                parent, F.col("_k") == F.col("_pk"), "left"
             )
-            n = df.agg(F.count("*").alias("n_rows"))
+            stats = joined.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.coalesce(
+                    F.sum(
+                        (
+                            F.col("_k").isNotNull()
+                            & F.col("_pk").isNull()
+                        ).cast("long")
+                    ),
+                    F.lit(0),
+                ).alias("violations"),
+            )
             frames.append(
-                orphans.crossJoin(n).select(
+                stats.select(
                     F.lit(_rule_name(r)).alias("rule"),
                     F.lit(tbl).alias("tbl"),
                     F.col("violations").cast("long"),
                     F.col("n_rows").cast("long"),
                 )
             )
+    if not frames:
+        raise ValueError("empty audit spec: no rules to run")
     out = frames[0]
     for fr in frames[1:]:
         out = out.unionByName(fr)
@@ -137,7 +152,9 @@ def run_audit(
 
 
 def _sql_quote(v) -> str:
-    return f"'{v}'" if isinstance(v, str) else repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(v)
 
 
 def audit_oracle_sql(spec: list[dict]) -> str:

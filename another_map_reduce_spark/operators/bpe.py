@@ -34,20 +34,30 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def word_occurrences(
+    docs: DataFrame, text_col: str = "text", *extra_cols: str
+) -> DataFrame:
+    """One row per lowercase-alpha word OCCURRENCE (plus any requested
+    passthrough columns) — the single tokenization definition shared
+    by the trainer's vocab build and the encoder's corpus join, so the
+    two can never drift character-wise."""
+    return docs.select(
+        *extra_cols,
+        F.explode(
+            F.split(
+                F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", " "),
+                " ",
+            )
+        ).alias("word"),
+    ).where(F.col("word") != "")
+
+
 def bpe_init_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, cnt, seq) vocab frame: lowercase alpha words with corpus
     counts; ``seq`` is the word's symbol sequence as a space-joined
     string, initially one character per symbol."""
     words = (
-        docs.select(
-            F.explode(
-                F.split(
-                    F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", " "),
-                    " ",
-                )
-            ).alias("word")
-        )
-        .where(F.col("word") != "")
+        word_occurrences(docs, text_col)
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )

@@ -591,13 +591,20 @@ def simhash64(shingles: Column) -> Column:
 
 
 
-def _check_simhash_args(max_hamming: int, hasher: str) -> None:
+def check_pigeonhole_radius(max_hamming: int) -> None:
+    """Shared by every 4×16-chunk consumer (SimHash text dedup,
+    perceptual-hash media dedup): the blocking is exact only for
+    hamming ≤ 3."""
     if max_hamming > 3:
         raise ValueError(
             f"max_hamming={max_hamming} exceeds the 4x16-bit pigeonhole "
             "guarantee (exact only for hamming <= 3); use more/narrower "
             "chunks for larger radii"
         )
+
+
+def _check_simhash_args(max_hamming: int, hasher: str) -> None:
+    check_pigeonhole_radius(max_hamming)
     if hasher not in ("xxhash64", "md5"):
         raise ValueError(f"unknown hasher {hasher!r}")
 

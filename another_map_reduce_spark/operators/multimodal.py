@@ -463,6 +463,11 @@ def sample_frames(
 # identical; only the cell extraction swaps.
 
 
+# Largest n for which the cross-multiplied threshold stays inside
+# int64: 255·n² < 2^63 ⇒ n < ~1.9e8.  Kept conservative.
+_AHASH_NUMPY_MAX_N = 150_000_000
+
+
 def ahash64(blob: bytes) -> int:
     """64-bit average hash of a byte stream viewed as a sample grid.
 
@@ -471,6 +476,11 @@ def ahash64(blob: bytes) -> int:
     (sum_i·n > total·len_i) so the construction is integer-exact.
     Empty cells (n < 64) read as sum 0 → bit 0.  Result is a SIGNED
     64-bit int (bit 63 = sign), matching BIGINT on both engines.
+
+    The cross-multiplied products reach ~255·n²/64, which overflows
+    int64 for blobs past ``_AHASH_NUMPY_MAX_N`` (~1.5 GB); those fall
+    back to arbitrary-precision Python ints, matching DuckDB's
+    HUGEINT promotion of the same arithmetic.
     """
     import numpy as np
 
@@ -483,7 +493,15 @@ def ahash64(blob: bytes) -> int:
     sums = c[bounds[1:]] - c[bounds[:-1]]
     lens = bounds[1:] - bounds[:-1]
     total = int(c[-1])
-    bits = (sums * n) > (total * lens)
+    if n <= _AHASH_NUMPY_MAX_N:
+        bits = (sums * n) > (total * lens)
+    else:  # exact big-int path: 255·n² no longer fits in int64
+        bits = np.array(
+            [
+                int(s) * n > total * int(ln)
+                for s, ln in zip(sums.tolist(), lens.tolist())
+            ]
+        )
     h = int(
         np.bitwise_or.reduce(
             bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)
@@ -519,11 +537,11 @@ def phash_pairs(hashed: DataFrame, max_hamming: int = 3) -> DataFrame:
     identical block-then-verify plan to dedup.simhash_pairs, reusing
     its chunk index."""
     from another_map_reduce_spark.operators.dedup import (
-        _check_simhash_args,
+        check_pigeonhole_radius,
         simhash_chunks,
     )
 
-    _check_simhash_args(max_hamming, "md5")
+    check_pigeonhole_radius(max_hamming)
     chunked = simhash_chunks(hashed)
     a = chunked.alias("a")
     b = chunked.hint("merge").alias("b")

@@ -199,7 +199,11 @@ def kmv_sketch(
 
     w = Window.partitionBy(*group_cols).orderBy("_h")
     return (
-        df.select(*group_cols, h)
+        # NULL keys carry no hash and are excluded (as COUNT(DISTINCT)
+        # would exclude them); without this a NULL would eat a
+        # row_number slot and then vanish from collect_list
+        df.where(F.col(key_col).isNotNull())
+        .select(*group_cols, h)
         .distinct()
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)

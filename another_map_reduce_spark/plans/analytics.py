@@ -2011,7 +2011,7 @@ WITH h AS (
   SELECT DISTINCT event_type,
          CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13) AS BIGINT)
              AS hv
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ), ranked AS (
   SELECT event_type, hv,
          row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
@@ -2107,7 +2107,8 @@ def kmv_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (at sf0.1 it is 1e5 rows; the exact columns are the declared
     # demo half, a 100 TB deployment ships only the sketch build)
     du = (
-        ev.select("event_type", "user_id")
+        ev.where(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
         .distinct()
         .localCheckpoint(eager=True)
     )

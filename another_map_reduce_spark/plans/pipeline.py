@@ -2935,17 +2935,25 @@ WITH words AS (
   FROM (SELECT cnt, string_split(seq, ' ') AS s FROM v{i - 1})
 ), p{i} AS (
   SELECT s[j] AS a, s[j + 1] AS b, SUM(cnt) AS c FROM x{i} GROUP BY 1, 2
-), w{i} AS (
+), w{i} AS MATERIALIZED (
   SELECT a, b, c FROM p{i} ORDER BY c DESC, a, b LIMIT 1
-), v{i} AS (
+), wx{i} AS (
+  -- never-empty winner pad (single w{i} reference, aggregate form —
+  -- scalar subqueries would re-inline the whole chain and blow the
+  -- plan up exponentially): when the corpus exhausts before step {i}
+  -- (w{i} empty — Spark's trainer breaks), the '' sentinel matches no
+  -- symbol, so the fold below passes every seq through unchanged
+  SELECT COALESCE(MAX(a), '') AS a, COALESCE(MAX(b), '') AS b FROM w{i}
+), v{i} AS MATERIALIZED (
   SELECT word, cnt,
          list_reduce(string_split(seq, ' '),
            (acc, x) -> CASE
-             WHEN x = w{i}.b
-                  AND (acc = w{i}.a OR ends_with(acc, ' ' || w{i}.a))
-             THEN left(acc, length(acc) - length(w{i}.a)) || w{i}.a || w{i}.b
+             WHEN x = wx{i}.b
+                  AND (acc = wx{i}.a OR ends_with(acc, ' ' || wx{i}.a))
+             THEN left(acc, length(acc) - length(wx{i}.a))
+                    || wx{i}.a || wx{i}.b
              ELSE acc || ' ' || x END) AS seq
-  FROM v{i - 1}, w{i}
+  FROM v{i - 1}, wx{i}
 ), t{i} AS (
   SELECT CAST(SUM(cnt * len(string_split(seq, ' '))) AS BIGINT)
              AS tokens_after
@@ -3051,6 +3059,7 @@ def bpe_encode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from another_map_reduce_spark.operators.bpe import (
         bpe_init_vocab,
         bpe_train,
+        word_occurrences,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3058,18 +3067,7 @@ def bpe_encode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = final_vocab.select(
         "word", F.size(F.split("seq", " ")).alias("ntok")
     )
-    occ = (
-        docs.select(
-            "lang",
-            F.explode(
-                F.split(
-                    F.regexp_replace(F.lower(F.col("text")), "[^a-z]", " "),
-                    " ",
-                )
-            ).alias("word"),
-        )
-        .where(F.col("word") != "")
-    )
+    occ = word_occurrences(docs, "text", "lang")
     return (
         occ.join(tok, "word")
         .groupBy("lang")

@@ -787,3 +787,39 @@ def test_anomaly_zscore_flags_planted_spike(spark, tmp_path):
     assert got["spiky"].n_anomalies == 1
     assert got["spiky"].max_abs_z >= 3.0
     assert "flat" not in got  # zero variance excluded everywhere
+
+
+def test_kmv_sketch_ignores_null_keys(spark):
+    from another_map_reduce_spark.operators.sketches import kmv_sketch
+
+    df = spark.createDataFrame(
+        [("g", 1), ("g", None), ("g", 2)], "g string, v int"
+    )
+    sk = kmv_sketch(df, ["g"], "v", 8).collect()[0].sk
+    assert len(sk) == 2  # the NULL key never entered the sketch
+
+
+def test_audit_sql_quotes_and_empty_spec(spark):
+    """Apostrophes in in_set values must survive SQL generation; an
+    empty spec fails loudly."""
+    import duckdb
+    import pytest as _pytest
+
+    from another_map_reduce_spark.operators.audit import (
+        audit_oracle_sql,
+        run_audit,
+    )
+
+    spec = [
+        {"table": "t", "kind": "in_set", "col": "s",
+         "values": ["O'Brien", "plain"]},
+    ]
+    sql = audit_oracle_sql(spec)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW t AS SELECT * FROM (VALUES ('O''Brien'), "
+                "('other')) v(s)")
+    row = con.execute(sql).fetchone()
+    assert row[2] == 1 and row[3] == 2  # one violation ('other')
+
+    with _pytest.raises(ValueError, match="empty audit spec"):
+        run_audit({}, [])

@@ -120,3 +120,48 @@ def test_encode_accounting_consistency(spark):
     assert total == merges[-1]["tokens_after"]
     for r in rows:
         assert sum(len(s) for s in r.seq.split(" ")) == len(r.word)
+
+
+def test_encode_oracle_handles_early_exhaustion(spark, tmp_path):
+    """A corpus whose vocabulary fully merges before _BPE_N steps:
+    the trainer breaks early and BOTH engines must still produce the
+    same encode report (the oracle's padded-winner CTEs pass
+    sequences through once no pair remains)."""
+    import duckdb
+    import pandas as pd
+
+    from another_map_reduce_spark.plans.pipeline import (
+        _bpe_encode_oracle,
+        bpe_encode_report,
+    )
+
+    rows = [(1, "aa aa aa", "en", "s", 8), (2, "aa ab", "en", "s", 5)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    merges, _ = bpe_train(
+        bpe_init_vocab(spark.read.parquet(str(tmp_path / "documents.parquet"))),
+        8,
+    )
+    assert len(merges) < 8  # the early-exhaustion premise
+
+    got = (
+        bpe_encode_report(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    want = con.execute(_bpe_encode_oracle()).df()
+    pd.testing.assert_frame_equal(
+        got.astype({"chars_per_token": float}),
+        want.astype({"chars_per_token": float}),
+        check_dtype=False,
+    )

@@ -484,3 +484,18 @@ def test_phash_pairs_planted_neardups_and_bruteforce_parity(spark):
     # and the UDF hash agrees with the local function on every blob
     for doc, blob in blobs:
         assert hs[doc] == ahash64(blob)
+
+
+def test_ahash64_bigint_fallback_matches_numpy_path(monkeypatch):
+    """Force the arbitrary-precision path with a tiny threshold: both
+    paths must produce identical hashes (the int64-overflow guard for
+    multi-GB blobs changes arithmetic width, never the result)."""
+    from another_map_reduce_spark.operators import multimodal as mm
+
+    blobs = [bytes(range(256)) * 3, hashlib.sha256(b"z").digest() * 10]
+    fast = [mm.ahash64(b) for b in blobs]
+    monkeypatch.setattr(mm, "_AHASH_NUMPY_MAX_N", 4)
+    slow = [mm.ahash64(b) for b in blobs]
+    assert fast == slow
+    for b, h in zip(blobs, fast):
+        assert h == _ref_ahash(b)
