@@ -20,7 +20,7 @@ The reference has no counterpart for any of these
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -231,6 +231,39 @@ def hash_sample(key: Column, rate_hex2: Column | str) -> Column:
         F.md5(F.concat(F.lit("amrs-sample-v1"), key.cast("string"))), 1, 2
     )
     return prefix < rate
+
+
+def class_balanced_sample(
+    df: DataFrame,
+    class_col: str,
+    key: Column,
+    salt: str = "amrs-balance-v1",
+) -> DataFrame:
+    """Exact class-balanced downsampling: every class keeps the SAME
+    number of rows — the size of the smallest class — chosen by
+    deterministic md5 rank, so the subset is stable under reruns and
+    repartitioning (the class-imbalance remedy applied before training
+    on skewed label/source distributions).
+
+    Plan shape: one class-keyed exchange for the rank window plus a
+    |classes|-row broadcast of the min class size; at 100 TB both the
+    window and the filter are per-class local work.  Hash-rank (not
+    rand()) makes the kept set engine-portable: the oracle replays it
+    row-for-row.
+    """
+    r = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    w = Window.partitionBy(class_col).orderBy(r.asc(), key.asc())
+    ranked = df.withColumn("_rk", F.row_number().over(w))
+    n_min = (
+        df.groupBy(class_col)
+        .count()
+        .agg(F.min("count").alias("_nmin"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n_min))
+        .where(F.col("_rk") <= F.col("_nmin"))
+        .drop("_rk", "_nmin")
+    )
 
 
 # ---------------------------------------------------------------------------

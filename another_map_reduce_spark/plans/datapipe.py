@@ -218,6 +218,58 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "class_balanced_sample",
+    oracle="""
+WITH ranked AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+             ORDER BY md5('amrs-balance-v1' || CAST(doc_id AS VARCHAR)),
+                      doc_id) AS rk
+  FROM documents
+), nmin AS (
+  SELECT MIN(cnt) AS nmin
+  FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY lang)
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+FROM ranked, nmin WHERE rk <= nmin
+GROUP BY lang ORDER BY lang
+""",
+)
+def class_balanced_sample_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact class-balanced downsampling (operators/datapipe.
+    class_balanced_sample): every language keeps exactly the smallest
+    language's row count, selected by deterministic md5 rank — the
+    class-imbalance remedy stratified_sample's rate-based thinning
+    can't guarantee (rates approximate proportions; rank equalizes
+    them exactly).  id_checksum pins the EXACT kept row set on both
+    engines, not just its size.
+
+    Plan shape: one class-keyed exchange for the rank window + a
+    1-row broadcast of the min class size; stable under reruns,
+    repartitioning, and appends-with-new-keys.  [extension].
+    """
+    from another_map_reduce_spark.operators.datapipe import (
+        class_balanced_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = class_balanced_sample(docs, "lang", F.col("doc_id"))
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Repetition signals + decontamination
 # ---------------------------------------------------------------------------

@@ -2700,21 +2700,25 @@ def pipeline_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RP_D, _RP_M = 64, 16
 
 
-def _rp_oracle() -> str:
-    """Oracle with the SAME ±1 matrix constants as the Spark plan —
-    each projection component is a list_dot_product against a literal
-    sign list, matching rp_dot's left-to-right fold exactly."""
+def _rp_comps_sql() -> str:
+    """The m projection components as SQL: one list_dot_product per
+    literal sign row — the SAME ±1 constants as the Spark plan,
+    matching rp_dot's left-to-right fold exactly."""
     from another_map_reduce_spark.operators.similarity import (
         sign_projection_matrix,
     )
 
     signs = sign_projection_matrix(_RP_D, _RP_M)
-    comps = ",\n           ".join(
+    return ",\n           ".join(
         "list_dot_product(e, ["
         + ", ".join(str(c) for c in row)
         + "])"
         for row in signs
     )
+
+
+def _rp_oracle() -> str:
+    comps = _rp_comps_sql()
     return f"""
 WITH e0 AS (
   SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -2813,6 +2817,127 @@ def embedding_rp_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_ratio",
             "min_ratio",
             "max_ratio",
+        )
+        .orderBy("label")
+    )
+
+
+def _rp_recall_oracle() -> str:
+    """Recall@5 of projected-space vs original-space brute-force
+    top-k, replayed end-to-end: both rankings, the per-query overlap,
+    and the per-label report."""
+    comps = _rp_comps_sql()
+    return f"""
+WITH e0 AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), pr AS (
+  SELECT vec_id, label, [{comps}] AS p FROM e0
+), sx AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cid,
+         list_dot_product(a.e, b.e)
+           / (sqrt(list_dot_product(a.e, a.e))
+              * sqrt(list_dot_product(b.e, b.e))) AS cos
+  FROM e0 a, e0 b
+  WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id
+), sp AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cid,
+         list_dot_product(a.p, b.p)
+           / (sqrt(list_dot_product(a.p, a.p))
+              * sqrt(list_dot_product(b.p, b.p))) AS cos
+  FROM pr a, pr b
+  WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id
+), tx AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid)
+               AS rk
+    FROM sx) WHERE rk <= 5
+), tp AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid)
+               AS rk
+    FROM sp) WHERE rk <= 5
+), hits AS (
+  SELECT tx.qid, COUNT(*) AS m
+  FROM tx JOIN tp ON tx.qid = tp.qid AND tx.cid = tp.cid
+  GROUP BY tx.qid
+), perq AS (
+  SELECT q.vec_id AS qid, q.label,
+         COALESCE(hits.m, 0) / 5.0 AS recall
+  FROM (SELECT vec_id, label FROM embeddings WHERE vec_id % 50 = 0) q
+  LEFT JOIN hits ON hits.qid = q.vec_id
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CAST(recall AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+           AS avg_recall,
+       MIN(recall) AS min_recall
+FROM perq GROUP BY label ORDER BY label
+"""
+
+
+@register("rp_ann_recall", oracle=_rp_recall_oracle())
+def rp_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the JL projection: recall@5 of
+    projected-space (16-dim) brute-force top-k against original-space
+    (64-dim) ground truth, per query label — the harness every ANN /
+    dimensionality-reduction deployment signs off with, and the
+    retrieval complement of embedding_rp_distortion's geometric
+    report.
+
+    Both rankings are exact brute force over a SAMPLED query set
+    (vec_id % 50) — the standard eval shape: ground truth is
+    quadratic, so you sample queries, never the corpus.  Cosines are
+    bit-identical cross-engine (in-order dot-product folds, the
+    ann_cosine_topk precedent), top-k ties break on cid, and recalls
+    are exact fifths, so the driver hash is exact.  The projected
+    frame is checkpointed: 16 doubles/row feed both join sides
+    without re-projecting.  [extension].
+    """
+    from another_map_reduce_spark.operators.similarity import (
+        cosine_topk,
+        rp_project,
+        sign_projection_matrix,
+    )
+
+    signs = sign_projection_matrix(_RP_D, _RP_M)
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    proj = base.select(
+        "vec_id", "label", rp_project(F.col("e"), signs).alias("embedding")
+    ).localCheckpoint(eager=True)
+    qpred = F.col("vec_id") % 50 == 0
+    top_x = cosine_topk(emb, emb.where(qpred), k=5)
+    top_p = cosine_topk(proj, proj.where(qpred), k=5)
+    hits = (
+        top_x.select("qid", "cid")
+        .join(top_p.select("qid", "cid"), ["qid", "cid"])
+        .groupBy("qid")
+        .agg(F.count("*").alias("m"))
+    )
+    perq = (
+        emb.where(qpred)
+        .select(F.col("vec_id").alias("qid"), "label")
+        .join(hits, "qid", "left")
+        .select(
+            "label",
+            (F.coalesce(F.col("m"), F.lit(0)) / F.lit(5.0)).alias("recall"),
+        )
+    )
+    return (
+        perq.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            (
+                F.sum(F.col("recall").cast("decimal(38,6)")).cast("double")
+                / F.count("*")
+            ).alias("avg_recall"),
+            F.min("recall").alias("min_recall"),
         )
         .orderBy("label")
     )

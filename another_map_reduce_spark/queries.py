@@ -144,6 +144,8 @@ _ORDER_NEXT = [
     "snapshot_diff_orders",
     "incremental_agg_retraction",
     "timeseries_anomaly_zscore",
+    "class_balanced_sample",
+    "rp_ann_recall",
     "quantile_cutpoint_buckets",
     "bm25_retrieval",
     "scd2_order_history",

@@ -266,3 +266,29 @@ def test_length_batching_sorted_never_worse(spark, sf_dir):
     assert rows["sorted"].n_batches == rows["random"].n_batches
     assert rows["sorted"].pad_frac <= rows["random"].pad_frac
     assert rows["sorted"].padded_tokens <= rows["random"].padded_tokens
+
+
+def test_class_balanced_sample_equalizes_exactly(spark):
+    """Every class keeps exactly min-class-size rows, chosen
+    deterministically (same set across reruns/repartitioning)."""
+    from another_map_reduce_spark.operators.datapipe import (
+        class_balanced_sample,
+    )
+
+    rows = [(i, "big") for i in range(100)] + [
+        (1000 + i, "small") for i in range(7)
+    ] + [(2000 + i, "mid") for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, cls string")
+    kept = class_balanced_sample(df, "cls", F.col("id")).collect()
+    by_cls: dict[str, set] = {}
+    for r in kept:
+        by_cls.setdefault(r.cls, set()).add(r.id)
+    assert {c: len(s) for c, s in by_cls.items()} == {
+        "big": 7, "small": 7, "mid": 7
+    }
+    assert by_cls["small"] == set(range(1000, 1007))  # whole min class
+    # determinism under a different partitioning
+    kept2 = class_balanced_sample(
+        df.repartition(13), "cls", F.col("id")
+    ).collect()
+    assert {(r.cls, r.id) for r in kept2} == {(r.cls, r.id) for r in kept}
