@@ -1496,6 +1496,93 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Path patterns shared by the Spark plan and the oracle — RE2/Java
+# portable subset only (no lookaround, no backrefs).  Letters are the
+# event types' unique initials (C click, E error, P purchase, S
+# signup, V view).
+_PATH_PATTERNS = [
+    ("view_click_purchase", "V.*C.*P"),  # ordered subsequence
+    ("view_then_click_adjacent", "VC"),  # contiguous pair
+    ("ends_with_error", "E$"),
+    ("purchase_before_any_error", "^[^E]*P"),
+]
+
+_PATH_SQL = f"""
+WITH paths AS (
+  SELECT user_id,
+         string_agg(substr(upper(event_type), 1, 1), ''
+                    ORDER BY ts, event_id) AS path
+  FROM events GROUP BY user_id
+), total AS (SELECT COUNT(*) AS n FROM paths)
+{" UNION ALL ".join(
+    f"SELECT '{name}' AS pattern, "
+    f"CAST(COUNT(*) FILTER (regexp_matches(path, '{rx}')) AS BIGINT) "
+    f"AS n_users, "
+    f"round(CAST(COUNT(*) FILTER (regexp_matches(path, '{rx}')) AS DOUBLE)"
+    f" / (SELECT n FROM total), 4) AS share FROM paths"
+    for name, rx in _PATH_PATTERNS
+)}
+ORDER BY pattern
+"""
+
+
+@register("event_path_regex", oracle=_PATH_SQL)
+def event_path_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over per-user event paths — the
+    MATCH_RECOGNIZE-style capability (path analysis: "did the user
+    view, then click, then purchase?") the staged-join funnel can't
+    express for free-form patterns: each user's events collapse to a
+    string of event-type initials in (ts, event_id) order, and
+    patterns are plain regexes from the RE2/Java-portable subset, so
+    both engines match identically.
+
+    Scale shape: ONE user-keyed exchange builds the paths (the same
+    exchange any per-user analysis pays); pattern matching is
+    map-side.  Paths are bounded by per-user activity — a power user
+    with millions of events would need a per-user event cap or
+    windowed paths (the standard remedy), noted not needed at this
+    fixture's fan-out.  Determinism: (ts, event_id) is a total order,
+    and the five event types have unique initials.  [extension].
+    """
+    ev = load_table(spark, sf_dir, "events")
+    letter = F.substring(F.upper(F.col("event_type")), 1, 1)
+    paths = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("ts"), F.col("event_id"), letter.alias("l")
+                        )
+                    )
+                ),
+                lambda x: x["l"],
+            ),
+            "",
+        ).alias("path")
+    )
+    paths = paths.localCheckpoint(eager=True)  # one build, N pattern scans
+    total = paths.count()
+    frames = [
+        paths.agg(
+            F.lit(name).alias("pattern"),
+            F.sum(F.col("path").rlike(rx).cast("long"))
+            .cast("long")
+            .alias("n_users"),
+            F.round(
+                F.sum(F.col("path").rlike(rx).cast("long")).cast("double")
+                / F.lit(float(total)),
+                4,
+            ).alias("share"),
+        )
+        for name, rx in _PATH_PATTERNS
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("pattern")
+
+
 _ANOM_SQL = """
 WITH hourly AS (
   SELECT event_type, DATE_TRUNC('hour', ts) AS hr,

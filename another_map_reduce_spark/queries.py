@@ -146,6 +146,7 @@ _ORDER_NEXT = [
     "timeseries_anomaly_zscore",
     "class_balanced_sample",
     "rp_ann_recall",
+    "event_path_regex",
     "quantile_cutpoint_buckets",
     "bm25_retrieval",
     "scd2_order_history",

@@ -823,3 +823,41 @@ def test_audit_sql_quotes_and_empty_spec(spark):
 
     with _pytest.raises(ValueError, match="empty audit spec"):
         run_audit({}, [])
+
+
+def test_event_path_regex_on_crafted_paths(spark, tmp_path):
+    """Hand-checkable paths: pattern semantics (subsequence vs
+    contiguous vs anchors) and the (ts, event_id) total order."""
+    import datetime as dt
+
+    from another_map_reduce_spark.plans.analytics import event_path_regex
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, user, minute, typ):
+        return (eid, t0 + dt.timedelta(minutes=minute), user, typ, 0.0, "{}")
+
+    rows = [
+        # user 1: V C P  -> subsequence yes, adjacent VC yes, no error
+        ev(1, 1, 0, "view"), ev(2, 1, 1, "click"), ev(3, 1, 2, "purchase"),
+        # user 2: V S C E P E -> subsequence yes (V..C..P), VC not
+        # adjacent, ends with error, purchase NOT before first error
+        ev(4, 2, 0, "view"), ev(5, 2, 1, "signup"), ev(6, 2, 2, "click"),
+        ev(7, 2, 3, "error"), ev(8, 2, 4, "purchase"), ev(9, 2, 5, "error"),
+        # user 3: same-ts tie broken by event_id: C(10) then V(11) -> "CV"
+        ev(10, 3, 0, "click"), ev(11, 3, 0, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.pattern: r for r in event_path_regex(spark, str(tmp_path)).collect()
+    }
+    assert got["view_click_purchase"].n_users == 2  # users 1, 2
+    assert got["view_then_click_adjacent"].n_users == 1  # user 1 only
+    assert got["ends_with_error"].n_users == 1  # user 2
+    assert got["purchase_before_any_error"].n_users == 1  # user 1
+    assert got["view_click_purchase"].share == round(2 / 3, 4)
