@@ -430,6 +430,187 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic late-data relay constants, shared with the oracle.
+_LATE_C1 = "2024-01-12"
+_LATE_C2 = "2024-01-22"
+_LATE_MOD = 7  # every 7th early event arrives one relay-batch late
+
+_LATE_SQL = f"""
+WITH b0 AS (
+  SELECT ts FROM events
+  WHERE ts < TIMESTAMP '{_LATE_C1}' AND event_id % {_LATE_MOD} <> 0
+), b1 AS (
+  SELECT ts FROM events
+  WHERE ts >= TIMESTAMP '{_LATE_C1}' AND ts < TIMESTAMP '{_LATE_C2}'
+), b2 AS (
+  SELECT ts FROM events
+  WHERE ts >= TIMESTAMP '{_LATE_C2}'
+     OR (ts < TIMESTAMP '{_LATE_C1}' AND event_id % {_LATE_MOD} = 0)
+), wm0 AS (
+  -- the LATE-DATA FILTER watermark for the b2 batch: Spark filters
+  -- late input with the PREVIOUS batch's watermark (max of b0 − 30m,
+  -- the value in force while b1 ran) and evicts with the current one
+  -- — one window straddles the two on this fixture, so the lag is
+  -- observable, not a modeling nicety
+  SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM b0
+), wmf AS (
+  SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM events
+), dropped AS (
+  SELECT COUNT(DISTINCT DATE_TRUNC('hour', ts)) AS d,
+         COUNT(*) AS lost
+  FROM b2
+  WHERE DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm0)
+), accepted AS (
+  SELECT ts FROM b0
+  UNION ALL
+  SELECT ts FROM b1
+  UNION ALL
+  SELECT ts FROM b2
+  WHERE DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR > (SELECT w FROM wm0)
+), emitted AS (
+  SELECT DATE_TRUNC('hour', ts) AS h, COUNT(*) AS n FROM accepted
+  GROUP BY 1
+  HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wmf)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(n) AS BIGINT) AS total_events,
+       CAST((SELECT d FROM dropped) AS BIGINT) AS windows_dropped_late,
+       CAST((SELECT lost FROM dropped) AS BIGINT) AS events_lost_late,
+       CAST(3 AS BIGINT) AS n_data_batches
+FROM emitted
+"""
+
+
+@register("stream_late_data_accounting", oracle=_LATE_SQL)
+def stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data OBSERVABILITY — the accounting side of the watermark
+    contract the other streaming rows only enforce: a 3-file relay
+    re-delivers every 7th early event two micro-batches late, and the
+    query reports what the watermark actually dropped beside the
+    emitted-window totals — the numbers an ingest SLO dashboard
+    watches.
+
+    Three behaviors MEASURED here (each surprised the naive model; the
+    hash pins them all):
+
+    * Eviction happens at batch END, so data arriving ONE batch after
+      its window's peers still merges into live state and is emitted
+      with full counts — only data arriving after the eviction batch
+      is dropped.  Hence the two-batch delay in this relay.
+    * The late-data filter uses the PREVIOUS batch's watermark while
+      eviction uses the current one (Spark's two-watermark batch
+      contract): b2's drops compare window ends against max(b0) −
+      30 min, not max(b0∪b1) − 30 min, and one fixture window
+      straddles the two — it is accepted, merged into its still-live
+      state, and emitted with its late row.
+    * ``numRowsDroppedByWatermark`` counts post-shuffle PARTIAL rows
+      at the state operator — one per closed (window) per batch — not
+      raw input rows.  The report exposes it as
+      ``windows_dropped_late`` and derives ``events_lost_late`` from
+      the relay's own b2 slice against the same filter watermark.
+
+    The oracle replays the micro-batch schedule in SQL — per-batch
+    filter/eviction watermarks, the ``<=`` window-end comparator (the
+    one stream_events_hourly_append pinned boundary-exact), survivors
+    into emitted windows — so the hash match proves the drop rule AND
+    that the progress-metric accounting agrees with the semantic
+    replay.
+    File order is forced (sequential writes + spaced mtimes); the
+    relay materializes the fixture driver-side (a demo-rig
+    constraint, not an operator one — production reads real arrival
+    order).
+    """
+    import os
+    import tempfile
+    import hashlib
+    import json
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    c1 = F.lit(_LATE_C1).cast("timestamp")
+    c2 = F.lit(_LATE_C2).cast("timestamp")
+    late = F.col("event_id") % _LATE_MOD == 0
+    # the late slice arrives TWO batches after its peers: state for its
+    # windows is evicted at the end of the b1 batch, so b2's late rows
+    # hit closed windows and are dropped (a one-batch delay would merge
+    # into still-live state — eviction happens at batch END, measured)
+    splits = [
+        ev.where((F.col("ts") < c1) & ~late),
+        ev.where((F.col("ts") >= c1) & (F.col("ts") < c2)),
+        ev.where(
+            (F.col("ts") >= c2) | ((F.col("ts") < c1) & late)
+        ),
+    ]
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"amrs_late_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    for i, s in enumerate(splits):
+        pdf = s.select("ts").toPandas()
+        p = os.path.join(src, f"b{i}.parquet")
+        pdf.to_parquet(
+            p, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(p, (1000 * (i + 1), 1000 * (i + 1)))  # force file order
+
+    schema = spark.read.parquet(src).schema
+    windowed = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        # pandas wrote TIMESTAMP_NTZ; the session timezone is pinned
+        # UTC (session.py), so this cast is value-preserving
+        .select(F.col("ts").cast("timestamp").alias("ts"))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    qname = _fresh_sink_name("stream_late_accounting")
+    with _stream_shuffle_partitions(spark):
+        q = (
+            windowed.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dropped_windows = 0
+        data_batches = 0
+        for p in q.recentProgress:
+            obj = json.loads(p.json) if hasattr(p, "json") else p
+            if obj.get("numInputRows", 0) > 0:
+                data_batches += 1
+            for op in obj.get("stateOperators", []):
+                dropped_windows += op.get("numRowsDroppedByWatermark", 0)
+
+    # lost INPUT rows: the b2 slice against the LATE-DATA FILTER
+    # watermark in force for that batch — Spark filters late input
+    # with the PREVIOUS batch's watermark (max ts of b0 − delay) and
+    # evicts with the current one, so this is wm after b0, not b1
+    wm0 = splits[0].agg(
+        (F.max("ts") - F.expr("INTERVAL 30 MINUTES")).alias("w")
+    )
+    lost = (
+        splits[2]
+        .crossJoin(F.broadcast(wm0))
+        .where(
+            F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR")
+            <= F.col("w")
+        )
+        .count()
+    )
+    return spark.table(qname).agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum("n").cast("long").alias("total_events"),
+        F.lit(dropped_windows).cast("long").alias("windows_dropped_late"),
+        F.lit(lost).cast("long").alias("events_lost_late"),
+        F.lit(data_batches).cast("long").alias("n_data_batches"),
+    )
+
+
 # Registry-order repair: if THIS module was the user's first import, the
 # circular import through queries._load() saw it partially initialized
 # and ordered the registry without its entries (they append afterwards).

@@ -147,6 +147,7 @@ _ORDER_NEXT = [
     "class_balanced_sample",
     "rp_ann_recall",
     "event_path_regex",
+    "stream_late_data_accounting",
     "quantile_cutpoint_buckets",
     "bm25_retrieval",
     "scd2_order_history",

@@ -778,3 +778,72 @@ def test_foreachbatch_upsert_runs_multiple_batches(spark, sf_dir):
     state = spark.read.parquet(os.path.join(root, "state"))
     assert state.count() == state.select("user_id").distinct().count()
     assert sum(out.values()) == state.count()
+
+
+def test_late_filter_uses_previous_batch_watermark(spark, tmp_path):
+    """Pins the two-watermark batch contract stream_late_data_
+    accounting's oracle models: late input is filtered with the
+    PREVIOUS batch's watermark while eviction uses the current one —
+    so a late row whose window closed under the current-but-not-
+    previous watermark is ACCEPTED and emitted with its window."""
+    import json
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    h = pd.Timedelta(hours=1)
+    files = [
+        # b0: window [00,01) with 2 rows; max ts 00:10
+        pd.DataFrame({"ts": [t0, t0 + pd.Timedelta(minutes=10)]}),
+        # b1: advances wm to 09:30 (> [00,01) end) via ts 10:00
+        pd.DataFrame({"ts": [t0 + 10 * h]}),
+        # b2: a late row for [00,01).  The CURRENT wm (09:30, from
+        # b1's max) has closed that window, but the FILTER wm is the
+        # PREVIOUS batch's value — max(b0) − 30min = Dec 31 23:40 —
+        # under which [00,01) is still open, so the row must be
+        # accepted and merged.
+        pd.DataFrame({"ts": [t0 + pd.Timedelta(minutes=20)]}),
+        # b3: pushes the final watermark far ahead so [00,01) flushes
+        pd.DataFrame({"ts": [t0 + 30 * h]}),
+    ]
+    d = tmp_path / "latefilter"
+    d.mkdir()
+    for i, pdf in enumerate(files):
+        p = d / f"b{i}.parquet"
+        pdf.to_parquet(p, coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+        os.utime(p, (1000 * (i + 1), 1000 * (i + 1)))
+    schema = spark.read.parquet(str(d)).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .select(F.col("ts").cast("timestamp").alias("ts"))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .writeStream.format("memory")
+        .queryName("late_filter_probe")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        r.w.start.isoformat(): r.n
+        for r in spark.table("late_filter_probe").collect()
+    }
+    # b2's late row was filtered with the PREVIOUS wm (23:40 Dec 31,
+    # window still open) and merged: [00,01) emits n=3, not n=2.
+    # Eviction of [00,01) happened at the END of the b2 batch (current
+    # wm 09:30), i.e. WITH the late row already merged.
+    assert rows["2024-01-01T00:00:00"] == 3
+    dropped = 0
+    for p in q.recentProgress:
+        obj = json.loads(p.json) if hasattr(p, "json") else p
+        for op in obj.get("stateOperators", []):
+            dropped += op.get("numRowsDroppedByWatermark", 0)
+    assert dropped == 0  # nothing was ever late to the FILTER wm
