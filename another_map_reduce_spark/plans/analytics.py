@@ -1496,6 +1496,85 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (table, key) pairs the skew diagnosis audits — the join/agg keys the
+# suite's skew remedies (salting, AQE splitting) would be pointed at.
+_SKEWDIAG_KEYS = [
+    ("events", "user_id"),
+    ("lineitem", "l_partkey"),
+    ("orders", "o_custkey"),
+]
+
+_SKEWDIAG_SQL = " UNION ALL ".join(
+    f"""
+SELECT '{t}' AS tbl, '{k}' AS key_col,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+       round(CAST(SUM(cnt) AS DOUBLE) / COUNT(*), 4) AS avg_cnt,
+       round(quantile_cont(CAST(cnt AS DOUBLE), 0.99), 4) AS p99_cnt,
+       round(CAST(MAX(cnt) AS DOUBLE) * COUNT(*) / SUM(cnt), 4)
+           AS max_over_avg
+FROM (SELECT {k}, COUNT(*) AS cnt FROM {t} GROUP BY {k})
+"""
+    for t, k in _SKEWDIAG_KEYS
+) + " ORDER BY tbl"
+
+
+@register("skew_diagnosis_report", oracle=_SKEWDIAG_SQL)
+def skew_diagnosis_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution diagnosis — the report you run BEFORE choosing
+    a join/agg strategy at 100 TB: per candidate shuffle key, the key
+    count, the hottest key's row count, the p99, and the max/avg skew
+    ratio (the number that decides between a plain shuffle, AQE skew
+    splitting, and salting — the remedies skew_join_aqe /
+    skew_salted_agg implement).
+
+    Aggregate-then-aggregate: the corpus collapses to (key, cnt) in
+    one map-side-combined exchange; the diagnosis then aggregates the
+    key frame, so the report costs one pass per audited key.
+    percentile_cont over BIGINT counts interpolates with
+    exactly-rounded IEEE ops (the funnel_time_to_convert precedent),
+    and avg/ratio divisions are single rounded ops — hash-exact
+    cross-engine.  [extension].
+    """
+    frames = []
+    for t, k in _SKEWDIAG_KEYS:
+        counts = (
+            load_table(spark, sf_dir, t)
+            .groupBy(k)
+            .agg(F.count("*").alias("cnt"))
+        )
+        frames.append(
+            counts.agg(
+                F.lit(t).alias("tbl"),
+                F.lit(k).alias("key_col"),
+                F.sum("cnt").cast("long").alias("n_rows"),
+                F.count("*").cast("long").alias("n_keys"),
+                F.max("cnt").cast("long").alias("max_cnt"),
+                F.round(
+                    F.sum("cnt").cast("double") / F.count("*"), 4
+                ).alias("avg_cnt"),
+                F.round(
+                    F.expr(
+                        "percentile_cont(0.99) WITHIN GROUP "
+                        "(ORDER BY CAST(cnt AS DOUBLE))"
+                    ),
+                    4,
+                ).alias("p99_cnt"),
+                F.round(
+                    F.max("cnt").cast("double")
+                    * F.count("*")
+                    / F.sum("cnt"),
+                    4,
+                ).alias("max_over_avg"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("tbl")
+
+
 # Path patterns shared by the Spark plan and the oracle — RE2/Java
 # portable subset only (no lookaround, no backrefs).  Letters are the
 # event types' unique initials (C click, E error, P purchase, S

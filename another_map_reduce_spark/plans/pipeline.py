@@ -2943,6 +2943,71 @@ def rp_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rp_topk_oracle() -> str:
+    """Brute-force top-10 IN PROJECTED SPACE — with the IVF probed at
+    nprobe = cells the decomposition is lossless, so the composed
+    project→index→probe plan must reproduce this ranking exactly."""
+    comps = _rp_comps_sql()
+    return f"""
+WITH e0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), pr AS (
+  SELECT vec_id, [{comps}] AS p FROM e0
+), scored AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cid,
+         list_dot_product(a.p, b.p)
+           / (sqrt(list_dot_product(a.p, a.p))
+              * sqrt(list_dot_product(b.p, b.p))) AS cos
+  FROM pr a, pr b
+  WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+), ranked AS (
+  SELECT qid, cid, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid)
+             AS rank
+  FROM scored
+)
+SELECT qid, cid, cos, rank FROM ranked WHERE rank <= 10
+ORDER BY qid, rank
+"""
+
+
+@register("ann_ivf_rp_topk", oracle=_rp_topk_oracle())
+def ann_ivf_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The project→index→probe COMPOSITION — how a production ANN
+    stack actually deploys the two pieces: embeddings are JL-projected
+    64 → 16 dims (4× smaller index, 4× cheaper scoring), THEN the IVF
+    index is trained and probed entirely in projected space.
+
+    Probed at nprobe = cells, the IVF decomposition is lossless, so
+    the composed plan must reproduce brute-force top-10 in PROJECTED
+    space exactly — the same proof contract as ann_ivf_topk, now with
+    the projection (SQL-replayable, unlike the k-means model) composed
+    in front.  What the composition costs in RECALL against the
+    original space is rp_ann_recall's separately-measured number;
+    this row proves the plumbing loses nothing beyond it.
+    [extension].
+    """
+    from another_map_reduce_spark.operators.similarity import (
+        ivf_topk,
+        rp_project,
+        sign_projection_matrix,
+    )
+
+    signs = sign_projection_matrix(_RP_D, _RP_M)
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = (
+        emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+        .select("vec_id", rp_project(F.col("e"), signs).alias("embedding"))
+        .localCheckpoint(eager=True)
+    )
+    return ivf_topk(
+        proj, proj.where(F.col("vec_id") < 10), k=10, nprobe=16
+    )
+
+
 # ---------------------------------------------------------------------------
 # Perceptual-hash media dedup (operators/multimodal.py)
 # ---------------------------------------------------------------------------

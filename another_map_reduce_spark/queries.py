@@ -148,6 +148,8 @@ _ORDER_NEXT = [
     "rp_ann_recall",
     "event_path_regex",
     "stream_late_data_accounting",
+    "ann_ivf_rp_topk",
+    "skew_diagnosis_report",
     "quantile_cutpoint_buckets",
     "bm25_retrieval",
     "scd2_order_history",
