@@ -611,6 +611,86 @@ def stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_session_windows",
+    oracle="""
+WITH wm AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM events),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess_no
+  FROM flagged
+), sess AS (
+  SELECT user_id, MIN(ts) AS sess_start, MAX(ts) AS sess_last,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM numbered
+  GROUP BY user_id, sess_no
+)
+SELECT user_id, sess_start, sess_last, n_events
+FROM sess
+WHERE sess_last + INTERVAL 30 MINUTE <= (SELECT w FROM wm)
+ORDER BY user_id, sess_start
+""",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION windows on the incremental streaming path — the third
+    and last window species (tumbling ``stream_events_hourly_append``,
+    sliding ``stream_sliding_counts``, now gap-merged sessions), via
+    ``streaming/windows.py::session_agg`` (``F.session_window``,
+    30-minute gap) in APPEND mode with a 30-minute watermark, drained
+    with ``Trigger.AvailableNow``.
+
+    Session state is the hardest of the three at scale: windows are
+    per-key DYNAMIC (no slide-aligned bucketing to shard by), and a
+    new event can MERGE two open sessions, so the store keys sessions
+    by (user, start) and the commit path rewrites merged spans — still
+    one shuffle on the grouping key, state linear in OPEN sessions
+    only.  A closed session is emitted once the watermark passes its
+    gap horizon: end = last event + gap, emitted iff end ≤ max(ts) −
+    30 min — the same ``<=`` comparator the tumbling row pins with a
+    boundary-exact test.  The oracle is the PROVEN gaps-and-islands
+    SQL of batch twin ``session_windows_batch`` (new session iff gap
+    ≥ 30 min) plus that eviction cutoff; ``sess_last = end − gap``
+    maps Spark's window span back to observed event time.  [extension].
+    """
+    from another_map_reduce_spark.streaming.windows import session_agg
+
+    raw = _events_readstream(spark, sf_dir)
+    sessions = session_agg(
+        raw, gap="30 minutes", watermark="30 minutes", ts_col="ts"
+    )
+    qname = _fresh_sink_name("stream_sessions")
+    with _stream_shuffle_partitions(spark):
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(qname)
+        .select(
+            "user_id",
+            "sess_start",
+            (F.col("sess_end") - F.expr("INTERVAL 30 minutes")).alias(
+                "sess_last"
+            ),
+            "n_events",
+        )
+        .orderBy("user_id", "sess_start")
+    )
+
+
 # Registry-order repair: if THIS module was the user's first import, the
 # circular import through queries._load() saw it partially initialized
 # and ordered the registry without its entries (they append afterwards).

@@ -150,6 +150,7 @@ _ORDER_NEXT = [
     "stream_late_data_accounting",
     "ann_ivf_rp_topk",
     "skew_diagnosis_report",
+    "stream_session_windows",
     "quantile_cutpoint_buckets",
     "bm25_retrieval",
     "scd2_order_history",
