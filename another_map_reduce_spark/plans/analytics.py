@@ -2551,6 +2551,114 @@ def bloom_join_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("l_returnflag")
 
 
+_BASKET_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n_baskets AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM items
+), item_sup AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS sup FROM items GROUP BY 1
+), pair_sup AS (
+  SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+)
+SELECT p.item_a, p.item_b, p.support,
+       round(CAST(p.support AS DOUBLE) / sa.sup, 4) AS conf_a_to_b,
+       round(CAST(p.support AS DOUBLE) * (SELECT n FROM n_baskets)
+             / (CAST(sa.sup AS DOUBLE) * sb.sup), 4) AS lift
+FROM pair_sup p
+JOIN item_sup sa ON sa.l_partkey = p.item_a
+JOIN item_sup sb ON sb.l_partkey = p.item_b
+ORDER BY p.support DESC, p.item_a, p.item_b
+"""
+
+
+@register("market_basket_pairs", oracle=_BASKET_SQL)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis: frequent item PAIRS with confidence and
+    lift — the co-occurrence-counting workload (orders are baskets,
+    parts are items) every recommender/affinity pipeline runs.
+
+    Scale shape: ONE shuffle on the basket key builds deduped sorted
+    item arrays (collect_set folds map-side); pair generation is a
+    JVM-side array HOF (``transform``×``transform``→``flatten`` —
+    no self-join, no Python), so the pair stream is emitted inline and
+    immediately map-side-combined into the pair-count shuffle.  The
+    Σ|basket|² term is bounded by the order fan-out (≤ 7 lines/order
+    in this schema); a production run on unbounded baskets would cap
+    or split heavy baskets first — exactly what skew_diagnosis_report
+    measures.  Item supports are a part-cardinality frame: broadcast
+    to both sides of the enrichment join, so support → confidence →
+    lift adds ZERO wide stages.  Divisions are single rounded IEEE ops
+    on exact integers — hash-exact cross-engine.  [extension].
+    """
+    items = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    # Materialized once: pair counts, item supports, and the basket
+    # total all derive from this one shuffle's output (a lazy frame
+    # would re-run the basket build three times).
+    baskets = (
+        items.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
+        .localCheckpoint(eager=True)
+    )
+    pair_sup = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, (x, i) -> "
+                    "transform(slice(items, i + 2, size(items)), "
+                    "y -> struct(x AS item_a, y AS item_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(
+            F.col("p.item_a").alias("item_a"),
+            F.col("p.item_b").alias("item_b"),
+        )
+        .agg(F.count("*").cast("long").alias("support"))
+        .where(F.col("support") >= 3)
+    )
+    item_sup = baskets.select(
+        F.explode("items").alias("l_partkey")
+    ).groupBy("l_partkey").agg(F.count("*").cast("long").alias("sup"))
+    n_baskets = baskets.agg(F.count("*").cast("long").alias("n"))
+    return (
+        pair_sup.join(
+            F.broadcast(item_sup.withColumnsRenamed(
+                {"l_partkey": "item_a", "sup": "sup_a"}
+            )),
+            "item_a",
+        )
+        .join(
+            F.broadcast(item_sup.withColumnsRenamed(
+                {"l_partkey": "item_b", "sup": "sup_b"}
+            )),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "support",
+            F.round(
+                F.col("support").cast("double") / F.col("sup_a"), 4
+            ).alias("conf_a_to_b"),
+            F.round(
+                F.col("support").cast("double") * F.col("n")
+                / (F.col("sup_a").cast("double") * F.col("sup_b")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), "item_a", "item_b")
+    )
+
+
 # Registry-order repair: if THIS module was the user's first import, the
 # circular import through queries._load() saw it partially initialized
 # and ordered the registry without its entries (they append afterwards).

@@ -151,6 +151,7 @@ _ORDER_NEXT = [
     "ann_ivf_rp_topk",
     "skew_diagnosis_report",
     "stream_session_windows",
+    "market_basket_pairs",
     "quantile_cutpoint_buckets",
     "bm25_retrieval",
     "scd2_order_history",
