@@ -296,3 +296,56 @@ def triangle_stats(proj: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 6,
+) -> DataFrame:
+    """Multi-source BFS: label every node of the directed edge list
+    ``edges`` (src, dst) with its minimum hop distance from any node
+    of ``sources`` (one column ``node``), exploring at most
+    ``max_hops`` levels.  Returns (node, d) for every REACHED node;
+    callers union the unreached remainder themselves (they know the
+    node universe, this operator doesn't).
+
+    The frontier-expansion formulation — not per-round full
+    relaxation: each level joins only the NEWLY reached frontier
+    against the edge list, so total work is O(Σ frontier out-degree)
+    = O(|E|) across the whole traversal, the same bound as a
+    single-machine BFS.  Per level: one shuffle_hash join of the
+    frontier against the src-partitioned cached edge blocks (the
+    corpus-sized side is never re-shuffled — the pagerank discipline),
+    one distinct on the discovered nodes, one anti-join against the
+    settled set.  Each level is eagerly checkpointed: lineage stays
+    O(1) in depth, and an empty frontier short-circuits the loop with
+    a bounded 1-row driver check per level (the CC convergence-probe
+    precedent).  [extension] — the reference has no graph surface.
+    """
+    edges = edges.repartition("src").localCheckpoint(eager=False)
+    dist = (
+        sources.select("node", F.lit(0).cast("long").alias("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    for level in range(1, max_hops + 1):
+        nxt = (
+            edges.join(
+                frontier.withColumnRenamed("node", "src").hint(
+                    "shuffle_hash"
+                ),
+                "src",
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(level).cast("long").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("node")
+    return dist

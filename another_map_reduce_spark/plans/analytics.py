@@ -2551,6 +2551,112 @@ def bloom_join_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("l_returnflag")
 
 
+_BFS_SQL = f"""
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT l_suppkey AS src, {_PR_OFF} + o_custkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+), srcs AS (
+  SELECT DISTINCT s_suppkey AS node FROM supplier
+  WHERE s_nationkey = (SELECT MIN(s_nationkey) FROM supplier)
+), bfs(node, d) AS (
+  SELECT node, 0 FROM srcs
+  UNION
+  SELECT e.dst, b.d + 1 FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.d < 6
+), dist AS (
+  SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM bfs GROUP BY node
+), uni AS (
+  -- plain UNION would dedup, but under WITH RECURSIVE DuckDB gives a
+  -- non-self-referencing CTE's UNION recursive-union semantics (no
+  -- global dedup) — spell the dedup out
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT node FROM srcs
+  )
+), lab AS (
+  SELECT u.node, COALESCE(dist.d, CAST(-1 AS BIGINT)) AS d
+  FROM uni u LEFT JOIN dist ON u.node = dist.node
+)
+SELECT d, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(CASE WHEN node < {_PR_OFF} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_suppliers,
+       CAST(SUM(CASE WHEN node >= {_PR_OFF} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_customers
+FROM lab GROUP BY d ORDER BY d
+"""
+
+
+@register("graph_bfs_hops", oracle=_BFS_SQL)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop-distance histogram — the iterative graph
+    TRAVERSAL primitive (CC, PageRank, and triangles cover labeling,
+    ranking, and counting; this adds reachability): how far is every
+    node of the supplier↔customer trade graph from the suppliers of
+    the smallest present nation key (non-empty at every SF), in graph
+    hops, with unreached nodes reported as d = −1.
+
+    operators/graph.py::bfs_hops does frontier expansion — per level
+    one shuffle_hash join of the new frontier against src-partitioned
+    cached edge blocks, a distinct, and an anti-join against the
+    settled set, so total traversal work is O(|E|) regardless of
+    depth and an empty frontier short-circuits (bounded 1-row driver
+    probe per level, the CC precedent).  The oracle is a genuine
+    recursive CTE (UNION-dedup, depth-capped at the same 6), MIN(d)
+    per node — integer-exact both engines.  [extension].
+    """
+    from another_map_reduce_spark.operators.graph import bfs_hops
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.lit(_PR_OFF) + F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    min_nation = supplier.agg(F.min("s_nationkey").alias("mn"))
+    sources = (
+        supplier.crossJoin(F.broadcast(min_nation))
+        .where(F.col("s_nationkey") == F.col("mn"))
+        .select(F.col("s_suppkey").alias("node"))
+        .distinct()
+    )
+    dist = bfs_hops(edges, sources, max_hops=6)
+    uni = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(sources)
+        .distinct()
+    )
+    lab = uni.join(dist, "node", "left").select(
+        "node",
+        F.coalesce("d", F.lit(-1).cast("long")).alias("d"),
+    )
+    return (
+        lab.groupBy("d")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum(
+                F.when(F.col("node") < _PR_OFF, 1).otherwise(0)
+            ).cast("long").alias("n_suppliers"),
+            F.sum(
+                F.when(F.col("node") >= _PR_OFF, 1).otherwise(0)
+            ).cast("long").alias("n_customers"),
+        )
+        .orderBy("d")
+    )
+
+
 _BASKET_SQL = """
 WITH items AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -152,6 +152,7 @@ _ORDER_NEXT = [
     "skew_diagnosis_report",
     "stream_session_windows",
     "market_basket_pairs",
+    "graph_bfs_hops",
     "quantile_cutpoint_buckets",
     "bm25_retrieval",
     "scd2_order_history",
