@@ -2551,6 +2551,165 @@ def bloom_join_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("l_returnflag")
 
 
+_DPP_SQL = """
+SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE year(l_shipdate) IN (
+  SELECT year(o_orderdate) FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01'
+)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("dpp_partitioned_join", oracle=_DPP_SQL)
+def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the runtime complement to the
+    static skipping rows (sink_sorted_skipping, zorder): the fact
+    table's pruning predicate is NOT in the query text, it is the
+    RESULT of the dim-side subquery, so only a runtime mechanism can
+    skip partitions.
+
+    lineitem is materialized hive-partitioned by ship YEAR (the
+    layout a 100 TB fact table actually has); the dim side derives
+    the qualifying years from orders at runtime.  With the dim
+    broadcast, Spark reuses the broadcast result as a partition
+    filter on the fact SCAN (`dynamicpruning#N` in PartitionFilters —
+    pinned by a plan test), so the ~7-year layout reads only the
+    matching year directories instead of scan-then-discard.  At
+    100 TB this is the difference between reading 3/7 of the table
+    and reading all of it.  Revenue sums use the proven
+    decimal-exact ``dsum`` contract; the oracle computes the same
+    semi-join on the ORIGINAL table (layout-independence, the zorder
+    contract).  [extension].
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from another_map_reduce_spark.functions.aggs import dsum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    # Pid-free overwrite-in-place path, one per sf_dir (the zorder /
+    # hll materialization contract: serial harnesses, bounded residue).
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"amrs_dpp_fact_{tag}")
+    (
+        li.withColumn("l_year", F.year("l_shipdate"))
+        .write.mode("overwrite")
+        .partitionBy("l_year")
+        .parquet(path)
+    )
+    fact = spark.read.parquet(path)
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1996-01-01"))
+        .select(F.year("o_orderdate").alias("l_year"))
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), "l_year")
+        .groupBy(F.col("l_year").cast("long").alias("l_year"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+        )
+        .orderBy("l_year")
+    )
+
+
+_BUCKETED_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+           AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("bucketed_join_colocated", oracle=_BUCKETED_SQL)
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed CO-LOCATED join — the layout that removes the join
+    shuffle entirely: orders and lineitem are written ``bucketBy(8,
+    <key>)`` + ``sortBy`` into the session catalog, so both sides
+    arrive hash-partitioned AND sorted on the join key and the
+    sort-merge join consumes them IN PLACE — no Exchange on either
+    side, pinned by a plan test.  (A per-bucket in-memory sort
+    remains: Spark ≥3 ignores the on-disk ``sortBy`` order unless the
+    legacy bucketed-scan-ordering conf is set; the sort is cheap and
+    spill-bounded per bucket, the ELIMINATED cost is the corpus-wide
+    exchange.)
+
+    This is the §4 physical technique the fact-to-fact case needs:
+    broadcast handles small dims, DPP prunes partitioned facts, but
+    two corpus-sized tables joined repeatedly (orders⋈lineitem at
+    100 TB) amortize ONE bucketed write into shuffle-free joins
+    forever after — the lakehouse layout decision this repo's sinks
+    make expressible.  The oracle never sees the layout (the zorder
+    layout-independence contract): same join, original tables.
+    [extension].
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    # Overwrite-in-place, serial-harness contract as zorder/hll.  A
+    # FRESH session's in-memory catalog has forgotten the tables while
+    # their warehouse directories persist on disk, and saveAsTable
+    # refuses to adopt an existing unmanaged location — drop both and
+    # clear stale directories first (local-fs warehouse, the only
+    # layout this harness runs).
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for tbl in ("amrs_orders_bucketed", "amrs_lineitem_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+    # One file per bucket (repartition on the bucket key first), so
+    # the bucketed read arrives hash-partitioned with no Exchange.
+    (
+        orders.repartition(8, "o_orderkey")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable("amrs_orders_bucketed")
+    )
+    (
+        li.repartition(8, "l_orderkey")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable("amrs_lineitem_bucketed")
+    )
+    ob = spark.table("amrs_orders_bucketed")
+    lb = spark.table("amrs_lineitem_bucketed")
+    joined = ob.hint("merge").join(
+        lb, ob.o_orderkey == lb.l_orderkey
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(38,6)")
+            ).cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 _BFS_SQL = f"""
 WITH RECURSIVE e0 AS (
   SELECT DISTINCT l_suppkey AS src, {_PR_OFF} + o_custkey AS dst

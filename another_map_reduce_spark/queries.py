@@ -153,6 +153,8 @@ _ORDER_NEXT = [
     "stream_session_windows",
     "market_basket_pairs",
     "graph_bfs_hops",
+    "dpp_partitioned_join",
+    "bucketed_join_colocated",
     "quantile_cutpoint_buckets",
     "bm25_retrieval",
     "scd2_order_history",

@@ -861,3 +861,58 @@ def test_event_path_regex_on_crafted_paths(spark, tmp_path):
     assert got["ends_with_error"].n_users == 1  # user 2
     assert got["purchase_before_any_error"].n_users == 1  # user 1
     assert got["view_click_purchase"].share == round(2 / 3, 4)
+
+
+def test_dpp_partition_filter_in_executed_plan(spark, sf_dir):
+    """The fact-side scan must carry a dynamicpruning partition filter
+    (the whole point of the query); a regression to scan-then-discard
+    would still hash-match, so the plan is pinned explicitly."""
+    from another_map_reduce_spark.plans.analytics import dpp_partitioned_join
+
+    df = dpp_partitioned_join(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan
+
+
+def test_bfs_hops_on_crafted_graph(spark):
+    """Path + branch + disconnected node: distances and the early
+    frontier exhaustion are pinned on a graph small enough to check
+    by hand (1-2-3-4 path, 2-5 branch, 9 isolated via self-loop)."""
+    from another_map_reduce_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (2, 5), (5, 2),
+         (9, 9)],
+        "src long, dst long",
+    )
+    sources = spark.createDataFrame([(1,)], "node long")
+    dist = {r.node: r.d for r in bfs_hops(edges, sources, 6).collect()}
+    assert dist == {1: 0, 2: 1, 3: 2, 5: 2, 4: 3}
+
+
+def test_bfs_hops_depth_cap(spark):
+    """max_hops truncates the traversal: on the 1-2-3-4 path with
+    max_hops=2, node 4 must be absent."""
+    from another_map_reduce_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    sources = spark.createDataFrame([(1,)], "node long")
+    dist = {r.node: r.d for r in bfs_hops(edges, sources, 2).collect()}
+    assert dist == {1: 0, 2: 1, 3: 2}
+
+
+def test_bucketed_join_has_no_join_side_exchange(spark, sf_dir):
+    """Both scan sides are bucketed on the join key: the sort-merge
+    join must consume them with NO Exchange (the query's whole point;
+    a silent layout regression would still hash-match)."""
+    from another_map_reduce_spark.plans.analytics import (
+        bucketed_join_colocated,
+    )
+
+    df = bucketed_join_colocated(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "hashpartitioning(o_orderkey" not in plan
+    assert "hashpartitioning(l_orderkey" not in plan
