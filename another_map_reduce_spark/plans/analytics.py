@@ -2780,9 +2780,12 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Materialized once: the traversal and the node universe both
+    # consume the symmetrized edge list (a lazy frame would re-run
+    # the scan+join+distinct for each).
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
     supplier = load_table(spark, sf_dir, "supplier")
     min_nation = supplier.agg(F.min("s_nationkey").alias("mn"))
     sources = (
