@@ -80,6 +80,16 @@ REL_QUERIES = [
     "zorder_layout_skipping",
     "q1_pricing_summary",
     "q3_shipping_priority",
+    # round-8 continuation: pair mining (pair stream grows with Σ|b|²
+    # but baskets replicate disjointly → linear), frontier BFS (each
+    # replica is a disjoint component, so the frontier grows linearly
+    # and depth stays fixed), the DPP fact rewrite + pruned join, and
+    # the bucketed write + exchange-free SMJ (both dominated by the
+    # one-time layout write — the amortized join is the flat part)
+    "market_basket_pairs",
+    "graph_bfs_hops",
+    "dpp_partitioned_join",
+    "bucketed_join_colocated",
 ]
 
 REL_SCALES = [
