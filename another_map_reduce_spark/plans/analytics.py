@@ -2551,6 +2551,97 @@ def bloom_join_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("l_returnflag")
 
 
+_SCD2_LOOKUP_SQL = """
+WITH ranked AS (
+  SELECT user_id, ts, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), versions AS (
+  SELECT user_id, ts, event_id, CAST((rn - 1) // 10 AS BIGINT) AS tier
+  FROM ranked WHERE (rn - 1) % 10 = 0
+), l AS (
+  SELECT user_id, ts, event_id, 1 AS side, NULL::BIGINT AS tb,
+         NULL::BIGINT AS tier_asof
+  FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT user_id, ts, NULL::BIGINT AS event_id, 0 AS side,
+         event_id AS tb, tier AS tier_asof
+  FROM versions
+), u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+f AS (
+  SELECT user_id, side,
+         last_value(tier_asof IGNORE NULLS) OVER w AS tier
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, tb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM f WHERE side = 1
+GROUP BY tier ORDER BY tier
+"""
+
+
+@register("scd2_dimension_lookup", oracle=_SCD2_LOOKUP_SQL)
+def scd2_dimension_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension LOOKUP — the consume half of the versioned-
+    dimension story (scd2_order_history is the build half): each fact
+    row is enriched with the dimension version VALID AT FACT TIME,
+    the join every star-schema warehouse runs against its
+    slowly-changing dimensions.
+
+    Dimension: a per-user activity tier that bumps every 10th event
+    (versions derived with one ROW_NUMBER window — integer-exact both
+    engines).  Facts: purchase events.  The temporal join reuses
+    ``operators/asof.asof_join``: because SCD2 validity intervals
+    PARTITION time per key, "version valid at t" ≡ "latest version
+    start ≤ t", so the lookup is the union+window as-of form — ONE
+    shuffle on the dimension key, no interval-explosion range join,
+    no per-row subquery.  That is the 100 TB shape: fact and
+    dimension-version streams co-partition on the key and a single
+    running last_value resolves every fact row in one pass.  Ties
+    (purchase IS the version-start event) resolve to the NEW version
+    on both sides — the oracle mirrors the union construction of the
+    proven asof_last_purchase row.  Output is integer-only
+    (counts + distinct users per tier) — hash-exact.  [extension].
+    """
+    from another_map_reduce_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id", "ts", "event_id",
+        F.row_number().over(w).alias("rn"),
+    )
+    versions = ranked.where((F.col("rn") - 1) % 10 == 0).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("CAST((rn - 1) DIV 10 AS BIGINT)").alias("tier"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = asof_join(
+        purchases,
+        versions,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        right_cols=["tier"],
+        tiebreak="event_id",
+    )
+    return (
+        joined.groupBy(F.col("tier_asof").alias("tier"))
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("tier")
+    )
+
+
 _DPP_SQL = """
 SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
        CAST(COUNT(*) AS BIGINT) AS n_rows,

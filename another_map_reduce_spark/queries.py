@@ -155,6 +155,7 @@ _ORDER_NEXT = [
     "graph_bfs_hops",
     "dpp_partitioned_join",
     "bucketed_join_colocated",
+    "scd2_dimension_lookup",
     "quantile_cutpoint_buckets",
     "bm25_retrieval",
     "scd2_order_history",
