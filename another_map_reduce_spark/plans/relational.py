@@ -1330,6 +1330,84 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def _cogroup_asof_oracle() -> str:
+    from another_map_reduce_spark.queries import ORACLES
+
+    return ORACLES["asof_last_purchase"]
+
+
+@register("cogroup_asof_pandas", oracle=_cogroup_asof_oracle())
+def cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COGROUPED-Pandas API face — ``groupBy().cogroup()
+    .applyInPandas`` — the one Pandas escape hatch the UDF-surface
+    rows don't exercise (row UDF, UDTF, applyInPandas, GROUPED_AGG
+    UDAF, mapInPandas all have registered twins): both event streams
+    co-shuffle on user_id ONCE, then each per-user pair of Arrow
+    batches is merged by ``pandas.merge_asof`` — the same inclusive
+    bound + max-event-id tie-break as the built-in union+window plan,
+    hash-compared against the SAME oracle as asof_last_purchase, so
+    the API's semantics (not just its plumbing) are pinned.
+
+    Scale note: still ONE co-partitioned exchange and per-group
+    linear merges, so it scales — but the union+window twin keeps
+    the work in codegen and is the plan to prefer; this row exists
+    because a 100 TB pipeline inevitably has per-key logic Spark
+    can't express (model scoring, bespoke matching), and cogroup is
+    the idiomatic two-sided escape hatch for it.  [extension].
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts", "event_id", "value")
+
+    out_schema = (
+        "event_id long, user_id long, event_id_asof long, "
+        "value_asof double"
+    )
+
+    def _merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "event_id_asof",
+                         "value_asof"]
+            )
+        left = left.sort_values(["ts", "event_id"], kind="mergesort")
+        if right.empty:
+            out = left[["event_id", "user_id"]].copy()
+            out["event_id_asof"] = pd.array([None] * len(out),
+                                            dtype="Int64")
+            out["value_asof"] = pd.array([None] * len(out),
+                                         dtype="Float64")
+            return out
+        right = right.sort_values(["ts", "event_id"], kind="mergesort")
+        right = right.rename(
+            columns={"event_id": "event_id_asof",
+                     "value": "value_asof"}
+        )[["ts", "event_id_asof", "value_asof"]]
+        merged = pd.merge_asof(
+            left, right, on="ts",
+            direction="backward", allow_exact_matches=True,
+        )
+        out = merged[["event_id", "user_id", "event_id_asof",
+                      "value_asof"]].copy()
+        # NaN must surface as NULL (not double NaN) to match the
+        # oracle: route through pandas nullable dtypes.
+        out["event_id_asof"] = out["event_id_asof"].astype("Int64")
+        out["value_asof"] = out["value_asof"].astype("Float64")
+        return out
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(_merge, schema=out_schema)
+        .orderBy("event_id")
+    )
+
+
 @register(
     "range_views_before_purchase",
     oracle="""

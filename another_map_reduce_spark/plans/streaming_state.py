@@ -612,6 +612,85 @@ def stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_join_outer_nulls",
+    oracle="""
+WITH wm AS (
+  SELECT LEAST(
+    (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'),
+    (SELECT MAX(ts) FROM events WHERE event_type = 'view')
+  ) - INTERVAL 2 HOUR AS w
+),
+pv AS (
+  SELECT p.event_id, p.ts, COUNT(v.event_id) AS n_views
+  FROM events p
+  LEFT JOIN events v
+    ON v.user_id = p.user_id
+   AND v.event_type = 'view'
+   AND v.ts >= p.ts - INTERVAL 1 HOUR
+   AND v.ts <  p.ts
+  WHERE p.event_type = 'purchase'
+  GROUP BY p.event_id, p.ts
+)
+SELECT event_id, CAST(n_views AS BIGINT) AS n_views
+FROM pv
+WHERE n_views > 0 OR ts <= (SELECT w FROM wm)
+ORDER BY event_id
+""",
+)
+def stream_join_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the semantics the inner row
+    (stream_join_purchase_view) explicitly defers: an unmatched
+    purchase cannot emit on arrival (a matching view may still come),
+    so the join BUFFERS it and emits the null-padded row only once
+    the watermark proves no match can arrive (for v.ts < p.ts that is
+    watermark ≥ p.ts).
+
+    Under AvailableNow the data is one micro-batch: matched pairs
+    emit there; null emission then follows from TWO measured
+    semantics (both found empirically at sf0.01 before the oracle
+    was written, not assumed): (1) each side's watermark is computed
+    on the FILTERED stream — max PURCHASE ts and max VIEW ts, not
+    the raw table's max — and the query's watermark is their MIN;
+    (2) unmatched left state closes with p.ts AT or below that
+    joint watermark (min side-max − 2 h; the `<=` boundary is pinned
+    by a synthetic test, the repo's eviction-comparator precedent).  Later unmatched
+    purchases are deliberately withheld at query end (emitting them
+    would be a wrong answer, not a missing one).  The oracle states
+    the contract directly: every matched purchase with its view
+    count, plus zero-view rows only inside the closed horizon.
+    [extension].
+    """
+    from another_map_reduce_spark.streaming.joins import (
+        purchases_with_view_outer,
+    )
+
+    raw = _events_readstream(spark, sf_dir)
+    purchases = raw.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = raw.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    qname = _fresh_sink_name("stream_join_outer")
+    with _stream_shuffle_partitions(spark):
+        q = (
+            purchases_with_view_outer(purchases, views)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(qname)
+        .groupBy(F.col("purchase_id").alias("event_id"))
+        .agg(F.count("view_id").cast("long").alias("n_views"))
+        .orderBy("event_id")
+    )
+
+
+@register(
     "stream_session_windows",
     oracle="""
 WITH wm AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM events),

@@ -156,6 +156,8 @@ _ORDER_NEXT = [
     "dpp_partitioned_join",
     "bucketed_join_colocated",
     "scd2_dimension_lookup",
+    "cogroup_asof_pandas",
+    "stream_join_outer_nulls",
     "quantile_cutpoint_buckets",
     "bm25_retrieval",
     "scd2_order_history",

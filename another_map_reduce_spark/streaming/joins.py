@@ -44,6 +44,36 @@ def purchases_with_recent_view(
     )
 
 
+def purchases_with_view_outer(
+    purchases: DataFrame, views: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every purchase, with its prior-
+    hour views where they exist.
+
+    The outer contract is what makes this stateful in a way the inner
+    join isn't: an unmatched purchase CANNOT emit on arrival (a
+    matching view may still come), so Spark buffers it and emits the
+    null-padded row only when the watermark proves no match can
+    arrive — for this condition (v.ts < p.ts) that is when the
+    watermark passes p.ts.  Matched pairs emit immediately, exactly
+    like the inner join.
+    """
+    p = purchases.withWatermark("ts", watermark).alias("p")
+    v = views.withWatermark("ts", watermark).alias("v")
+    cond = (
+        (F.col("p.user_id") == F.col("v.user_id"))
+        & (F.col("v.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v.ts") < F.col("p.ts"))
+    )
+    return p.join(v, cond, "leftOuter").select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("v.event_id").alias("view_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.col("v.ts").alias("view_ts"),
+    )
+
+
 def dedup_stream(
     events: DataFrame, keys: list[str], watermark: str = "1 hour"
 ) -> DataFrame:

@@ -847,3 +847,53 @@ def test_late_filter_uses_previous_batch_watermark(spark, tmp_path):
         for op in obj.get("stateOperators", []):
             dropped += op.get("numRowsDroppedByWatermark", 0)
     assert dropped == 0  # nothing was ever late to the FILTER wm
+
+
+def test_outer_join_null_emission_boundary(spark, tmp_path):
+    """Pin the stream-stream LEFT OUTER join's two measured semantics
+    (stream_join_outer_nulls' oracle encodes both): the query
+    watermark is the MIN over the FILTERED sides' (max ts − delay),
+    and unmatched left state null-emits with p.ts ≤ it ('<=').
+
+    Fixture: watermark sides peak at 12:00 (view) / 12:00 (purchase)
+    with a 2 h delay → joint watermark 10:00.  Unmatched purchases at
+    09:59 (below → null-emitted), 10:00 (boundary → null-emitted
+    under '<='), 10:01 (above → withheld).  The 12:00 purchase matches the
+    11:30 view and emits regardless.
+    """
+    import datetime as dt
+
+    src = tmp_path / "outer_bnd"
+    T = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, user, when, typ):
+        return (eid, when, user, typ, 0.0, "{}")
+
+    rows = [
+        # watermark carriers: BOTH filtered sides must peak at 12:00
+        # (each side's watermark is computed post-filter)
+        ev(6, 8, T, "view"),
+        # one real match (user 9: view 11:30 < purchase 12:00)
+        ev(1, 9, T - dt.timedelta(minutes=30), "view"),
+        ev(2, 9, T, "purchase"),
+        # unmatched purchases around the 10:00 joint watermark
+        ev(3, 1, dt.datetime(2024, 1, 1, 9, 59, 0), "purchase"),
+        ev(4, 2, dt.datetime(2024, 1, 1, 10, 0, 0), "purchase"),
+        ev(5, 3, dt.datetime(2024, 1, 1, 10, 1, 0), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.parquet(str(src / "events.parquet"))
+
+    from another_map_reduce_spark.plans.streaming_state import (
+        stream_join_outer_nulls,
+    )
+
+    got = {
+        r.event_id: r.n_views
+        for r in stream_join_outer_nulls(spark, str(src)).collect()
+    }
+    assert got == {2: 1, 3: 0, 4: 0}
