@@ -1041,6 +1041,122 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry-order repair: if THIS module was the user's first import, the
 # circular import through queries._load() saw it partially initialized
 # and ordered the registry without its entries (they append afterwards).
+_PPS_N = 200  # systematic sample target size
+
+_PPS_SQL = f"""
+WITH w AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(38,6)) AS w
+  FROM orders
+), c AS (
+  SELECT *, SUM(w) OVER (ORDER BY o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum
+  FROM w
+), t AS (
+  SELECT CAST(SUM(w) AS DOUBLE) / {_PPS_N} AS step FROM w
+), k AS (
+  SELECT o_orderkey, o_orderpriority, w FROM c
+  WHERE floor(CAST(cum AS DOUBLE) / (SELECT step FROM t)) >
+        floor(CAST(cum - w AS DOUBLE) / (SELECT step FROM t))
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+       CAST(SUM(w) AS DOUBLE) AS kept_weight
+FROM k GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("pps_systematic_sample", oracle=_PPS_SQL)
+def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sampling — the
+    weighted complement of the equal-probability rows (stratified =
+    per-stratum rate, class_balanced = exact per-class count): a row
+    is kept iff its weight interval [cum−w, cum) crosses a step
+    boundary, so inclusion probability ∝ weight, heavy rows are
+    kept with certainty, and the whole draw is DETERMINISTIC (no RNG
+    — reruns, retries, and repartitioning cannot change the sample).
+
+    Scale shape — the distributed PREFIX SUM: a global running sum is
+    the textbook "needs one partition" trap (WindowExec with no
+    PARTITION BY), so the cumsum is computed as (1) range-partition
+    by key, (2) per-partition window cumsum — parallel, (3) per-
+    partition totals (a |partitions|-row frame) prefix-folded and
+    broadcast back as offsets.  Correctness under that decomposition
+    needs ASSOCIATIVE addition, so weights are cast to DECIMAL(38,6)
+    first: offset+local re-association is exact, and the oracle's
+    single sequential fold produces bit-identical cumulative values —
+    the boundary test floor(cum/step) then agrees row-for-row
+    cross-engine (single IEEE ops on identical inputs).  The
+    key_checksum pins the exact kept SET, not just its size.
+    [extension].
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(38,6)").alias("w"),
+    )
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parted = o.repartitionByRange(width, "o_orderkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    wloc = (
+        Window.partitionBy("pid")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Materialized once: BOTH consumers (the offset fold and the final
+    # join) must see the SAME partition assignment — repartitionByRange
+    # samples its boundaries, and two independent computations of this
+    # subtree may bucket rows differently, desynchronizing pid → offset.
+    local = parted.withColumn(
+        "lcum", F.sum("w").over(wloc)
+    ).localCheckpoint(eager=True)
+    # |partitions|-row frame: exact per-partition totals, prefix-folded
+    # into offsets (strictly-before sum), broadcast back.
+    woff = (
+        Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.sum("w").alias("ptot"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("ptot").over(woff),
+                F.lit(0).cast("decimal(38,6)"),
+            ),
+        )
+        .select("pid", "offset")
+    )
+    cum = local.join(F.broadcast(offsets), "pid").withColumn(
+        "cum", F.col("lcum") + F.col("offset")
+    )
+    total = o.agg(F.sum("w").cast("double").alias("tw"))
+    kept = (
+        cum.crossJoin(F.broadcast(total))
+        .withColumn("step", F.col("tw") / F.lit(_PPS_N))
+        .where(
+            F.floor(F.col("cum").cast("double") / F.col("step"))
+            > F.floor(
+                (F.col("cum") - F.col("w")).cast("double") / F.col("step")
+            )
+        )
+    )
+    return (
+        kept.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("o_orderkey").cast("long").alias("key_checksum"),
+            F.sum("w").cast("double").alias("kept_weight"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # Re-running the idempotent reorder at module completion makes the
 # driver-window ordering independent of which module is imported first.
 from another_map_reduce_spark.queries import _reorder as _amrs_reorder  # noqa: E402

@@ -158,6 +158,7 @@ _ORDER_NEXT = [
     "scd2_dimension_lookup",
     "cogroup_asof_pandas",
     "stream_join_outer_nulls",
+    "pps_systematic_sample",
     "quantile_cutpoint_buckets",
     "bm25_retrieval",
     "scd2_order_history",

@@ -292,3 +292,24 @@ def test_class_balanced_sample_equalizes_exactly(spark):
         df.repartition(13), "cls", F.col("id")
     ).collect()
     assert {(r.cls, r.id) for r in kept2} == {(r.cls, r.id) for r in kept}
+
+
+def test_pps_sample_is_weight_proportional_and_deterministic(spark, sf_dir):
+    """The PPS draw keeps ~_PPS_N rows, every row heavier than the
+    step with certainty, and reruns reproduce the exact same sample
+    (key_checksum equality is the rerun-determinism pin — the
+    distributed prefix sum must not depend on partition boundaries)."""
+    from another_map_reduce_spark.plans.datapipe import (
+        _PPS_N,
+        pps_systematic_sample,
+    )
+
+    a = pps_systematic_sample(spark, sf_dir).collect()
+    b = pps_systematic_sample(spark, sf_dir).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    total_kept = sum(r.n_kept for r in a)
+    # boundary crossings: exactly _PPS_N boundaries exist in (0, total],
+    # a row can cross several, so kept ≤ N with equality unless some
+    # row spans 2+ steps
+    assert 0 < total_kept <= _PPS_N
+    assert total_kept >= _PPS_N * 0.9  # no pathological collapse
