@@ -1330,6 +1330,54 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+@register(
+    "sql_udf_price_bands",
+    oracle="""
+SELECT CASE WHEN o_totalprice < 75000 THEN 'low'
+            WHEN o_totalprice < 225000 THEN 'mid'
+            ELSE 'high' END AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           AS revenue
+FROM orders
+WHERE o_orderdate >= DATE '1995-01-01'
+GROUP BY 1 ORDER BY band
+""",
+)
+def sql_udf_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UDF (Spark 4 ``CREATE FUNCTION … RETURN <expr>``) +
+    parameterized ``spark.sql`` — the LAST udf face beside the Python
+    row UDF / UDTF / pandas rows, and the one with ZERO runtime cost:
+    the function body is a SQL expression, so Catalyst inlines it into
+    whole-stage codegen — no Python worker, no serialization, it
+    optimizes exactly like the written-out CASE (the oracle IS the
+    inlined form).  The date cutoff arrives through spark.sql's named
+    parameter binding (:cutoff) rather than string interpolation —
+    the injection-safe pattern a user-facing SQL surface needs.
+    [extension].
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "_amrs_sqludf_orders"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION _amrs_band(p DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN p < 75000 THEN 'low' "
+        "WHEN p < 225000 THEN 'mid' ELSE 'high' END"
+    )
+    return spark.sql(
+        """
+        SELECT _amrs_band(o_totalprice) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   AS revenue
+        FROM _amrs_sqludf_orders
+        WHERE o_orderdate >= :cutoff
+        GROUP BY band ORDER BY band
+        """,
+        args={"cutoff": "1995-01-01"},
+    )
+
+
 def _cogroup_asof_oracle() -> str:
     from another_map_reduce_spark.queries import ORACLES
 

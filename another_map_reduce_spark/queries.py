@@ -159,6 +159,7 @@ _ORDER_NEXT = [
     "cogroup_asof_pandas",
     "stream_join_outer_nulls",
     "pps_systematic_sample",
+    "sql_udf_price_bands",
     "quantile_cutpoint_buckets",
     "bm25_retrieval",
     "scd2_order_history",
