@@ -123,10 +123,15 @@ _ORDER_FRONT = [
 # differential and the driver-faithful sf0.01 local gate), then the
 # r6 cohort in its r6 driver-check order — after r8 that cohort is
 # the oldest block and fronts the r9 window together with this head.
-# The r8 continuation's nine additions (KMV sketch, the BPE pair,
+# The r8 continuation's additions (KMV sketch, the BPE pair,
 # perceptual-hash index, JL projection, constraint audit, snapshot
-# diff, retraction MV, z-score anomalies) slot in after the original
-# seven: every entry with no driver row at all precedes every refresh.
+# diff, retraction MV, z-score anomalies, class-balanced sample,
+# RP-ANN recall + composition, event-path regex, late-data
+# accounting, skew diagnosis, streaming session windows + outer
+# join, market basket, BFS, DPP, bucketed join, SCD2 lookup,
+# cogrouped-pandas as-of, PPS sampling, SQL UDF) slot in after the
+# original seven: every entry with no driver row at all precedes
+# every refresh.
 _ORDER_NEXT = [
     "ann_ivf_append",
     "dedup_lsh_append",
