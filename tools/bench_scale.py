@@ -90,6 +90,10 @@ REL_QUERIES = [
     "graph_bfs_hops",
     "dpp_partitioned_join",
     "bucketed_join_colocated",
+    # r8 continuation: the distributed prefix sum (range partition +
+    # per-partition cumsum + offset broadcast — exact decimal, so the
+    # decomposition is order-free)
+    "pps_systematic_sample",
 ]
 
 REL_SCALES = [
@@ -123,6 +127,12 @@ EVENT_QUERIES = [
     # round-8: KMV sketch build — one distinct shuffle on (type, hash)
     # plus the declared exact-baseline self-join (grows with users)
     "kmv_theta_sketch_ops",
+    # r8 continuation: versioned-dimension lookup (two windows + the
+    # union+window as-of, all user-keyed — disjoint replica users) and
+    # the bucket-cogrouped pandas as-of (64 fixed buckets; per-bucket
+    # frames grow linearly, Python call count stays constant)
+    "scd2_dimension_lookup",
+    "cogroup_asof_pandas",
 ]
 
 EVENT_SCALES = [
