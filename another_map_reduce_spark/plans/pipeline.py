@@ -3281,3 +3281,119 @@ def bpe_encode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 from another_map_reduce_spark.queries import _reorder as _amrs_reorder  # noqa: E402
 
 _amrs_reorder()
+
+
+# ---------------------------------------------------------------------------
+# Embedding dimension-correlation (redundancy) report
+# ---------------------------------------------------------------------------
+
+_DIMCORR_D = 12  # dims audited -> 66 pairs, one aggregation pass
+
+
+def _dimcorr_oracle() -> str:
+    """66 pair-correlations from ONE moment CTE — same DECIMAL(38,18)
+    exact sums and the same double-arithmetic spelling as the Spark
+    side, so the rounded corr is hash-exact."""
+    d = _DIMCORR_D
+    sums = ", ".join(
+        f"SUM(CAST(e[{j + 1}] AS DECIMAL(38,18))) AS s{j}" for j in range(d)
+    )
+    sqs = ", ".join(
+        f"SUM(CAST(e[{j + 1}] * e[{k + 1}] AS DECIMAL(38,18))) AS ss{j}_{k}"
+        for j in range(d)
+        for k in range(j, d)
+    )
+    pair_rows = " UNION ALL ".join(
+        f"""SELECT {j} AS dim_a, {k} AS dim_b,
+round((n * CAST(ss{j}_{k} AS DOUBLE) - CAST(s{j} AS DOUBLE) * CAST(s{k} AS DOUBLE))
+      / (sqrt(n * CAST(ss{j}_{j} AS DOUBLE) - CAST(s{j} AS DOUBLE) * CAST(s{j} AS DOUBLE))
+         * sqrt(n * CAST(ss{k}_{k} AS DOUBLE) - CAST(s{k} AS DOUBLE) * CAST(s{k} AS DOUBLE))), 6)
+    AS corr FROM m"""
+        for j in range(d)
+        for k in range(j + 1, d)
+    )
+    return f"""
+WITH e0 AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, {sums}, {sqs} FROM e0
+)
+SELECT dim_a, dim_b, corr FROM ({pair_rows})
+ORDER BY abs(corr) DESC, dim_a, dim_b
+LIMIT 10
+"""
+
+
+@register("embedding_dim_correlation", oracle=_dimcorr_oracle())
+def embedding_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding DIMENSION redundancy report: the 10 most-correlated
+    coordinate pairs among the first 12 dims — the diagnostic behind
+    'can this embedding be projected down without losing information'
+    (high |corr| pairs are the dimensions JL projection or PCA would
+    collapse first; rp_ann_recall measures what that costs downstream).
+
+    The Spark shape is the point: ALL 12 first moments and 78 second
+    moments are computed in ONE aggregation pass over the corpus —
+    153 expressions inside a single whole-stage-codegen stage, no
+    explode, no self-join, no per-pair scan (the naive posexplode +
+    self-join form shuffles |dims|²·|rows| pairs).  Products are
+    single IEEE ops, sums are DECIMAL(38,18)-exact (order-free), and
+    the correlation arithmetic is spelled identically in both engines
+    (regression_by_flag's proven contract), so the rounded top-10 is
+    hash-exact.  Pair expansion happens on the 1-row moment frame via
+    an inline array explode — free.  [extension].
+    """
+    d = _DIMCORR_D
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        *[
+            F.col("embedding")[j].cast("double").alias(f"e{j}")
+            for j in range(d)
+        ]
+    )
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    aggs += [
+        F.sum(F.col(f"e{j}").cast("decimal(38,18)")).alias(f"s{j}")
+        for j in range(d)
+    ]
+    aggs += [
+        F.sum(
+            (F.col(f"e{j}") * F.col(f"e{k}")).cast("decimal(38,18)")
+        ).alias(f"ss{j}_{k}")
+        for j in range(d)
+        for k in range(j, d)
+    ]
+    m = emb.agg(*aggs)
+
+    def corr(j: int, k: int):
+        n = F.col("n")
+        sj = F.col(f"s{j}").cast("double")
+        sk = F.col(f"s{k}").cast("double")
+        ssjk = F.col(f"ss{j}_{k}").cast("double")
+        ssjj = F.col(f"ss{j}_{j}").cast("double")
+        sskk = F.col(f"ss{k}_{k}").cast("double")
+        return F.round(
+            (n * ssjk - sj * sk)
+            / (
+                F.sqrt(n * ssjj - sj * sj)
+                * F.sqrt(n * sskk - sk * sk)
+            ),
+            6,
+        )
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("dim_a"),
+                F.lit(k).alias("dim_b"),
+                corr(j, k).alias("corr"),
+            )
+            for j in range(d)
+            for k in range(j + 1, d)
+        ]
+    )
+    return (
+        m.select(F.explode(pairs).alias("p"))
+        .select("p.dim_a", "p.dim_b", "p.corr")
+        .orderBy(F.abs(F.col("corr")).desc(), "dim_a", "dim_b")
+        .limit(10)
+    )

@@ -165,6 +165,7 @@ _ORDER_NEXT = [
     "stream_join_outer_nulls",
     "pps_systematic_sample",
     "sql_udf_price_bands",
+    "embedding_dim_correlation",
     "quantile_cutpoint_buckets",
     "bm25_retrieval",
     "scd2_order_history",
