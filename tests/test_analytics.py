@@ -916,3 +916,61 @@ def test_bucketed_join_has_no_join_side_exchange(spark, sf_dir):
     assert "SortMergeJoin" in plan
     assert "hashpartitioning(o_orderkey" not in plan
     assert "hashpartitioning(l_orderkey" not in plan
+
+
+def test_market_basket_on_crafted_baskets(spark, tmp_path):
+    """Pair generation edge cases pinned: duplicate (order, part) rows
+    dedup before pairing, single-item baskets emit nothing, support
+    threshold filters, and confidence/lift come out exact."""
+    from another_map_reduce_spark.plans.analytics import market_basket_pairs
+
+    rows = []
+    # parts 1,2 co-occur in orders 1,2,3 (support 3); part 3 rides
+    # along in order 1 only; order 4 is single-item; order 1 carries a
+    # duplicate (1, 1) row that must dedup.
+    for okey, parts in [(1, [1, 2, 3, 1]), (2, [1, 2]), (3, [2, 1]),
+                        (4, [9])]:
+        rows += [(okey, p) for p in parts]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    # pad the unused lineitem columns the loader schema doesn't need —
+    # market_basket_pairs only selects (l_orderkey, l_partkey)
+    df.write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = market_basket_pairs(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.item_a, r.item_b, r.support) == (1, 2, 3)
+    # item support: part 1 in 3 baskets, part 2 in 3 baskets, 4 baskets
+    assert r.conf_a_to_b == 1.0
+    assert r.lift == round(3 * 4 / (3 * 3), 4)
+
+
+def test_scd2_lookup_tie_takes_new_version(spark, tmp_path):
+    """A purchase that IS a version-start event (rn=11) must be
+    attributed to the NEW tier — the inclusive-bound tie the oracle
+    mirrors."""
+    import datetime as dt
+
+    from another_map_reduce_spark.plans.analytics import (
+        scd2_dimension_lookup,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: events 1..11; event 11 is a purchase AND the tier-1
+    # version start (rn=11 → (rn-1)%10==0)
+    for i in range(1, 12):
+        typ = "purchase" if i == 11 else "view"
+        rows.append((i, t0 + dt.timedelta(minutes=i), 1, typ, 0.0, "{}"))
+    # user 2: a purchase as their very first event → tier 0
+    rows.append((100, t0, 2, "purchase", 0.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.tier: (r.n_purchases, r.n_users)
+        for r in scd2_dimension_lookup(spark, str(tmp_path)).collect()
+    }
+    assert got == {0: (1, 1), 1: (1, 1)}
