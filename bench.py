@@ -63,6 +63,9 @@ UNBOUNDED = {
     "doc_winnowing_stats",
     "dup_substring_stats",
     "dup_substring_removal",
+    # r8 continuation: per-event as-of output / per-purchase join rows
+    "cogroup_asof_pandas",
+    "stream_join_outer_nulls",
 }
 
 
