@@ -3341,7 +3341,15 @@ def embedding_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the correlation arithmetic is spelled identically in both engines
     (regression_by_flag's proven contract), so the rounded top-10 is
     hash-exact.  Pair expansion happens on the 1-row moment frame via
-    an inline array explode — free.  [extension].
+    an inline array explode, then generic <100-row broadcast joins.
+
+    Cost profile (measured): ~3 s per invocation at ANY sf — almost
+    entirely driver-side planning + codegen of the 157-expression
+    aggregate, not data execution (the sf0.1 scan itself is ~0.2 s).
+    A fixed planning cost is the RIGHT trade at 100 TB — it amortizes
+    over the corpus-scale scan — and the inline-66-corr form it
+    replaced paid ~1.6 s MORE of the same compile time for a ~1,600-
+    node tree.  [extension].
     """
     d = _DIMCORR_D
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -3362,38 +3370,85 @@ def embedding_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(d)
         for k in range(j, d)
     ]
-    m = emb.agg(*aggs)
+    # Materialized once: the flattening selects and every broadcast
+    # side below re-consume this frame — lazy, the 153-expression
+    # corpus aggregation would re-run per consumer.
+    m = emb.agg(*aggs).localCheckpoint(eager=True)
 
-    def corr(j: int, k: int):
-        n = F.col("n")
-        sj = F.col(f"s{j}").cast("double")
-        sk = F.col(f"s{k}").cast("double")
-        ssjk = F.col(f"ss{j}_{k}").cast("double")
-        ssjj = F.col(f"ss{j}_{j}").cast("double")
-        sskk = F.col(f"ss{k}_{k}").cast("double")
-        return F.round(
-            (n * ssjk - sj * sk)
-            / (
-                F.sqrt(n * ssjj - sj * sj)
-                * F.sqrt(n * sskk - sk * sk)
-            ),
-            6,
-        )
-
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("dim_a"),
-                F.lit(k).alias("dim_b"),
-                corr(j, k).alias("corr"),
+    # Flatten the 1-row moment frame to ROWS and compute the corr
+    # arithmetic ONCE generically: writing the 66 corr expressions
+    # inline builds a ~1,600-node tree Catalyst re-optimizes and
+    # codegen re-compiles per invocation (measured ~4 s of pure
+    # plan/compile on a 1-row input); the row form plans in
+    # milliseconds and the joins are <100-row broadcasts.
+    sflat = m.select(
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("dim"),
+                        F.col(f"s{j}").cast("double").alias("s"),
+                    )
+                    for j in range(d)
+                ]
             )
-            for j in range(d)
-            for k in range(j + 1, d)
-        ]
+        ).alias("p"),
+    ).select("n", "p.dim", "p.s")
+    ssflat = m.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("ja"),
+                        F.lit(k).alias("kb"),
+                        F.col(f"ss{j}_{k}").cast("double").alias("ss"),
+                    )
+                    for j in range(d)
+                    for k in range(j, d)
+                ]
+            )
+        ).alias("p")
+    ).select("p.ja", "p.kb", "p.ss")
+    diag = ssflat.where(F.col("ja") == F.col("kb")).select(
+        F.col("ja").alias("dim"), F.col("ss").alias("ssd")
+    )
+    pairs = (
+        ssflat.where(F.col("ja") < F.col("kb"))
+        .join(F.broadcast(sflat.withColumnsRenamed({"dim": "ja", "s": "sa"})), "ja")
+        .join(
+            F.broadcast(
+                sflat.select(
+                    F.col("dim").alias("kb"), F.col("s").alias("sb")
+                )
+            ),
+            "kb",
+        )
+        .join(F.broadcast(diag.withColumnsRenamed({"dim": "ja", "ssd": "ssa"})), "ja")
+        .join(
+            F.broadcast(
+                diag.select(
+                    F.col("dim").alias("kb"), F.col("ssd").alias("ssb")
+                )
+            ),
+            "kb",
+        )
+    )
+    n = F.col("n")
+    corr = F.round(
+        (n * F.col("ss") - F.col("sa") * F.col("sb"))
+        / (
+            F.sqrt(n * F.col("ssa") - F.col("sa") * F.col("sa"))
+            * F.sqrt(n * F.col("ssb") - F.col("sb") * F.col("sb"))
+        ),
+        6,
     )
     return (
-        m.select(F.explode(pairs).alias("p"))
-        .select("p.dim_a", "p.dim_b", "p.corr")
+        pairs.select(
+            F.col("ja").alias("dim_a"),
+            F.col("kb").alias("dim_b"),
+            corr.alias("corr"),
+        )
         .orderBy(F.abs(F.col("corr")).desc(), "dim_a", "dim_b")
         .limit(10)
     )
