@@ -1038,9 +1038,6 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Registry-order repair: if THIS module was the user's first import, the
-# circular import through queries._load() saw it partially initialized
-# and ordered the registry without its entries (they append afterwards).
 _PPS_N = 200  # systematic sample target size
 
 _PPS_SQL = f"""
@@ -1135,7 +1132,10 @@ def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = local.join(F.broadcast(offsets), "pid").withColumn(
         "cum", F.col("lcum") + F.col("offset")
     )
-    total = o.agg(F.sum("w").cast("double").alias("tw"))
+    # Grand total from the CHECKPOINTED frame — summing the source
+    # again would pay a second full scan for an order-free decimal sum
+    # the materialized rows already carry.
+    total = local.agg(F.sum("w").cast("double").alias("tw"))
     kept = (
         cum.crossJoin(F.broadcast(total))
         .withColumn("step", F.col("tw") / F.lit(_PPS_N))
@@ -1157,6 +1157,9 @@ def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Registry-order repair: if THIS module was the user's first import, the
+# circular import through queries._load() saw it partially initialized
+# and ordered the registry without its entries (they append afterwards).
 # Re-running the idempotent reorder at module completion makes the
 # driver-window ordering independent of which module is imported first.
 from another_map_reduce_spark.queries import _reorder as _amrs_reorder  # noqa: E402

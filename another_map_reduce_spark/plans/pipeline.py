@@ -3452,3 +3452,9 @@ def embedding_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("corr")).desc(), "dim_a", "dim_b")
         .limit(10)
     )
+
+
+# The dim-correlation block registers after the module's first
+# registry-order repair ran — repeat the idempotent reorder so its
+# entry lands in its _ORDER_NEXT slot under any import order.
+_amrs_reorder()
