@@ -897,3 +897,62 @@ def test_outer_join_null_emission_boundary(spark, tmp_path):
         for r in stream_join_outer_nulls(spark, str(src)).collect()
     }
     assert got == {2: 1, 3: 0, 4: 0}
+
+
+def test_session_windows_merge_across_batches(spark, tmp_path):
+    """The session store's MERGE path: batch 1 leaves two open
+    sessions 30+ min apart; batch 2 delivers bridging events that
+    chain them into ONE session; batch 3 moves the watermark past the
+    gap horizon so the merged session emits.  A store that keyed
+    sessions immutably by (user, start) without rewrite would emit
+    two or three fragments instead."""
+    import pandas as pd
+
+    d = tmp_path / "sess_merge"
+    d.mkdir()
+
+    def write(name, times):
+        pd.DataFrame(
+            {
+                "ts": pd.to_datetime(times),
+                "user_id": [1] * len(times),
+                "value": [1.0] * len(times),
+            }
+        ).to_parquet(d / name, coerce_timestamps="us")
+
+    write("b1.parquet", ["2024-01-01 10:00:00", "2024-01-01 11:00:00"])
+    schema = spark.read.parquet(str(d)).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    stream = session_agg(src, gap="30 minutes", watermark="2 hours")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sess_merge")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # bridge: 10:25 chains to 10:00 (gap 25m) and 10:50 chains to
+        # both 10:25 (25m) and 11:00 (10m) -> one merged session
+        write("b2.parquet", ["2024-01-01 10:25:00", "2024-01-01 10:50:00"])
+        q.processAllAvailable()
+        # flush: watermark to 12:30, past 11:00 + 30m gap horizon
+        write("b3.parquet", ["2024-01-01 14:30:00"])
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT sess_start, sess_end, n_events FROM sess_merge"
+        ).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.sess_start.strftime("%H:%M") == "10:00"
+        # session_window end = last event + gap
+        assert r.sess_end.strftime("%H:%M") == "11:30"
+        assert r.n_events == 4
+    finally:
+        q.stop()
