@@ -2754,20 +2754,22 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice"
     )
-    # Overwrite-in-place, serial-harness contract as zorder/hll.  A
-    # FRESH session's in-memory catalog has forgotten the tables while
-    # their warehouse directories persist on disk, and saveAsTable
-    # refuses to adopt an existing unmanaged location — drop both and
-    # clear stale directories first (local-fs warehouse, the only
-    # layout this harness runs).
+    # Overwrite-in-place, serial-harness contract as zorder/hll.  The
+    # tables are EXTERNAL (explicit path under tempdir) so the query
+    # never writes the session's warehouse dir — a caller's cwd (where
+    # spark-warehouse lands by default) may not be writable.  A FRESH
+    # session's in-memory catalog has forgotten the tables while their
+    # directories persist on disk, and saveAsTable refuses to adopt an
+    # existing location — drop both and clear stale directories first.
     import os
     import shutil
-    from urllib.parse import urlparse
+    import tempfile
 
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     for tbl in ("amrs_orders_bucketed", "amrs_lineitem_bucketed"):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+        shutil.rmtree(
+            os.path.join(tempfile.gettempdir(), tbl), ignore_errors=True
+        )
     # One file per bucket (repartition on the bucket key first), so
     # the bucketed read arrives hash-partitioned with no Exchange.
     (
@@ -2775,6 +2777,10 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.bucketBy(8, "o_orderkey")
         .sortBy("o_orderkey")
         .mode("overwrite")
+        .option(
+            "path",
+            os.path.join(tempfile.gettempdir(), "amrs_orders_bucketed"),
+        )
         .saveAsTable("amrs_orders_bucketed")
     )
     (
@@ -2782,6 +2788,12 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.bucketBy(8, "l_orderkey")
         .sortBy("l_orderkey")
         .mode("overwrite")
+        .option(
+            "path",
+            os.path.join(
+                tempfile.gettempdir(), "amrs_lineitem_bucketed"
+            ),
+        )
         .saveAsTable("amrs_lineitem_bucketed")
     )
     ob = spark.table("amrs_orders_bucketed")
