@@ -3454,7 +3454,82 @@ def embedding_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The dim-correlation block registers after the module's first
-# registry-order repair ran — repeat the idempotent reorder so its
-# entry lands in its _ORDER_NEXT slot under any import order.
+@register(
+    "arrow_group_stats",
+    oracle="""
+WITH v AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value)
+             AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       MIN(value) AS vmin, MAX(value) AS vmax,
+       AVG(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
+                THEN value END) AS median,
+       MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                THEN value END) AS p90
+FROM v GROUP BY event_type ORDER BY event_type
+""",
+)
+def arrow_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupBy().applyInArrow`` — the ARROW-native group escape
+    hatch (Spark 4), completing the UDF-surface set: unlike
+    applyInPandas there is no pandas conversion at all — each group
+    arrives as a ``pyarrow.Table`` and the logic runs on Arrow
+    buffers directly (one less copy; the right face when the per-key
+    code is itself Arrow/C++-backed).
+
+    Semantics chosen to be hash-exact: every output is an ORDER
+    STATISTIC (min / max / k-th smallest — well-defined values even
+    under ties) or a single IEEE op on two of them (even-n median =
+    (a+b)/2; the oracle's AVG over exactly two picked rows is the
+    same op).  No data-order-dependent float sums anywhere.  One
+    shuffle on the 5-value type key; group sizes are corpus/|types|,
+    the per-group sort is the cost a quantile needs anyway.
+    [extension].
+    """
+    import math
+
+    import pyarrow as pa
+
+    def _stats(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        et = t.column("event_type")[0].as_py()
+        v = pc.take(
+            t.column("value"), pc.sort_indices(t.column("value"))
+        )
+        n = len(v)
+        lo = v[(n - 1) // 2].as_py()
+        hi = v[n // 2].as_py()
+        return pa.table(
+            {
+                "event_type": [et],
+                "n": [n],
+                "vmin": [v[0].as_py()],
+                "vmax": [v[n - 1].as_py()],
+                "median": [(lo + hi) / 2],
+                "p90": [v[math.ceil(0.9 * n) - 1].as_py()],
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return (
+        ev.groupBy("event_type")
+        .applyInArrow(
+            _stats,
+            schema=(
+                "event_type string, n long, vmin double, vmax double, "
+                "median double, p90 double"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# Late registrations (after the module's first registry-order repair):
+# repeat the idempotent reorder so these entries land in their
+# _ORDER_NEXT slots under any import order.
 _amrs_reorder()

@@ -166,6 +166,7 @@ _ORDER_NEXT = [
     "pps_systematic_sample",
     "sql_udf_price_bands",
     "embedding_dim_correlation",
+    "arrow_group_stats",
     "quantile_cutpoint_buckets",
     "bm25_retrieval",
     "scd2_order_history",
