@@ -543,8 +543,9 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     n_orders = orders.count()  # metadata-only: parquet row-count stats
-    width = max(8, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
-                       n_orders // 20_000))
+    from another_map_reduce_spark.session import shuffle_width
+
+    width = max(8, min(shuffle_width(spark), n_orders // 20_000))
     with _stream_shuffle_partitions(spark, width):
         ranks = pagerank(edges)
         top = (
@@ -2686,10 +2687,14 @@ def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_shipdate", "l_extendedprice", "l_discount"
     )
-    # Pid-free overwrite-in-place path, one per sf_dir (the zorder /
-    # hll materialization contract: serial harnesses, bounded residue).
+    # Keyed by sf_dir AND pid so two concurrent sessions (pytest-xdist,
+    # a bench racing a test run, two users on one host) never clobber
+    # each other's layout mid-query; overwrite-in-place within a
+    # process keeps the residue bounded to one layout per (sf, pid).
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"amrs_dpp_fact_{tag}")
+    path = os.path.join(
+        tempfile.gettempdir(), f"amrs_dpp_fact_{tag}_{os.getpid()}"
+    )
     (
         li.withColumn("l_year", F.year("l_shipdate"))
         .write.mode("overwrite")
@@ -2765,7 +2770,14 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    for tbl in ("amrs_orders_bucketed", "amrs_lineitem_bucketed"):
+    # Table names and paths are keyed by pid so concurrent sessions
+    # (pytest-xdist, parallel benches, two users on one host) can't
+    # DROP or rmtree each other's layout mid-query; within a process
+    # the overwrite-in-place contract bounds the residue.
+    pid = os.getpid()
+    otbl = f"amrs_orders_bucketed_{pid}"
+    ltbl = f"amrs_lineitem_bucketed_{pid}"
+    for tbl in (otbl, ltbl):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(
             os.path.join(tempfile.gettempdir(), tbl), ignore_errors=True
@@ -2777,27 +2789,19 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.bucketBy(8, "o_orderkey")
         .sortBy("o_orderkey")
         .mode("overwrite")
-        .option(
-            "path",
-            os.path.join(tempfile.gettempdir(), "amrs_orders_bucketed"),
-        )
-        .saveAsTable("amrs_orders_bucketed")
+        .option("path", os.path.join(tempfile.gettempdir(), otbl))
+        .saveAsTable(otbl)
     )
     (
         li.repartition(8, "l_orderkey")
         .write.bucketBy(8, "l_orderkey")
         .sortBy("l_orderkey")
         .mode("overwrite")
-        .option(
-            "path",
-            os.path.join(
-                tempfile.gettempdir(), "amrs_lineitem_bucketed"
-            ),
-        )
-        .saveAsTable("amrs_lineitem_bucketed")
+        .option("path", os.path.join(tempfile.gettempdir(), ltbl))
+        .saveAsTable(ltbl)
     )
-    ob = spark.table("amrs_orders_bucketed")
-    lb = spark.table("amrs_lineitem_bucketed")
+    ob = spark.table(otbl)
+    lb = spark.table(ltbl)
     joined = ob.hint("merge").join(
         lb, ob.o_orderkey == lb.l_orderkey
     )

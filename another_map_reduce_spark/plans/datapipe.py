@@ -1095,7 +1095,9 @@ def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.col("o_totalprice").cast("decimal(38,6)").alias("w"),
     )
-    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from another_map_reduce_spark.session import shuffle_width
+
+    width = shuffle_width(spark)
     parted = o.repartitionByRange(width, "o_orderkey").withColumn(
         "pid", F.spark_partition_id()
     )

@@ -476,7 +476,14 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_windows,
        CAST(SUM(n) AS BIGINT) AS total_events,
        CAST((SELECT d FROM dropped) AS BIGINT) AS windows_dropped_late,
        CAST((SELECT lost FROM dropped) AS BIGINT) AS events_lost_late,
-       CAST(3 AS BIGINT) AS n_data_batches
+       -- batch count derived from slice non-emptiness, matching the
+       -- Spark side's numInputRows>0 counting (a fixture that doesn't
+       -- straddle both cutoffs fails the Spark side's explicit assert
+       -- rather than silently hash-mismatching here)
+       CAST((SELECT (CASE WHEN EXISTS (SELECT 1 FROM b0) THEN 1 ELSE 0 END)
+                  + (CASE WHEN EXISTS (SELECT 1 FROM b1) THEN 1 ELSE 0 END)
+                  + (CASE WHEN EXISTS (SELECT 1 FROM b2) THEN 1 ELSE 0 END))
+            AS BIGINT) AS n_data_batches
 FROM emitted
 """
 
@@ -546,12 +553,45 @@ def stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     src = os.path.join(root, "src")
     os.makedirs(src)
-    for i, s in enumerate(splits):
-        pdf = s.select("ts").toPandas()
-        p = os.path.join(src, f"b{i}.parquet")
-        pdf.to_parquet(
-            p, coerce_timestamps="us", allow_truncated_timestamps=True
+    # The watermark schedule (and the oracle's replay of it) assumes
+    # every relay batch is non-empty — i.e. the fixture's timestamps
+    # straddle both cutoffs.  Fail loudly on a degenerate fixture
+    # instead of hash-mismatching for a non-semantic reason.  One
+    # aggregate pass covers all three slices.
+    sizes = ev.agg(
+        F.sum(((F.col("ts") < c1) & ~late).cast("long")).alias("b0"),
+        F.sum(((F.col("ts") >= c1) & (F.col("ts") < c2)).cast("long")).alias("b1"),
+        F.sum(
+            ((F.col("ts") >= c2) | ((F.col("ts") < c1) & late)).cast("long")
+        ).alias("b2"),
+    ).first()
+    if not all((sizes[k] or 0) > 0 for k in ("b0", "b1", "b2")):
+        raise ValueError(
+            f"late-data relay fixture must straddle the {_LATE_C1} and "
+            f"{_LATE_C2} cutoffs; slice sizes were {sizes.asDict()}"
         )
+    for i, s in enumerate(splits):
+        # Each relay batch is written THROUGH Spark (no driver-side
+        # toPandas of a corpus-scale column): coalesce(1) because the
+        # relay contract is one file per micro-batch, then the single
+        # part file is renamed into place and its mtime spaced to
+        # force the file-stream arrival order (local-FS demo rig;
+        # production reads real arrival order).
+        stage = os.path.join(root, f"stage{i}")
+        s.select("ts").coalesce(1).write.parquet(stage)
+        parts = [
+            f for f in os.listdir(stage)
+            if f.endswith(".parquet") and not f.startswith("_")
+        ]
+        if len(parts) != 1:
+            raise RuntimeError(
+                f"late-data relay batch {i}: expected one part file, "
+                f"got {parts} (empty slice means the events fixture "
+                f"does not straddle the {_LATE_C1}/{_LATE_C2} cutoffs)"
+            )
+        p = os.path.join(src, f"b{i}.parquet")
+        os.rename(os.path.join(stage, parts[0]), p)
+        shutil.rmtree(stage, ignore_errors=True)
         os.utime(p, (1000 * (i + 1), 1000 * (i + 1)))  # force file order
 
     schema = spark.read.parquet(src).schema

@@ -83,6 +83,20 @@ def get_spark(
     return spark
 
 
+def shuffle_width(spark: SparkSession, default: int = 200) -> int:
+    """Current ``spark.sql.shuffle.partitions`` as an int, or ``default``.
+
+    Some deployments leave the conf unset or set it to a non-numeric
+    value (e.g. "auto" under externally-managed AQE); a bare
+    ``int(spark.conf.get(...))`` throws there.  Callers sizing a
+    repartition width should degrade to a sane constant instead.
+    """
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", str(default)))
+    except (TypeError, ValueError):
+        return default
+
+
 def _export_protoshim_pythonpath() -> None:
     """Expose the vendored protobuf shim to JVM-SPAWNED python workers.
 
