@@ -430,6 +430,36 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _write_relay(root: str, src: str, splits, label: str) -> None:
+    """Write relay micro-batch files ``src/b{i}.parquet`` THROUGH Spark
+    (no driver-side toPandas of a corpus-scale column): coalesce(1)
+    because the relay contract is one file per micro-batch, then the
+    single part file is renamed into place and its mtime spaced to
+    force the file-stream arrival order (local-FS demo rig;
+    production reads real arrival order).
+    """
+    import os
+    import shutil
+
+    for i, s in enumerate(splits):
+        stage = os.path.join(root, f"stage{i}")
+        s.coalesce(1).write.parquet(stage)
+        parts = [
+            f for f in os.listdir(stage)
+            if f.endswith(".parquet") and not f.startswith("_")
+        ]
+        if len(parts) != 1:
+            raise RuntimeError(
+                f"{label} relay batch {i}: expected one part file, "
+                f"got {parts} (empty slice means the events fixture "
+                f"does not straddle the relay cutoffs)"
+            )
+        p = os.path.join(src, f"b{i}.parquet")
+        os.rename(os.path.join(stage, parts[0]), p)
+        shutil.rmtree(stage, ignore_errors=True)
+        os.utime(p, (1000 * (i + 1), 1000 * (i + 1)))  # force file order
+
+
 # Deterministic late-data relay constants, shared with the oracle.
 _LATE_C1 = "2024-01-12"
 _LATE_C2 = "2024-01-22"
@@ -549,7 +579,9 @@ def stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = os.path.join(tempfile.gettempdir(), f"amrs_late_{tag}")
+    root = os.path.join(
+        tempfile.gettempdir(), f"amrs_late_{tag}_{os.getpid()}"
+    )
     shutil.rmtree(root, ignore_errors=True)
     src = os.path.join(root, "src")
     os.makedirs(src)
@@ -570,29 +602,7 @@ def stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"late-data relay fixture must straddle the {_LATE_C1} and "
             f"{_LATE_C2} cutoffs; slice sizes were {sizes.asDict()}"
         )
-    for i, s in enumerate(splits):
-        # Each relay batch is written THROUGH Spark (no driver-side
-        # toPandas of a corpus-scale column): coalesce(1) because the
-        # relay contract is one file per micro-batch, then the single
-        # part file is renamed into place and its mtime spaced to
-        # force the file-stream arrival order (local-FS demo rig;
-        # production reads real arrival order).
-        stage = os.path.join(root, f"stage{i}")
-        s.select("ts").coalesce(1).write.parquet(stage)
-        parts = [
-            f for f in os.listdir(stage)
-            if f.endswith(".parquet") and not f.startswith("_")
-        ]
-        if len(parts) != 1:
-            raise RuntimeError(
-                f"late-data relay batch {i}: expected one part file, "
-                f"got {parts} (empty slice means the events fixture "
-                f"does not straddle the {_LATE_C1}/{_LATE_C2} cutoffs)"
-            )
-        p = os.path.join(src, f"b{i}.parquet")
-        os.rename(os.path.join(stage, parts[0]), p)
-        shutil.rmtree(stage, ignore_errors=True)
-        os.utime(p, (1000 * (i + 1), 1000 * (i + 1)))  # force file order
+    _write_relay(root, src, [s.select("ts") for s in splits], "late-data")
 
     schema = spark.read.parquet(src).schema
     windowed = (
@@ -807,6 +817,172 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
         .orderBy("user_id", "sess_start")
+    )
+
+
+# transformWithStateInPandas session-close constants, shared with the
+# oracle.  Gap 6 h, watermark delay 30 min, relay cutoffs = the
+# late-data relay's (interior to the events fixture's one-month span).
+_TWS_C1 = "2024-01-12"
+_TWS_C2 = "2024-01-22"
+_TWS_GAP_MS = 6 * 3600 * 1000
+_TWS_DELAY_MS = 30 * 60 * 1000
+
+# The oracle replays the micro-batch schedule exactly, using the TWS
+# event-time timer semantics pinned empirically (tests/test_streaming.py
+# boundary tests): per batch, input rows are processed FIRST (each
+# user's one pending timer slides to last_ts + gap), THEN timers with
+# expiry <= the batch's eviction watermark fire (inclusive comparator);
+# the eviction watermark in force during batch k is max(ts through
+# batch k-1) - delay; and availableNow runs one final no-data flush
+# batch whose watermark covers the last file.  With a ts-monotone
+# 3-way relay there are exactly three firing opportunities (batch 2,
+# batch 3, flush), so per-user state reduces to the per-slice maxima
+# m0/m1/m2 and the three global watermarks w1/w2/wf.  Timer values are
+# milliseconds (both engines double-truncate ns→µs→ms identically).
+_TWS_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         epoch_ms(MAX(CASE WHEN ts < TIMESTAMP '{_TWS_C1}' THEN ts END)) AS m0,
+         epoch_ms(MAX(CASE WHEN ts >= TIMESTAMP '{_TWS_C1}'
+                           AND ts < TIMESTAMP '{_TWS_C2}' THEN ts END)) AS m1,
+         epoch_ms(MAX(CASE WHEN ts >= TIMESTAMP '{_TWS_C2}' THEN ts END)) AS m2
+  FROM events GROUP BY user_id
+), wm AS (
+  SELECT epoch_ms(MAX(CASE WHEN ts < TIMESTAMP '{_TWS_C1}' THEN ts END))
+             - {_TWS_DELAY_MS} AS w1,
+         epoch_ms(MAX(CASE WHEN ts < TIMESTAMP '{_TWS_C2}' THEN ts END))
+             - {_TWS_DELAY_MS} AS w2,
+         epoch_ms(MAX(ts)) - {_TWS_DELAY_MS} AS wf
+  FROM events
+), s2 AS (
+  -- batch 2: b1 input slides (m1 > m0 by slice monotonicity), then
+  -- the timer fires iff last2 + gap <= w1; NULL-safe via COALESCE
+  SELECT user_id, m2, w2, wf,
+         COALESCE(m1, m0) AS last2,
+         COALESCE(COALESCE(m1, m0) + {_TWS_GAP_MS} <= w1, FALSE) AS fire2
+  FROM per_user, wm
+), s3 AS (
+  -- batch 3: fire2 cleared the state; b2 input re-opens or slides
+  SELECT user_id, wf, last2, fire2,
+         COALESCE(m2, CASE WHEN fire2 THEN NULL ELSE last2 END) AS last3,
+         COALESCE(
+           COALESCE(m2, CASE WHEN fire2 THEN NULL ELSE last2 END)
+               + {_TWS_GAP_MS} <= w2, FALSE) AS fire3
+  FROM s2
+), emits AS (
+  SELECT user_id, last2 + {_TWS_GAP_MS} AS session_end FROM s3 WHERE fire2
+  UNION ALL
+  SELECT user_id, last3 + {_TWS_GAP_MS} FROM s3 WHERE fire3
+  UNION ALL
+  -- final availableNow flush batch: watermark covers the last file
+  SELECT user_id, last3 + {_TWS_GAP_MS} FROM s3
+  WHERE NOT fire3 AND last3 + {_TWS_GAP_MS} <= wf
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(session_end AS BIGINT) AS session_end
+FROM emits ORDER BY user_id, session_end
+"""
+
+
+@register("stream_session_close_tws", oracle=_TWS_SQL)
+def stream_session_close_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-close detection via transformWithStateInPandas EVENT-TIME
+    TIMERS — Spark 4's flagship stateful API on the driver-visible
+    path (the funnel row covers the classic applyInPandasWithState;
+    this covers the successor's named-state + timer protocol,
+    including registerTimer/listTimers/deleteTimer and the
+    handleExpiredTimer dispatch, through vendor/protoshim where the
+    real protobuf runtime is absent).
+
+    A ts-monotone 3-file relay drives the events table through the
+    per-user state machine in streaming/stateful_v2.SessionCloseProcessor:
+    value state holds the user's last event time, one pending timer
+    slides to last + 6 h each batch, and when the watermark passes the
+    timer the session close (user_id, session_end = last + gap) is
+    emitted and the state cleared.  Runs on the RocksDB state store
+    provider (required by the API; also the production answer to state
+    scale — off-heap, changelog-checkpointed).
+
+    The oracle replays the exact micro-batch schedule in SQL (see
+    _TWS_SQL); the hash match pins the input-before-timers order, the
+    inclusive fire comparator, the final availableNow flush batch, and
+    the ms flooring of both timers and watermarks.  [extension]
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from another_map_reduce_spark.streaming.stateful_v2 import (
+        ROCKSDB_PROVIDER,
+        session_close_v2,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    c1 = F.lit(_TWS_C1).cast("timestamp")
+    c2 = F.lit(_TWS_C2).cast("timestamp")
+    splits = [
+        ev.where(F.col("ts") < c1),
+        ev.where((F.col("ts") >= c1) & (F.col("ts") < c2)),
+        ev.where(F.col("ts") >= c2),
+    ]
+    # The watermark replay assumes every relay batch is non-empty;
+    # fail loudly on a degenerate fixture (one aggregate pass).
+    sizes = ev.agg(
+        F.sum((F.col("ts") < c1).cast("long")).alias("b0"),
+        F.sum(((F.col("ts") >= c1) & (F.col("ts") < c2)).cast("long")).alias("b1"),
+        F.sum((F.col("ts") >= c2).cast("long")).alias("b2"),
+    ).first()
+    if not all((sizes[k] or 0) > 0 for k in ("b0", "b1", "b2")):
+        raise ValueError(
+            f"session-close relay fixture must straddle the {_TWS_C1} "
+            f"and {_TWS_C2} cutoffs; slice sizes were {sizes.asDict()}"
+        )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(
+        tempfile.gettempdir(), f"amrs_twsclose_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    _write_relay(root, src, splits, "session-close")
+
+    schema = spark.read.parquet(src).schema
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, ROCKSDB_PROVIDER)
+    qname = _fresh_sink_name("stream_tws_close")
+    try:
+        with _stream_shuffle_partitions(spark):
+            stream = session_close_v2(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                gap_minutes=_TWS_GAP_MS // 60_000,
+                watermark=f"{_TWS_DELAY_MS // 60_000} minutes",
+            )
+            q = (
+                stream.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(root, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    return (
+        spark.table(qname)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("session_end").cast("long").alias("session_end"),
+        )
+        .orderBy("user_id", "session_end")
     )
 
 

@@ -127,6 +127,54 @@ ROCKSDB_PROVIDER = (
 )
 
 
+def ensure_state_worker_env(spark: SparkSession) -> None:
+    """Make the JVM-spawned TWS workers able to import this package
+    (and ``google.protobuf`` when only the shim provides it) on a
+    session whose JVM launched WITHOUT our PYTHONPATH export — i.e.
+    the driver's vanilla session.
+
+    Mechanism (verified empirically on Spark 4.1): the Python worker's
+    PYTHONPATH is merged by the JVM's PythonWorkerFactory from three
+    sources — Spark's own python dirs, the JVM process env, and the
+    ``envVars`` carried INSIDE the serialized Python function, which
+    pyspark populates from the live ``sc.environment`` dict.  The last
+    one is mutable at runtime, AFTER JVM launch, and reaches both the
+    executor workers and the driver-side
+    ``transform_with_state_driver_worker`` that StreamingPythonRunner
+    spawns.  So injecting here — before the query plan captures the
+    function — removes the "must build the session via get_spark"
+    restriction the module docstring describes.
+
+    Idempotent; appends rather than replaces any caller-set value.
+    """
+    pkg_parent = str(pathlib.Path(__file__).resolve().parent.parent.parent)
+    shim_dir = pathlib.Path(__file__).resolve().parent.parent / "vendor" / "protoshim"
+    wanted = [pkg_parent]
+    # Ship the shim unless a REAL protobuf runtime will resolve on the
+    # worker.  Merely importing google.protobuf on the driver is NOT
+    # that test: after ensure_protobuf the driver imports the shim via
+    # its own sys.path, which workers don't inherit — and without the
+    # shim on the worker's PYTHONPATH, google.protobuf resolves to a
+    # NAMESPACE package assembled from the spark-core JAR's bundled
+    # google/protobuf/*.proto resources ("unknown location" ImportError).
+    try:
+        import google.protobuf as _gp
+
+        real_runtime = bool(_gp.__file__) and not str(
+            pathlib.Path(_gp.__file__).resolve()
+        ).startswith(str(shim_dir))
+    except ImportError:
+        real_runtime = False
+    if not real_runtime:
+        wanted.append(str(shim_dir))
+    env = spark.sparkContext.environment
+    current = [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p]
+    for p in wanted:
+        if p not in current:
+            current.append(p)
+    env["PYTHONPATH"] = os.pathsep.join(current)
+
+
 class FunnelProcessor(StatefulProcessor):
     """Per-user funnel stage machine on named value state.
 
@@ -229,6 +277,7 @@ def session_close_v2(
     from pyspark.sql import functions as F
 
     ensure_protobuf(events.sparkSession)
+    ensure_state_worker_env(events.sparkSession)
     return (
         # watermarks accept TIMESTAMP only — normalize NTZ inputs
         events.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
@@ -251,6 +300,7 @@ def funnel_stages_v2(events: DataFrame) -> DataFrame:
     refuses the default HDFS-backed provider.
     """
     ensure_protobuf(events.sparkSession)
+    ensure_state_worker_env(events.sparkSession)
     return (
         events.select("user_id", "event_type", "ts")
         .groupBy("user_id")

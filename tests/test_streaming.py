@@ -956,3 +956,127 @@ def test_session_windows_merge_across_batches(spark, tmp_path):
         assert r.n_events == 4
     finally:
         q.stop()
+
+
+def _run_session_close_relay(spark, tmp_path, files, name):
+    """Drive session_close_v2 (gap 30 min, watermark 10 min) over a
+    forced-order file relay; returns {(user_id, minutes-from-t0)}."""
+    import pandas as pd
+
+    from another_map_reduce_spark.streaming.stateful_v2 import (
+        ROCKSDB_PROVIDER,
+        session_close_v2,
+    )
+
+    d = tmp_path / f"{name}_src"
+    d.mkdir()
+    for i, pdf in enumerate(files):
+        p = d / f"b{i}.parquet"
+        pdf.to_parquet(
+            p, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        import os
+
+        os.utime(p, (1000 * (i + 1), 1000 * (i + 1)))
+    schema = spark.read.parquet(str(d)).schema
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        q = (
+            session_close_v2(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(d)),
+                gap_minutes=30,
+                watermark="10 minutes",
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        t0_ms = int(pd.Timestamp("2024-01-01 00:00:00").value // 1_000_000)
+        return {
+            (r.user_id, (r.session_end - t0_ms) / 60_000.0)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+    finally:
+        for qq in spark.streams.active:
+            if qq.name == name:
+                qq.stop()
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def test_tws_timer_final_flush_batch(spark, tmp_path):
+    """availableNow runs one final no-data flush batch whose watermark
+    covers the LAST file — the stream_session_close_tws oracle's
+    third firing opportunity.  User 1's timer (t0+30) only becomes
+    due after the last data file (watermark t0+31) — it must still
+    fire."""
+    import pandas as pd
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    got = _run_session_close_relay(
+        spark,
+        tmp_path,
+        [
+            pd.DataFrame({"user_id": [1], "ts": [t0]}),
+            pd.DataFrame({"user_id": [99], "ts": [t0 + 41 * m]}),
+        ],
+        "tws_flush",
+    )
+    assert got == {(1, 30.0)}
+
+
+def test_tws_timer_inclusive_comparator(spark, tmp_path):
+    """Timers fire when expiry <= eviction watermark (INCLUSIVE) — the
+    comparator the stream_session_close_tws oracle replays.  The
+    final flush watermark is EXACTLY user 1's expiry (t0+30): strict
+    < would never fire it."""
+    import pandas as pd
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    got = _run_session_close_relay(
+        spark,
+        tmp_path,
+        [
+            pd.DataFrame({"user_id": [1], "ts": [t0]}),
+            pd.DataFrame({"user_id": [99], "ts": [t0 + 40 * m]}),
+        ],
+        "tws_cmp",
+    )
+    assert got == {(1, 30.0)}
+
+
+def test_tws_input_processed_before_timers(spark, tmp_path):
+    """Within a batch, input rows are folded FIRST (sliding the one
+    pending timer), THEN due timers fire — so a user whose batch-3
+    input arrives while their old timer (t0+30) is already past the
+    watermark (t0+35) does NOT close the old session; only the slid
+    timer (t0+80) fires, in the final flush (watermark t0+90)."""
+    import pandas as pd
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    got = _run_session_close_relay(
+        spark,
+        tmp_path,
+        [
+            pd.DataFrame({"user_id": [1], "ts": [t0]}),
+            pd.DataFrame({"user_id": [99], "ts": [t0 + 45 * m]}),
+            pd.DataFrame(
+                {"user_id": [1, 99], "ts": [t0 + 50 * m, t0 + 100 * m]}
+            ),
+        ],
+        "tws_order",
+    )
+    assert got == {(1, 80.0)}
