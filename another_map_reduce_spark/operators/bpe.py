@@ -121,31 +121,131 @@ def bpe_train(
 ) -> tuple[list[dict], DataFrame]:
     """Learn ``n_merges`` BPE merges; returns (merge table rows, final
     vocab frame).  Each row: step, sym_a, sym_b, pair_count,
-    tokens_after (total corpus symbol instances after the merge)."""
+    tokens_after (total corpus symbol instances after the merge).
+
+    ONE distributed aggregation per merge: the winner is
+    ``min(struct(-c, a, b))`` (≡ the (count DESC, a, b) tie-break) and
+    the SAME pass's ``sum(c)`` yields the corpus token total through
+    the identity  Σ_w cnt·len(seq_w) = Σ_pairs c + Σ_w cnt  (every
+    word of length L contributes exactly L−1 adjacent pairs), so
+    ``tokens_after`` for merge k is read off merge k+1's pair pass —
+    no separate reporting job per iteration.  Σ cnt is merge-invariant
+    and computed once."""
     v = vocab.localCheckpoint(eager=True)
+    w_total = int(v.agg(F.sum("cnt")).collect()[0][0] or 0)
     merges: list[dict] = []
+    pending: dict | None = None  # awaits tokens_after from the next pass
     for step_no in range(1, n_merges + 1):
+        agg = (
+            bpe_pair_counts(v)
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"), F.col("a"), F.col("b")
+                    )
+                ).alias("w"),
+                F.sum("c").alias("tot"),
+            )
+            .collect()[0]
+        )
+        tokens_now = int(agg.tot or 0) + w_total
+        if pending is not None:
+            pending["tokens_after"] = tokens_now
+            merges.append(pending)
+            pending = None
+        if agg.w is None:  # every word fully merged — corpus exhausted
+            break
+        a, b, c = agg.w.a, agg.w.b, -agg.w.nc
+        pending = {
+            "step": step_no,
+            "sym_a": a,
+            "sym_b": b,
+            "pair_count": int(c),
+        }
+        v = v.withColumn("seq", merge_fold(F.col("seq"), a, b))
+        v = v.localCheckpoint(eager=True)
+    if pending is not None:  # final merge: one extra bounded pass
+        tot = bpe_pair_counts(v).agg(F.sum("c")).collect()[0][0]
+        pending["tokens_after"] = int(tot or 0) + w_total
+        merges.append(pending)
+    return merges, v
+
+
+def bpe_train_batched(
+    vocab: DataFrame, n_merges: int, batch_cap: int = 32
+) -> tuple[list[dict], DataFrame]:
+    """Batched BPE training: per ROUND, one pair-count pass ranks the
+    top candidates and a greedy selection of PAIRWISE SYMBOL-DISJOINT
+    pairs (up to ``batch_cap``, ranked order, conflicting pairs
+    skipped to the next round) is applied in one composed fold pass —
+    so N merges cost ≈ N/batch ranking shuffles instead of N.
+
+    Symbol-disjointness makes batch members' counts invariant under
+    each other's application (a merge only creates/destroys
+    adjacencies involving its own symbols), so every applied
+    (pair, count) is exactly what sequential BPE counted this round.
+    The REMAINING divergence from sequential training: a pair newly
+    created by an earlier batch member (count ≤ its creator's) can
+    rank above a later batch member and would have been merged first
+    by the sequential trainer.  That reordering is the standard
+    large-vocab engineering tradeoff; ``batch_cap=1`` recovers the
+    sequential algorithm exactly (pytest-pinned), and tests compare
+    the two merge tables on real text.
+
+    Returns (rounds, final vocab); each round row: round, merges =
+    [(sym_a, sym_b, pair_count), ...] in applied order, tokens_after.
+    """
+    v = vocab.localCheckpoint(eager=True)
+    rounds: list[dict] = []
+    done = 0
+    round_no = 0
+    while done < n_merges:
+        want = min(batch_cap, n_merges - done)
+        # Oversample the ranking so skipped (conflicting) candidates
+        # don't starve the batch; bounded driver collect.
         top = (
             bpe_pair_counts(v)
             .orderBy(F.col("c").desc(), "a", "b")
-            .limit(1)
+            .limit(max(4 * want, 16))
             .collect()
         )
-        if not top:  # every word fully merged — corpus exhausted
+        if not top:
             break
-        a, b, c = top[0].a, top[0].b, top[0].c
-        v = v.withColumn("seq", merge_fold(F.col("seq"), a, b))
+        chosen: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for r in top:
+            if len(chosen) >= want:
+                break
+            if r.a in used or r.b in used:
+                continue
+            chosen.append((r.a, r.b, int(r.c)))
+            used.update((r.a, r.b))
+        # The top-ranked candidate always qualifies → progress is
+        # guaranteed every round.
+        expr: Column = F.col("seq")
+        for j, (a, b, _) in enumerate(chosen):
+            expr = merge_fold(expr, a, b)
+            # Chunk the fold composition: 4 nested aggregates per
+            # projection (measured knee — deeper nesting blows up
+            # Catalyst planning time super-linearly); chained
+            # projections stay one narrow (pipelined) stage.
+            if (j + 1) % 4 == 0 or j + 1 == len(chosen):
+                v = v.withColumn("seq", expr)
+                expr = F.col("seq")
         v = v.localCheckpoint(eager=True)
-        tokens_after = v.select(
-            F.sum(F.col("cnt") * F.size(F.split("seq", " "))).alias("t")
-        ).collect()[0].t
-        merges.append(
+        tokens_after = int(
+            v.agg(
+                F.sum(F.col("cnt") * F.size(F.split("seq", " ")))
+            ).collect()[0][0]
+            or 0
+        )
+        round_no += 1
+        done += len(chosen)
+        rounds.append(
             {
-                "step": step_no,
-                "sym_a": a,
-                "sym_b": b,
-                "pair_count": int(c),
-                "tokens_after": int(tokens_after),
+                "round": round_no,
+                "merges": chosen,
+                "tokens_after": tokens_after,
             }
         )
-    return merges, v
+    return rounds, v
