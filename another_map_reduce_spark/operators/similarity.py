@@ -744,6 +744,376 @@ def ivf_compact_cells(spark: SparkSession, path: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (IVF+PQ) — the standard 100 TB vector-index layout
+# ---------------------------------------------------------------------------
+
+
+def _lit_cube(cube: list[list[list[float]]]) -> Column:
+    """Constant array<array<array<double>>> via ONE parsed SQL
+    expression (the 3-D sibling of _lit_matrix, same py4j-cost
+    rationale)."""
+    body = ",".join(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in row) + ")"
+            for row in mat
+        )
+        + ")"
+        for mat in cube
+    )
+    return F.expr(f"array({body})")
+
+
+def _unit_vec(vec: Column) -> Column:
+    """L2-normalized double copy of ``vec`` (zero vectors pass through
+    unscaled) — PQ encodes NORMALIZED residuals so the asymmetric dot
+    estimate IS the cosine estimate."""
+    dv = F.transform(vec, lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(dv, dv, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    safe = F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
+    return F.transform(dv, lambda x: x / safe)
+
+
+def _pq_subvectors(unit: Column, m_sub: int, ds: int) -> Column:
+    """array of ``m_sub`` length-``ds`` subvectors of a unit vector."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        lambda m: F.slice(unit, m * ds + 1, ds),
+    )
+
+
+def pq_encode(
+    vec: Column, codebooks: list[list[list[float]]]
+) -> Column:
+    """array<int> of ``len(codebooks)`` codes: per subspace, the
+    L2-nearest codeword of the NORMALIZED vector's subvector (ties →
+    lowest code, via struct min — pure column expression, no shuffle,
+    no Python)."""
+    m_sub = len(codebooks)
+    ds = len(codebooks[0][0])
+    cb = _lit_cube(codebooks)
+    subs = _pq_subvectors(_unit_vec(vec), m_sub, ds)
+    return F.transform(
+        subs,
+        lambda sub, m: F.array_min(
+            F.transform(
+                F.element_at(cb, m + 1),
+                lambda cw, j: F.struct(
+                    F.aggregate(
+                        F.zip_with(sub, cw, lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d2"),
+                    j.alias("j"),
+                ),
+            )
+        ).getField("j"),
+    )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+    train_mod: int = 1,
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks (Jégou, Douze &
+    Schmid, TPAMI 2011): the d-dim NORMALIZED vector splits into
+    ``m_sub`` subvectors of d/m_sub dims; each subspace gets its own
+    ``k_codes``-word L2 codebook via Lloyd refinement.
+
+    Same determinism contract as train_centroids: init = the
+    ``k_codes`` lowest-id vectors' subvectors (no RNG), assignment is
+    a pure column expression, means use DECIMAL(38,12) sums, emptied
+    codewords keep their previous value.  ALL subspaces train in ONE
+    shuffle per iteration (rows are (m, subvector); grouping key is
+    (m, code, dim)) — the model is m_sub × k_codes × d/m_sub doubles,
+    always driver-sized.  ``train_mod`` samples like train_centroids.
+    """
+    base = corpus.select(
+        F.col(id_col).alias("vid"), _unit_vec(F.col(vec_col)).alias("nv")
+    )
+    init_rows = base.orderBy("vid").limit(k_codes).collect()
+    if not init_rows:
+        raise ValueError("empty corpus: cannot train PQ codebooks")
+    dim = len(init_rows[0].nv)
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    ds = dim // m_sub
+    cbs = [
+        [list(r.nv[m * ds : (m + 1) * ds]) for r in init_rows]
+        for m in range(m_sub)
+    ]
+    # Init may have fewer vectors than k_codes on tiny corpora: pad by
+    # cycling (duplicates never win an argmin tie over the original —
+    # equal distance, higher code index loses).
+    while len(cbs[0]) < k_codes:
+        for m in range(m_sub):
+            cbs[m].append(list(cbs[m][len(cbs[m]) % len(init_rows)]))
+    if iters <= 0:
+        return cbs
+    sample = (
+        base
+        if train_mod <= 1
+        else base.where(F.pmod(F.xxhash64("vid"), F.lit(train_mod)) == 0)
+    )
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    subs = sample.select(
+        F.posexplode(
+            _pq_subvectors(F.col("nv"), m_sub, ds)
+        ).alias("m", "sub")
+    ).repartition(par).persist()
+    try:
+        for _ in range(iters):
+            cb_lit = _lit_cube(cbs)
+            assigned = subs.select(
+                "m",
+                "sub",
+                F.array_min(
+                    F.transform(
+                        F.element_at(cb_lit, F.col("m") + 1),
+                        lambda cw, j: F.struct(
+                            F.aggregate(
+                                F.zip_with(
+                                    F.col("sub"),
+                                    cw,
+                                    lambda x, y: (x - y) * (x - y),
+                                ),
+                                F.lit(0.0),
+                                lambda acc, x: acc + x,
+                            ).alias("d2"),
+                            j.alias("j"),
+                        ),
+                    )
+                ).getField("j").alias("code"),
+            )
+            stats = (
+                assigned.select("m", "code", F.posexplode("sub").alias("d", "x"))
+                .groupBy("m", "code", "d")
+                .agg(
+                    F.sum(F.col("x").cast("decimal(38,12)")).alias("sx"),
+                    F.count("*").alias("n"),
+                )
+                .collect()
+            )
+            new_cbs = [[list(cw) for cw in mat] for mat in cbs]
+            acc: dict[tuple[int, int], dict[int, float]] = {}
+            for r in stats:
+                acc.setdefault((int(r.m), int(r.code)), {})[int(r.d)] = (
+                    float(r.sx) / r.n
+                )
+            for (m, code), dims in acc.items():
+                new_cbs[m][code] = [dims[d] for d in sorted(dims)]
+            cbs = new_cbs
+    finally:
+        subs.unpersist()
+    return cbs
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    path: str,
+    num_cells: int = 16,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 2,
+    train_mod: int = 1,
+) -> None:
+    """IVF+PQ index: ``build_ivf_index``'s centroids + full-precision
+    postings, PLUS per-subspace PQ codebooks and a ``pqcodes`` table —
+    (cell, cid, codes: array<int>) partitioned by cell like postings.
+
+    The layout story at 100 TB: the probe SCAN reads pqcodes (m_sub
+    small ints per vector ≈ 32× smaller than d×4-byte floats for
+    d=64/m=8), ranks candidates with the asymmetric-distance lookup
+    (ivf_pq_probe_topk), and touches the full-precision postings ONLY
+    for the shortlist rerank — so the per-query IO is
+    nprobe/C × |codes| + rerank × d instead of nprobe/C × |vectors|.
+    The full-precision postings stay authoritative (append/compact
+    reuse the plain-IVF paths; re-encode the delta into pqcodes the
+    same way).
+    """
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    build_ivf_index(
+        corpus,
+        path,
+        num_cells=num_cells,
+        id_col=id_col,
+        vec_col=vec_col,
+        train_iters=train_iters,
+        train_mod=train_mod,
+    )
+    cbs = train_pq_codebooks(
+        corpus,
+        m_sub=m_sub,
+        k_codes=k_codes,
+        id_col=id_col,
+        vec_col=vec_col,
+        iters=train_iters,
+        train_mod=train_mod,
+    )
+    # Driver-sized model → direct pyarrow write (same local-FS-only
+    # caveat and remediation as the centroid write above).
+    shutil.rmtree(f"{path}/codebooks", ignore_errors=True)
+    os.makedirs(f"{path}/codebooks", exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "m": pa.array(
+                    [m for m in range(m_sub) for _ in range(k_codes)],
+                    pa.int32(),
+                ),
+                "code": pa.array(
+                    [j for _ in range(m_sub) for j in range(k_codes)],
+                    pa.int32(),
+                ),
+                "codeword": pa.array(
+                    [cbs[m][j] for m in range(m_sub) for j in range(k_codes)],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        ),
+        f"{path}/codebooks/part-0.parquet",
+    )
+    spark = corpus.sparkSession
+    postings = spark.read.parquet(f"{path}/postings")
+    codes = postings.select(
+        "cell",
+        "cid",
+        pq_encode(F.col("cvec"), cbs).alias("codes"),
+    )
+    codes.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/pqcodes")
+
+
+def read_pq_codebooks(
+    spark: SparkSession, path: str
+) -> list[list[list[float]]]:
+    rows = spark.read.parquet(f"{path}/codebooks").orderBy("m", "code").collect()
+    m_sub = 1 + max(int(r.m) for r in rows)
+    cbs: list[list[list[float]]] = [[] for _ in range(m_sub)]
+    for r in rows:
+        cbs[int(r.m)].append([float(x) for x in r.codeword])
+    return cbs
+
+
+def ivf_pq_probe_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int | None = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a STORED IVF+PQ index: probe the pqcodes of the
+    ``nprobe`` best cells, rank candidates by ASYMMETRIC distance (per
+    query, a LUT of subspace-dot-products against every codeword is
+    computed ONCE — m_sub × k_codes small dots — and each candidate
+    costs m_sub array lookups instead of a d-dim dot), keep the top
+    ``rerank`` per query, and re-score ONLY those against the
+    full-precision postings with the exact bit-reproducible cosine.
+
+    ``rerank=None`` reranks every probed candidate — combined with
+    ``nprobe = num_cells`` that config is LOSSLESS (the ADC shortlist
+    drops nothing, the rerank is the exact cosine over every
+    candidate), which is the oracle-provable regime; the approximate
+    regime's recall is measured in tests and SCALE.md.  Output
+    (qid, cid, cos, rank) matches the brute-force shape.
+    """
+    cbs = read_pq_codebooks(spark, path)
+    m_sub = len(cbs)
+    k_codes = len(cbs[0])
+    ds = len(cbs[0][0])
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    cents = [[float(x) for x in r.centroid] for r in cent_rows]
+    cb_lit = _lit_cube(cbs)
+    qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    q_subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        lambda m: F.slice(qv, m * ds + 1, ds),
+    )
+    # Per-query LUT: lut[m][j] = <q_m, codeword[m][j]> — computed once
+    # per query ROW (queries are the small side), reused per candidate.
+    lut = F.transform(
+        q_subs,
+        lambda sub, m: F.transform(
+            F.element_at(cb_lit, m + 1),
+            lambda cw, j: F.aggregate(
+                F.zip_with(sub, cw, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        ),
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        lut.alias("lut"),
+        F.explode(top_cells(F.col(vec_col), cents, nprobe)).alias("cell"),
+    )
+    codes = spark.read.parquet(f"{path}/pqcodes")
+    adc = (
+        codes.join(F.broadcast(q), "cell")
+        .where(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "qvec",
+            "cell",
+            "cid",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m_sub - 1)),
+                F.lit(0.0),
+                lambda acc, m: acc
+                + F.element_at(
+                    F.element_at(F.col("lut"), m + 1),
+                    F.element_at(F.col("codes"), m + 1) + 1,
+                ),
+            ).alias("adc"),
+        )
+    )
+    if rerank is not None:
+        w_adc = Window.partitionBy("qid").orderBy(
+            F.col("adc").desc(), F.col("cid")
+        )
+        adc = adc.withColumn("arank", F.row_number().over(w_adc)).where(
+            F.col("arank") <= rerank
+        )
+    postings = spark.read.parquet(f"{path}/postings").select(
+        "cell", "cid", "cvec"
+    )
+    exact = adc.join(postings, ["cell", "cid"]).select(
+        "qid",
+        "cid",
+        cosine_similarity(F.col("qvec"), F.col("cvec")).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )
+
+
 def vector_centroids(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -976,6 +976,63 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=10, nprobe=16)
 
 
+@register("ann_ivf_pq_topk", oracle=_ANN_TOPK_SQL)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ top-10 (Jégou et al., TPAMI 2011) — the standard 100 TB
+    vector-index layout: cell-partitioned PQ CODES (16 subspace codes
+    per vector ≈ 16× smaller than the 64×4-byte float payload) are
+    ranked by per-query asymmetric-distance lookups, and only the
+    shortlist touches the full-precision postings for the exact
+    rerank.
+
+    Probed here in the LOSSLESS config — nprobe = num_cells and
+    rerank=None (every candidate reranked with the bit-reproducible
+    exact cosine) — so the result must equal the brute-force oracle
+    exactly: the hash row proves the full pipeline (normalize →
+    per-subspace encode → ADC LUT → shortlist → rerank join) while
+    the approximate regime's recall/compression tradeoff (0.985
+    recall@10 at rerank=100, 16× code compression at sf0.01) is
+    pinned in tests/test_similarity.py and SCALE.md.
+
+    Index build is a write-once artifact (ann_ivf_incremental's
+    contract): repeated invocations price the recurring probe.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from another_map_reduce_spark.artifacts import (
+        ensure_artifact,
+        source_fingerprint,
+    )
+    from another_map_reduce_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_probe_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"amrs_ivfpq_index_{tag}")
+    ensure_artifact(
+        path,
+        source_fingerprint(
+            sf_dir, "embeddings", op="ivfpq", num_cells=8, m_sub=16,
+            k_codes=16, train_iters=1,
+        ),
+        lambda: build_ivf_pq_index(
+            emb, path, num_cells=8, m_sub=16, k_codes=16, train_iters=1
+        ),
+    )
+    return ivf_pq_probe_topk(
+        spark,
+        path,
+        emb.where(F.col("vec_id") < 10),
+        k=10,
+        nprobe=8,
+        rerank=None,
+    )
+
+
 @register(
     "ann_ivf_incremental",
     oracle=f"""

@@ -490,3 +490,93 @@ def test_sign_projection_norm_and_cosine_preservation(spark, sf_dir):
         sum((i % 7 - 3) * signs[0][i] for i in range(64))
     )
     assert got == want
+
+
+def test_ivf_pq_lossless_config_equals_bruteforce(spark, emb, tmp_path):
+    """nprobe = num_cells + rerank=None is LOSSLESS: the ADC shortlist
+    drops nothing and every candidate is re-scored with the exact
+    cosine, so IVF+PQ must equal brute force bit-for-bit — the same
+    proof contract as the plain-IVF full probe."""
+    from another_map_reduce_spark.operators.similarity import (
+        build_ivf_pq_index,
+        cosine_topk,
+        ivf_pq_probe_topk,
+    )
+
+    path = str(tmp_path / "pqidx")
+    build_ivf_pq_index(
+        emb, path, num_cells=8, m_sub=16, k_codes=16, train_iters=1
+    )
+    qs = emb.where(F.col("vec_id") < 10)
+    got = [
+        (r.qid, r.cid, r.cos, r.rank)
+        for r in ivf_pq_probe_topk(
+            spark, path, qs, k=10, nprobe=8, rerank=None
+        ).collect()
+    ]
+    want = [
+        (r.qid, r.cid, r.cos, r.rank)
+        for r in cosine_topk(emb, qs, k=10).collect()
+    ]
+    assert got == want
+
+
+def test_ivf_pq_recall_and_compression(spark, emb, tmp_path):
+    """The approximate regime earns its keep: ADC shortlist + exact
+    rerank reaches high recall while the probe-scan payload (pqcodes)
+    is a fraction of the full-precision postings bytes."""
+    import os
+
+    from another_map_reduce_spark.operators.similarity import (
+        build_ivf_pq_index,
+        cosine_topk,
+        ivf_pq_probe_topk,
+    )
+
+    path = str(tmp_path / "pqidx2")
+    build_ivf_pq_index(
+        emb, path, num_cells=8, m_sub=16, k_codes=16, train_iters=2
+    )
+    qs = emb.where(F.col("vec_id") < 20)
+    want = {(r.qid, r.cid) for r in cosine_topk(emb, qs, k=10).collect()}
+    got = {
+        (r.qid, r.cid)
+        for r in ivf_pq_probe_topk(
+            spark, path, qs, k=10, nprobe=8, rerank=100
+        ).collect()
+    }
+    recall = len(want & got) / len(want)
+    assert recall >= 0.9, recall
+
+    def tree_bytes(p):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for d, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    codes_b = tree_bytes(f"{path}/pqcodes")
+    post_b = tree_bytes(f"{path}/postings")
+    assert codes_b < post_b / 3, (codes_b, post_b)
+
+
+def test_pq_encode_deterministic_and_bounded(spark, emb):
+    """Codes are within [0, k_codes) with exactly m_sub entries, and
+    encoding is deterministic across invocations."""
+    from another_map_reduce_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    cbs = train_pq_codebooks(emb, m_sub=8, k_codes=16, iters=1)
+    assert len(cbs) == 8 and len(cbs[0]) == 16 and len(cbs[0][0]) == 8
+    enc = emb.select(
+        "vec_id", pq_encode(F.col("embedding"), cbs).alias("codes")
+    )
+    rows1 = {r.vec_id: tuple(r.codes) for r in enc.collect()}
+    rows2 = {r.vec_id: tuple(r.codes) for r in enc.collect()}
+    assert rows1 == rows2
+    for codes in rows1.values():
+        assert len(codes) == 8
+        assert all(0 <= c < 16 for c in codes)
