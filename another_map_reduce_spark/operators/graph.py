@@ -349,3 +349,77 @@ def bfs_hops(
         dist = dist.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt.select("node")
     return dist
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    sources: DataFrame,
+    cap: int,
+    max_iters: int | None = None,
+) -> DataFrame:
+    """Weighted single-source(-set) shortest paths over the directed
+    edge list ``edges`` (src, dst, w — non-negative INTEGER weights),
+    exploring only paths whose distance at every intermediate node is
+    < ``cap``.  Returns (node, d) for every reached node; callers
+    union the unreached remainder (the bfs_hops contract).
+
+    Frontier-based Bellman–Ford (delta relaxation), the weighted
+    sibling of bfs_hops: each round relaxes ONLY the nodes whose
+    distance improved last round — one shuffle_hash join of the
+    frontier against the src-partitioned cached edge blocks (the
+    corpus-sized side is never re-shuffled), one grouped min per
+    destination, one improvement join against the settled distances.
+    Rounds are eagerly checkpointed (O(1) lineage) and an empty
+    frontier short-circuits with a bounded 1-row probe — the
+    bfs_hops/CC discipline.  With weights ≥ 1 the ``d < cap`` guard
+    bounds both path length and round count, so ``max_iters``
+    defaults to ``cap + 1`` as a pure safety rail.
+
+    Integer distances keep the result ENGINE-EXACT (no float path-sum
+    ordering concerns) — the registered query's recursive-CTE oracle
+    replays the same guarded relaxation and must hash-match.
+    [extension] — the reference has no graph surface.
+    """
+    if max_iters is None:
+        max_iters = cap + 1
+    edges = edges.repartition("src").localCheckpoint(eager=False)
+    dist = (
+        sources.select("node", F.lit(0).cast("long").alias("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(max_iters):
+        cand = (
+            edges.join(
+                frontier.where(F.col("d") < cap)
+                .withColumnRenamed("node", "src")
+                .hint("shuffle_hash"),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("d") + F.col("w")).cast("long").alias("nd"),
+            )
+            .groupBy("node")
+            .agg(F.min("nd").alias("nd"))
+        )
+        improved = (
+            cand.join(dist, "node", "left")
+            .where(F.col("d").isNull() | (F.col("nd") < F.col("d")))
+            .select("node", F.col("nd").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.join(
+                improved.select("node", F.col("d").alias("nd")),
+                "node",
+                "full",
+            )
+            .select("node", F.coalesce("nd", "d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return dist

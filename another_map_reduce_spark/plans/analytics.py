@@ -2926,6 +2926,120 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SSSP_CAP = 9  # relax only (node, d) with d < cap — bounds depth too
+
+_SSSP_SQL = f"""
+WITH RECURSIVE e0 AS (
+  SELECT l_suppkey AS src, {_PR_OFF} + o_custkey AS dst,
+         1 + CAST(COUNT(*) AS BIGINT) % 5 AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), edges AS (
+  SELECT src, dst, w FROM e0
+  UNION ALL SELECT dst AS src, src AS dst, w FROM e0
+), srcs AS (
+  SELECT DISTINCT s_suppkey AS node FROM supplier
+  WHERE s_nationkey = (SELECT MIN(s_nationkey) FROM supplier)
+), walk(node, d) AS (
+  SELECT node, CAST(0 AS BIGINT) FROM srcs
+  UNION
+  SELECT e.dst, wk.d + e.w FROM walk wk JOIN edges e ON e.src = wk.node
+  WHERE wk.d < {_SSSP_CAP}
+), dist AS (
+  SELECT node, MIN(d) AS d FROM walk GROUP BY node
+), uni AS (
+  -- recursive-union semantics: spell out the dedup (the BFS oracle's
+  -- documented DuckDB quirk)
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT node FROM srcs
+  )
+), lab AS (
+  SELECT u.node, COALESCE(dist.d, CAST(-1 AS BIGINT)) AS d
+  FROM uni u LEFT JOIN dist ON u.node = dist.node
+)
+SELECT d, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(CASE WHEN node < {_PR_OFF} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_suppliers,
+       CAST(SUM(CASE WHEN node >= {_PR_OFF} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_customers
+FROM lab GROUP BY d ORDER BY d
+"""
+
+
+@register("graph_sssp_weighted", oracle=_SSSP_SQL)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest-path distances — the missing rung between BFS
+    (hop counts) and PageRank (global ranking): minimum-WEIGHT
+    distance from the smallest nation's suppliers over the
+    supplier↔customer trade graph, with integer edge weights
+    1 + (co-trade lineitem count mod 5), histogrammed per distance
+    and unreached nodes reported as d = −1.
+
+    Operator: operators/graph.sssp_weighted — frontier-based
+    Bellman–Ford relaxation (only improved nodes re-expand; the
+    edge list is cached src-partitioned and never re-shuffled; eager
+    checkpoints; empty-frontier short-circuit), exploring paths whose
+    running distance stays < {cap} at every intermediate node.
+    Integer weights make the distances engine-exact; the oracle
+    replays the SAME guarded relaxation as a bounded recursive CTE —
+    the UNION's (node, d) dedup plus the monotone d < cap guard
+    terminate it — and the per-distance histogram must hash-match.
+    [extension] — the reference has no graph surface.
+    """
+    from another_map_reduce_spark.operators.graph import sssp_weighted
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("l_suppkey").alias("src"),
+            (F.lit(_PR_OFF) + F.col("o_custkey")).alias("dst"),
+        )
+        .agg((1 + F.count("*") % 5).cast("long").alias("w"))
+    )
+    edges = e0.unionByName(
+        e0.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    ).localCheckpoint(eager=True)
+    supplier = load_table(spark, sf_dir, "supplier")
+    min_nation = supplier.agg(F.min("s_nationkey").alias("mn"))
+    sources = (
+        supplier.crossJoin(F.broadcast(min_nation))
+        .where(F.col("s_nationkey") == F.col("mn"))
+        .select(F.col("s_suppkey").alias("node"))
+        .distinct()
+    )
+    dist = sssp_weighted(edges, sources, cap=_SSSP_CAP)
+    uni = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(sources)
+        .distinct()
+    )
+    lab = uni.join(dist, "node", "left").select(
+        "node",
+        F.coalesce("d", F.lit(-1).cast("long")).alias("d"),
+    )
+    return (
+        lab.groupBy("d")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum(
+                F.when(F.col("node") < _PR_OFF, 1).otherwise(0)
+            ).cast("long").alias("n_suppliers"),
+            F.sum(
+                F.when(F.col("node") >= _PR_OFF, 1).otherwise(0)
+            ).cast("long").alias("n_customers"),
+        )
+        .orderBy("d")
+    )
+
+
 _BASKET_SQL = """
 WITH items AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

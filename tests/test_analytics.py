@@ -903,6 +903,56 @@ def test_bfs_hops_depth_cap(spark):
     assert dist == {1: 0, 2: 1, 3: 2}
 
 
+def test_sssp_weighted_on_crafted_graph(spark):
+    """Weighted distances where the MIN-WEIGHT path is the LONGER one
+    (1→2→3→4 costs 3 while the direct 1→4 edge costs 10), a node
+    improved in a LATER round (4 is reached at d=10 in round 1, then
+    relaxed down to 3 in round 3), and an unreached node (9)."""
+    from another_map_reduce_spark.operators.graph import sssp_weighted
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1), (1, 4, 10), (9, 9, 1)],
+        "src long, dst long, w long",
+    )
+    sources = spark.createDataFrame([(1,)], "node long")
+    dist = {
+        r.node: r.d for r in sssp_weighted(edges, sources, cap=100).collect()
+    }
+    assert dist == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_sssp_weighted_cap_guard(spark):
+    """Relaxation only expands (node, d) with d < cap — the oracle's
+    recursive-CTE guard: with cap=2 on the chain 1-(2)-2-(2)-3, node 2
+    lands at d=2 but is NOT expanded, so node 3 stays unreached;
+    reached-but-unexpanded distances may still exceed cap."""
+    from another_map_reduce_spark.operators.graph import sssp_weighted
+
+    edges = spark.createDataFrame(
+        [(1, 2, 2), (2, 3, 2)], "src long, dst long, w long"
+    )
+    sources = spark.createDataFrame([(1,)], "node long")
+    dist = {
+        r.node: r.d for r in sssp_weighted(edges, sources, cap=2).collect()
+    }
+    assert dist == {1: 0, 2: 2}
+
+
+def test_sssp_weighted_multi_source_min(spark):
+    """Multi-source: each node takes the MIN over sources (5 is 1 away
+    from source 6 but 3 away from source 1)."""
+    from another_map_reduce_spark.operators.graph import sssp_weighted
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 5, 2), (6, 5, 1)], "src long, dst long, w long"
+    )
+    sources = spark.createDataFrame([(1,), (6,)], "node long")
+    dist = {
+        r.node: r.d for r in sssp_weighted(edges, sources, cap=50).collect()
+    }
+    assert dist == {1: 0, 6: 0, 2: 1, 5: 1}
+
+
 def test_bucketed_join_has_no_join_side_exchange(spark, sf_dir):
     """Both scan sides are bucketed on the join key: the sort-merge
     join must consume them with NO Exchange (the query's whole point;
