@@ -27,7 +27,7 @@ plausible pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 LONG_MAX = (1 << 63) - 1
@@ -950,6 +950,45 @@ def lsh_append_docs(
     """
     lsh_band_index(df, n=n, k=k, bands=bands, text_col=text_col,
                    id_col=id_col).write.mode("append").parquet(path)
+
+
+def lsh_compact_index(
+    spark: SparkSession, path: str, target_files: int | None = None
+) -> None:
+    """COMPACT a stored LSH band index back to ``target_files``
+    parquet files (default: the session's parallelism) — the OPTIMIZE
+    step of the index lifecycle, the dedup twin of
+    ``ivf_compact_cells``: daily ``lsh_append_docs`` calls add one
+    small file per day, and after many days the probe's file-open and
+    footer-read overhead erodes the index's whole point (an
+    O(delta)-cost daily join).  Compaction is LAYOUT-ONLY: same rows,
+    sorted within partitions by (band, sig) so probe-side row-group
+    skipping on the join keys survives the rewrite.
+
+    Same local-FS two-rename swap discipline (and the same crash
+    window + object-store remediation) as ivf_compact_cells:
+    read-then-overwrite of one path races the scan, so write a
+    ``__compact`` sibling and swap.  Probe parity before/after is
+    pytest-pinned in tests/test_dedup.py.
+    """
+    import os
+    import shutil
+
+    n_files = target_files or spark.sparkContext.defaultParallelism
+    tmp = f"{path}__compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        spark.read.parquet(path)
+        .repartition(n_files, "band", "sig")
+        .sortWithinPartitions("band", "sig")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    old = f"{path}__old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(path, old)
+    os.replace(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def incremental_minhash_pairs(

@@ -564,3 +564,51 @@ def test_prefix_filter_equals_allpairs_exact(spark, sf_dir):
         for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
     }
     assert pf == ap and pf  # equal and non-vacuous
+
+
+def test_lsh_compact_index_layout_only(spark, sf_dir, tmp_path):
+    """After daily appends fragment the band index, lsh_compact_index
+    must restore the target file count WITHOUT changing any row or
+    any incremental-probe result (compaction is layout-only) — the
+    dedup twin of the IVF compaction parity suite."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from another_map_reduce_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        lsh_append_docs,
+        lsh_band_index,
+        lsh_compact_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.where(F.col("doc_id") % 10 > 2)
+    day1 = docs.where(F.col("doc_id") % 10 == 1)
+    day2 = docs.where(F.col("doc_id") % 10 == 2)
+    path = str(tmp_path / "bandidx")
+    lsh_band_index(base).write.mode("overwrite").parquet(path)
+    lsh_append_docs(day1, path)
+    lsh_append_docs(day2, path)
+
+    def n_files():
+        return len(glob.glob(f"{path}/*.parquet"))
+
+    hist = docs.where(F.col("doc_id") % 10 != 0)
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+    idx = spark.read.parquet(path)
+    before_rows = idx.count()
+    before = {
+        (r.new_doc, r.dup_of, round(r.jac, 9))
+        for r in incremental_minhash_pairs(hist, delta, idx).collect()
+    }
+    assert n_files() > 4  # fragmentation is real
+    lsh_compact_index(spark, path, target_files=4)
+    assert n_files() == 4
+    idx2 = spark.read.parquet(path)
+    assert idx2.count() == before_rows
+    after = {
+        (r.new_doc, r.dup_of, round(r.jac, 9))
+        for r in incremental_minhash_pairs(hist, delta, idx2).collect()
+    }
+    assert after == before and before
