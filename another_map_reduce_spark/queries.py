@@ -54,17 +54,113 @@ def _load() -> None:
 # All parked queries remain proven each round by the sf0.001
 # differential suite and the driver-faithful local gate at sf0.01.
 #
-# Round 8 rotation (same rolling policy as r4..r7): after r7 the
-# row-age census is exactly 50×r7, 50×r6, 49×r5 — nothing older than
-# r5 (the r7 window refreshed the last r4/r1 stragglers plus the r5
-# cohort head, `stream_dedup_counts`).  This round's window: (1) the
-# new r8 queries (no row at all yet), (2) the 49 remaining r5-era
-# rows in their r5 driver-check order.  That is 49 + new ≤ 50 — so
-# after r8 EVERY registered query has a driver row from r6–r8.
+# Round 9 rotation (same rolling policy as r4..r8): after r8 the
+# row-age census is exactly 50×r8, 50×r7, 50×r6, plus the 34 r8
+# additions that overflowed the r8 window (no driver row at all yet —
+# the r8 VERDICT's top next-round item).  This round's window:
+# (1) the r9 additions (no row possible), (2) the 34 never-checked
+# r8 additions in their r8 _ORDER_NEXT order, (3) the head of the r6
+# cohort — the oldest rows — in its r6 driver-check order, filling
+# the window to exactly 50.
 _ORDER_FRONT = [
-    # round-8 additions (never had a driver row):
+    # round-9 additions (never had a driver row):
+    "stream_session_close_tws",
+    "ann_ivf_pq_topk",
+    "graph_sssp_weighted",
+    # the 34 r8 additions that have never had a driver row:
+    "ann_ivf_append",
+    "dedup_lsh_append",
+    "pipeline_ingest_replay",
+    "dedup_containment_incremental",
+    "hybrid_retrieval_rrf",
+    "dedup_simhash_incremental",
+    "dedup_prefix_filter",
+    "kmv_theta_sketch_ops",
+    "bpe_train_merges",
+    "multimodal_phash_index",
+    "embedding_rp_distortion",
+    "constraint_audit",
+    "bpe_encode_report",
+    "snapshot_diff_orders",
+    "incremental_agg_retraction",
+    "timeseries_anomaly_zscore",
+    "class_balanced_sample",
+    "rp_ann_recall",
+    "event_path_regex",
+    "stream_late_data_accounting",
+    "ann_ivf_rp_topk",
+    "skew_diagnosis_report",
+    "stream_session_windows",
+    "market_basket_pairs",
+    "graph_bfs_hops",
+    "dpp_partitioned_join",
+    "bucketed_join_colocated",
+    "scd2_dimension_lookup",
+    "cogroup_asof_pandas",
+    "stream_join_outer_nulls",
+    "pps_systematic_sample",
+    "sql_udf_price_bands",
+    "embedding_dim_correlation",
+    "arrow_group_stats",
+    # r6-cohort head (the oldest rows), r6 driver-check order — fills
+    # the 50-row window:
+    "quantile_cutpoint_buckets",
+    "bm25_retrieval",
+    "scd2_order_history",
+    "incremental_agg_maintenance",
+    "fuzzy_lev1_neighbors",
+    "unpivot_metrics",
+    "dup_substring_removal",
+    "pysource_stream_wordcount",
+    "hll_sketch_rollup",
+    "bloom_join_pruned_revenue",
+    "skew_join_aqe",
+    "pysource_stream_sink_roundtrip",
+    "dedup_incremental_minhash",
+]
+# The rest of the r6 cohort (next-oldest, r6 order) fronts the r10
+# window; then the r7 cohort.
+_ORDER_NEXT_R9 = [
+    "graph_triangle_count",
+    "session_overlap_pairs",
+    "session_peak_concurrency",
+    "length_batching_report",
+    "stream_foreachbatch_upsert",
+    "udtf_wordcount",
+    "tfidf_top_terms",
+    "inverted_index",
+    "dedup_cc_clusters",
+    "ann_cosine_topk",
+    "ann_cosine_pairs",
+    "ann_ivf_topk",
+    "multimodal_meta",
+    "multimodal_frames",
+    "doc_winnowing_stats",
+    "skew_salted_agg",
+    "embedding_centroids",
+    "bigram_lm_topk",
+    "heavy_hitter_words",
+    "split_train_val_test",
+    "pii_redaction",
+    "doc_chunks",
+    "text_normalize_stats",
+    "stratified_sample",
+    "doc_repetition_stats",
+    "decontam_overlap",
+    "quality_filter_gopher",
+    "domain_mix_report",
+    "dup_substring_stats",
+    "corpus_build_report",
+    "semantic_dedup_stats",
+    "stream_events_hourly_append",
+    "multimodal_audio_meta",
+    "stream_funnel_stateful",
+    "cdc_upsert_balances",
+    "udaf_median_doclen",
+    "lm_novelty_score",
+]
+_ORDER_R8_WINDOW = [
     "pipeline_ingest_delta",
-    # the 49 r5-era rows, r5 driver-check order:
     "stream_static_join_segments",
     "recursive_calendar_gaps",
     "variant_props_stats",
@@ -115,118 +211,19 @@ _ORDER_FRONT = [
     "dedup_minhash_lsh",
     "dedup_simhash",
 ]
-# Overflow across the 50-row window boundary: the later r8 additions
-# (index maintenance ann_ivf_append / dedup_lsh_append, the multi-day
-# replay, the stored-index containment, and hybrid RRF retrieval —
-# the 49 refreshes + pipeline_ingest_delta fill the r8 window exactly,
-# so they wait one round; all proven this round by the sf0.001
-# differential and the driver-faithful sf0.01 local gate), then the
-# r6 cohort in its r6 driver-check order — after r8 that cohort is
-# the oldest block and fronts the r9 window together with this head.
-# The r8 continuation's additions (KMV sketch, the BPE pair,
-# perceptual-hash index, JL projection, constraint audit, snapshot
-# diff, retraction MV, z-score anomalies, class-balanced sample,
-# RP-ANN recall + composition, event-path regex, late-data
-# accounting, skew diagnosis, streaming session windows + outer
-# join, market basket, BFS, DPP, bucketed join, SCD2 lookup,
-# cogrouped-pandas as-of, PPS sampling, SQL UDF) slot in after the
-# original seven: every entry with no driver row at all precedes
-# every refresh.
-_ORDER_NEXT = [
-    "ann_ivf_append",
-    "dedup_lsh_append",
-    "pipeline_ingest_replay",
-    "dedup_containment_incremental",
-    "hybrid_retrieval_rrf",
-    "dedup_simhash_incremental",
-    "dedup_prefix_filter",
-    "kmv_theta_sketch_ops",
-    "bpe_train_merges",
-    "multimodal_phash_index",
-    "embedding_rp_distortion",
-    "constraint_audit",
-    "bpe_encode_report",
-    "snapshot_diff_orders",
-    "incremental_agg_retraction",
-    "timeseries_anomaly_zscore",
-    "class_balanced_sample",
-    "rp_ann_recall",
-    "event_path_regex",
-    "stream_late_data_accounting",
-    "ann_ivf_rp_topk",
-    "skew_diagnosis_report",
-    "stream_session_windows",
-    "market_basket_pairs",
-    "graph_bfs_hops",
-    "dpp_partitioned_join",
-    "bucketed_join_colocated",
-    "scd2_dimension_lookup",
-    "cogroup_asof_pandas",
-    "stream_join_outer_nulls",
-    "pps_systematic_sample",
-    "sql_udf_price_bands",
-    "embedding_dim_correlation",
-    "arrow_group_stats",
-    "quantile_cutpoint_buckets",
-    "bm25_retrieval",
-    "scd2_order_history",
-    "incremental_agg_maintenance",
-    "fuzzy_lev1_neighbors",
-    "unpivot_metrics",
-    "dup_substring_removal",
-    "pysource_stream_wordcount",
-    "hll_sketch_rollup",
-    "bloom_join_pruned_revenue",
-    "skew_join_aqe",
-    "pysource_stream_sink_roundtrip",
-    "dedup_incremental_minhash",
-    "graph_triangle_count",
-    "session_overlap_pairs",
-    "session_peak_concurrency",
-    "length_batching_report",
-    "stream_foreachbatch_upsert",
-    "udtf_wordcount",
-    "tfidf_top_terms",
-    "inverted_index",
-    "dedup_cc_clusters",
-    "ann_cosine_topk",
-    "ann_cosine_pairs",
-    "ann_ivf_topk",
-    "multimodal_meta",
-    "multimodal_frames",
-    "doc_winnowing_stats",
-    "skew_salted_agg",
-    "embedding_centroids",
-    "bigram_lm_topk",
-    "heavy_hitter_words",
-    "split_train_val_test",
-    "pii_redaction",
-    "doc_chunks",
-    "text_normalize_stats",
-    "stratified_sample",
-    "doc_repetition_stats",
-    "decontam_overlap",
-    "quality_filter_gopher",
-    "domain_mix_report",
-    "dup_substring_stats",
-    "corpus_build_report",
-    "semantic_dedup_stats",
-    "stream_events_hourly_append",
-    "multimodal_audio_meta",
-    "stream_funnel_stateful",
-    "cdc_upsert_balances",
-    "udaf_median_doclen",
-    "lm_novelty_score",
-]
-# The r7 cohort (freshest rows) lands in the mid block in natural
-# registration order; nothing is pinned to the tail this round.
 _ORDER_HEAVY: list[str] = []
 _ORDER_TAIL: list[str] = []
 
 
 def _reorder() -> None:
-    front = [n for n in _ORDER_FRONT + _ORDER_NEXT if n in QUERIES]
-    late = _ORDER_HEAVY + _ORDER_TAIL
+    front = [
+        n
+        for n in _ORDER_FRONT + _ORDER_NEXT_R9
+        if n in QUERIES
+    ]
+    late = _ORDER_HEAVY + _ORDER_TAIL + [
+        n for n in _ORDER_R8_WINDOW if n in QUERIES
+    ]
     mid = [n for n in QUERIES if n not in front and n not in late]
     names = front + mid + [n for n in late if n in QUERIES]
     snapshot = dict(QUERIES)
