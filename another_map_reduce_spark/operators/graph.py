@@ -423,3 +423,53 @@ def sssp_weighted(
         )
         frontier = improved
     return dist
+
+
+def kcore_peel(
+    edges: DataFrame, k: int, rounds: int
+) -> tuple[DataFrame, DataFrame]:
+    """Bounded k-core PEELING over a SYMMETRIZED edge list (src, dst):
+    each round drops every node whose current degree is < k, then
+    restricts the edge list to surviving endpoints — ``rounds``
+    iterations of the standard k-core decomposition step (the fixpoint
+    of which is the k-core; a bounded peel is the same computation cut
+    after a fixed prefix, so two engines running the same ``rounds``
+    agree whether or not the graph has converged).
+
+    Returns (stats, final_edges): stats has one row per round —
+    (round, n_alive, n_edges) with round 0 = the input graph — and
+    final_edges is the surviving symmetrized edge list.
+
+    Shape: per round one degree aggregation (the symmetric list makes
+    degree a plain groupBy count) and two semi-joins, checkpointed so
+    the per-round stats don't recompute the prefix; all counts are
+    integers, so the recursive-free unrolled-CTE oracle hash-matches
+    exactly.  Degeneracy note: peeling only CASCADES when removals
+    drag survivors below k — hub-dominated graphs converge in one
+    round; chain-like graphs peel end-in one round per step (the
+    registered query uses per-customer order chains for that reason).
+    [extension] — the reference has no graph surface.
+    """
+    spark = edges.sparkSession
+    es = edges.localCheckpoint(eager=True)
+    n0 = es.select("src").distinct().count()
+    m0 = es.count()
+    stats = [(0, n0, m0)]
+    for rnd in range(1, rounds + 1):
+        deg = es.groupBy("src").agg(F.count("*").alias("c"))
+        alive = deg.where(F.col("c") >= k).select(
+            F.col("src").alias("node")
+        )
+        es = (
+            es.join(
+                alive.withColumnRenamed("node", "src"), "src", "semi"
+            )
+            .join(alive.withColumnRenamed("node", "dst"), "dst", "semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        stats.append((rnd, alive.count(), es.count()))
+    sdf = spark.createDataFrame(
+        stats, "round long, n_alive long, n_edges long"
+    ).orderBy("round")
+    return sdf, es

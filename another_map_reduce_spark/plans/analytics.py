@@ -3040,6 +3040,86 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled peeling CTEs — round i recomputes degrees on round
+    i−1's surviving edges; no recursion needed for a BOUNDED peel."""
+    parts = [
+        """
+WITH seq AS (
+  SELECT o_custkey, o_orderkey,
+         LAG(o_orderkey) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS prev
+  FROM orders
+), e00 AS (
+  SELECT prev AS src, o_orderkey AS dst FROM seq WHERE prev IS NOT NULL
+), e0 AS (
+  SELECT src, dst FROM e00 UNION ALL SELECT dst AS src, src AS dst FROM e00
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", d{i} AS (
+  SELECT src AS node, COUNT(*) AS c FROM e{i - 1} GROUP BY 1
+), a{i} AS (
+  SELECT node FROM d{i} WHERE c >= {k}
+), e{i} AS (
+  SELECT e.src, e.dst FROM e{i - 1} e
+  JOIN a{i} x ON e.src = x.node JOIN a{i} y ON e.dst = y.node
+)"""
+        )
+    rows = [
+        "SELECT CAST(0 AS BIGINT) AS round,"
+        " CAST((SELECT COUNT(DISTINCT src) FROM e0) AS BIGINT) AS n_alive,"
+        " CAST((SELECT COUNT(*) FROM e0) AS BIGINT) AS n_edges"
+    ]
+    for i in range(1, rounds + 1):
+        rows.append(
+            f"SELECT CAST({i} AS BIGINT),"
+            f" CAST((SELECT COUNT(*) FROM a{i}) AS BIGINT),"
+            f" CAST((SELECT COUNT(*) FROM e{i}) AS BIGINT)"
+        )
+    return "".join(parts) + "\n" + "\nUNION ALL ".join(rows) + "\nORDER BY round"
+
+
+@register("graph_kcore_peel", oracle=_kcore_sql(2, 4))
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling (k = 2, 4 rounds) — degree-based
+    community STRUCTURE, completing the graph suite's labeling (CC) /
+    ranking (PageRank) / counting (triangles) / reachability (BFS) /
+    distance (SSSP) axes with coreness: per round, every node whose
+    degree fell below k is dropped and degrees recompute on the
+    survivors.
+
+    The graph is each customer's ORDER CHAIN (consecutive orders by
+    date linked) — chosen because peeling only shows its cascade on
+    chain-like graphs: each round removes the current chain ENDS, so
+    the per-round (n_alive, n_edges) series is strictly decreasing and
+    genuinely multi-round (the supplier↔customer trade graph is
+    hub-dominated and converges in one round at every tested
+    sparsification — measured, not assumed).  The oracle unrolls the
+    same 4 peels as chained CTEs; all-integer counts hash-match
+    exactly.  [extension] — the reference has no graph surface.
+    """
+    from pyspark.sql import Window as W
+
+    from another_map_reduce_spark.operators.graph import kcore_peel
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.withColumn("prev", F.lag("o_orderkey").over(w))
+    e0 = seq.where(F.col("prev").isNotNull()).select(
+        F.col("prev").alias("src"), F.col("o_orderkey").alias("dst")
+    )
+    es = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    stats, _ = kcore_peel(es, k=2, rounds=4)
+    return stats
+
+
 _BASKET_SQL = """
 WITH items AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -927,18 +927,6 @@ def stream_session_close_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where((F.col("ts") >= c1) & (F.col("ts") < c2)),
         ev.where(F.col("ts") >= c2),
     ]
-    # The watermark replay assumes every relay batch is non-empty;
-    # fail loudly on a degenerate fixture (one aggregate pass).
-    sizes = ev.agg(
-        F.sum((F.col("ts") < c1).cast("long")).alias("b0"),
-        F.sum(((F.col("ts") >= c1) & (F.col("ts") < c2)).cast("long")).alias("b1"),
-        F.sum((F.col("ts") >= c2).cast("long")).alias("b2"),
-    ).first()
-    if not all((sizes[k] or 0) > 0 for k in ("b0", "b1", "b2")):
-        raise ValueError(
-            f"session-close relay fixture must straddle the {_TWS_C1} "
-            f"and {_TWS_C2} cutoffs; slice sizes were {sizes.asDict()}"
-        )
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     root = os.path.join(
         tempfile.gettempdir(), f"amrs_twsclose_{tag}_{os.getpid()}"
@@ -947,6 +935,21 @@ def stream_session_close_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(root, "src")
     os.makedirs(src)
     _write_relay(root, src, splits, "session-close")
+    # The watermark replay assumes every relay batch is non-empty;
+    # fail loudly on a degenerate fixture.  Row counts come from the
+    # just-written files' parquet FOOTERS — metadata reads, no extra
+    # corpus scan.
+    import pyarrow.parquet as _pq
+
+    sizes = {
+        f"b{i}": _pq.ParquetFile(os.path.join(src, f"b{i}.parquet")).metadata.num_rows
+        for i in range(3)
+    }
+    if not all(v > 0 for v in sizes.values()):
+        raise ValueError(
+            f"session-close relay fixture must straddle the {_TWS_C1} "
+            f"and {_TWS_C2} cutoffs; slice sizes were {sizes}"
+        )
 
     schema = spark.read.parquet(src).schema
     provider_key = "spark.sql.streaming.stateStore.providerClass"
@@ -954,7 +957,11 @@ def stream_session_close_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set(provider_key, ROCKSDB_PROVIDER)
     qname = _fresh_sink_name("stream_tws_close")
     try:
-        with _stream_shuffle_partitions(spark):
+        # Width 4 (vs the default drain width 8): per-user last-event
+        # state is 8 bytes — the drain is store-instantiation-bound,
+        # not state-volume-bound, and TWS adds a state-server handshake
+        # per partition per batch on top of the RocksDB open.
+        with _stream_shuffle_partitions(spark, 4):
             stream = session_close_v2(
                 spark.readStream.schema(schema)
                 .option("maxFilesPerTrigger", 1)

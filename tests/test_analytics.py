@@ -1024,3 +1024,54 @@ def test_scd2_lookup_tie_takes_new_version(spark, tmp_path):
         for r in scd2_dimension_lookup(spark, str(tmp_path)).collect()
     }
     assert got == {0: (1, 1), 1: (1, 1)}
+
+
+def _sym(spark, pairs):
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    return e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def test_kcore_peel_cycle_is_stable_core(spark):
+    """A cycle is its own 2-core: peeling must remove nothing in any
+    round (every node keeps degree exactly 2)."""
+    from another_map_reduce_spark.operators.graph import kcore_peel
+
+    cyc = _sym(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    stats, final = kcore_peel(cyc, k=2, rounds=3)
+    rows = {r.round: (r.n_alive, r.n_edges) for r in stats.collect()}
+    assert rows == {0: (4, 8), 1: (4, 8), 2: (4, 8), 3: (4, 8)}
+    assert final.count() == 8
+
+
+def test_kcore_peel_path_cascades_end_in(spark):
+    """On the path 1-2-3-4-5 with k=2, each round peels the two
+    current ENDS — the cascade a one-shot degree filter misses: after
+    round 1 nodes 2 and 4 drop to degree 1 and only a SECOND round
+    removes them."""
+    from another_map_reduce_spark.operators.graph import kcore_peel
+
+    path = _sym(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    stats, final = kcore_peel(path, k=2, rounds=3)
+    rows = {r.round: (r.n_alive, r.n_edges) for r in stats.collect()}
+    assert rows == {0: (5, 8), 1: (3, 4), 2: (1, 0), 3: (0, 0)}
+    assert final.count() == 0
+
+
+def test_kcore_peel_cycle_with_pendant(spark):
+    """Cycle + pendant chain: the chain peels away round by round, the
+    cycle survives — the mixed case the registered query's order-chain
+    fixture cannot produce (it has no cycles)."""
+    from another_map_reduce_spark.operators.graph import kcore_peel
+
+    g = _sym(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)])
+    stats, final = kcore_peel(g, k=2, rounds=3)
+    rows = {r.round: (r.n_alive, r.n_edges) for r in stats.collect()}
+    # round 1 drops 5 (deg 1); round 2 drops 4 (now deg 1); cycle stays
+    assert rows == {0: (5, 10), 1: (4, 8), 2: (3, 6), 3: (3, 6)}
+    assert sorted((r.src, r.dst) for r in final.collect()) == [
+        (1, 2), (1, 3), (2, 1), (2, 3), (3, 1), (3, 2)
+    ]
