@@ -1080,3 +1080,99 @@ def test_tws_input_processed_before_timers(spark, tmp_path):
         "tws_order",
     )
     assert got == {(1, 80.0)}
+
+
+def test_tws_initial_state_bootstrap(spark, tmp_path):
+    """The initialState half of transformWithStateInPandas — the one
+    API face the funnel/timer/list/map tests don't touch: a batch
+    GroupedData seeds per-key state BEFORE the first micro-batch
+    (handleInitialState), so day-N+1 of a migrated pipeline starts
+    from day-N's balances instead of zero.
+
+    Per-user running totals: users 1/2 bootstrap with balances 100/50,
+    the stream delivers increments for users 1 (+7, +3) and 3 (+5);
+    emitted totals must be {1: 110, 2: none-emitted-unless-input,
+    3: 5} — and user 1's total proves initial state was folded in."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from another_map_reduce_spark.streaming.stateful_v2 import (
+        ROCKSDB_PROVIDER,
+        ensure_protobuf,
+        ensure_state_worker_env,
+    )
+
+    ensure_protobuf(spark)
+    ensure_state_worker_env(spark)
+
+    class RunningTotal(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._tot = handle.getValueState("tot", "t long")
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            self._tot.update((int(initialState["balance"].iloc[0]),))
+
+        def handleInputRows(self, key, rows, timerValues):
+            tot = self._tot.get()[0] if self._tot.exists() else 0
+            for pdf in rows:
+                tot += int(pdf["amount"].sum())
+            self._tot.update((tot,))
+            yield pd.DataFrame({"user_id": [key[0]], "total": [tot]})
+
+        def close(self) -> None:
+            pass
+
+    src = tmp_path / "init_src"
+    src.mkdir()
+    pd.DataFrame({"user_id": [1, 1, 3], "amount": [7, 3, 5]}).to_parquet(
+        src / "b0.parquet"
+    )
+    schema = spark.read.parquet(str(src)).schema
+    init = (
+        spark.createDataFrame(
+            [(1, 100), (2, 50)], "user_id long, balance long"
+        ).groupBy("user_id")
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(str(src))
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                RunningTotal(),
+                outputStructType="user_id BIGINT, total BIGINT",
+                outputMode="Update",
+                timeMode="None",
+                initialState=init,
+            )
+            .writeStream.format("memory")
+            .queryName("tws_init")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "init_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        got = {
+            r.user_id: r.total
+            for r in spark.sql("SELECT * FROM tws_init").collect()
+        }
+    finally:
+        for qq in spark.streams.active:
+            if qq.name == "tws_init":
+                qq.stop()
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    # user 1: 100 (bootstrap) + 7 + 3; user 3: no bootstrap, 0 + 5.
+    # user 2 has initial state but no input: update mode emits only
+    # keys that produced rows — absence is itself pinned here.
+    assert got == {1: 110, 3: 5}
