@@ -94,6 +94,13 @@ REL_QUERIES = [
     # per-partition cumsum + offset broadcast — exact decimal, so the
     # decomposition is order-free)
     "pps_systematic_sample",
+    # round-9: weighted SSSP (replicas are disjoint components — the
+    # frontier grows linearly, round count stays fixed at the cap) and
+    # bounded k-core peeling over per-customer order chains (disjoint
+    # replica customers ⇒ chains replicate; 4 fixed rounds of
+    # degree-agg + two semi-joins each)
+    "graph_sssp_weighted",
+    "graph_kcore_peel",
 ]
 
 REL_SCALES = [
@@ -133,6 +140,9 @@ EVENT_QUERIES = [
     # frames grow linearly, Python call count stays constant)
     "scd2_dimension_lookup",
     "cogroup_asof_pandas",
+    # round-9: TWS session-close — per-user 8-byte state grows with
+    # the user population, micro-batch count stays fixed at 3+flush
+    "stream_session_close_tws",
 ]
 
 EVENT_SCALES = [
