@@ -585,24 +585,26 @@ def stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     src = os.path.join(root, "src")
     os.makedirs(src)
+    _write_relay(root, src, [s.select("ts") for s in splits], "late-data")
     # The watermark schedule (and the oracle's replay of it) assumes
     # every relay batch is non-empty — i.e. the fixture's timestamps
     # straddle both cutoffs.  Fail loudly on a degenerate fixture
-    # instead of hash-mismatching for a non-semantic reason.  One
-    # aggregate pass covers all three slices.
-    sizes = ev.agg(
-        F.sum(((F.col("ts") < c1) & ~late).cast("long")).alias("b0"),
-        F.sum(((F.col("ts") >= c1) & (F.col("ts") < c2)).cast("long")).alias("b1"),
-        F.sum(
-            ((F.col("ts") >= c2) | ((F.col("ts") < c1) & late)).cast("long")
-        ).alias("b2"),
-    ).first()
-    if not all((sizes[k] or 0) > 0 for k in ("b0", "b1", "b2")):
+    # instead of hash-mismatching for a non-semantic reason; sizes
+    # come from the written files' parquet FOOTERS (metadata reads,
+    # no extra corpus scan).
+    import pyarrow.parquet as _pq
+
+    sizes = {
+        f"b{i}": _pq.ParquetFile(
+            os.path.join(src, f"b{i}.parquet")
+        ).metadata.num_rows
+        for i in range(3)
+    }
+    if not all(v > 0 for v in sizes.values()):
         raise ValueError(
             f"late-data relay fixture must straddle the {_LATE_C1} and "
-            f"{_LATE_C2} cutoffs; slice sizes were {sizes.asDict()}"
+            f"{_LATE_C2} cutoffs; slice sizes were {sizes}"
         )
-    _write_relay(root, src, [s.select("ts") for s in splits], "late-data")
 
     schema = spark.read.parquet(src).schema
     windowed = (
