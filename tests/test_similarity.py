@@ -580,3 +580,55 @@ def test_pq_encode_deterministic_and_bounded(spark, emb):
     for codes in rows1.values():
         assert len(codes) == 8
         assert all(0 <= c < 16 for c in codes)
+
+
+def test_ivf_pq_probe_scan_prunes_code_partitions(spark, emb, tmp_path):
+    """nprobe < num_cells: BOTH probe scans — pqcodes (the ADC pass)
+    and postings (the rerank join) — must partition-prune to the
+    probed cells (the executed plan's scans read < num_cells of each
+    layout), or the PQ layout's whole IO story is lost."""
+    from another_map_reduce_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_probe_topk,
+    )
+
+    path = str(tmp_path / "pqprune")
+    build_ivf_pq_index(
+        emb, path, num_cells=8, m_sub=8, k_codes=16, train_iters=1
+    )
+    qs = emb.where(F.col("vec_id") < 5)
+    df = ivf_pq_probe_topk(spark, path, qs, k=5, nprobe=2, rerank=20)
+    # Plan BEFORE collection (AQE's finalized toString elides executed
+    # query-stage subtrees), with the scan-metadata truncation raised:
+    # at the default 100 chars the Location path swallows the
+    # PartitionFilters field entirely under pytest's long tmp paths.
+    meta_key = "spark.sql.maxMetadataStringLength"
+    prev = spark.conf.get(meta_key, None)
+    spark.conf.set(meta_key, "1000")
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if prev is None:
+            spark.conf.unset(meta_key)
+        else:
+            spark.conf.set(meta_key, prev)
+    rows = df.collect()
+    assert rows
+    # The probed cells are only known at runtime (they come from the
+    # broadcast query side), so the pruning is DYNAMIC: both
+    # cell-partitioned index scans must carry a dynamicpruning
+    # PartitionFilter fed by the query-side broadcast.  Scans are
+    # identified by their projected-column signatures (codes# is the
+    # pqcodes scan, cvec# the postings scan) — path substrings live in
+    # the truncatable Location field.
+    pq_lines = [
+        ln for ln in plan.split("\n")
+        if "FileScan" in ln and "codes#" in ln
+    ]
+    post_lines = [
+        ln for ln in plan.split("\n")
+        if "FileScan" in ln and "cvec#" in ln
+    ]
+    assert pq_lines and post_lines, plan[:2000]
+    assert any("dynamicpruning#" in ln for ln in pq_lines), pq_lines
+    assert any("dynamicpruning#" in ln for ln in post_lines), post_lines
