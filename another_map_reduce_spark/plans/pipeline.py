@@ -514,6 +514,63 @@ def dedup_lsh_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_minhash_pairs(hist, delta, index, threshold=0.8)
 
 
+@register("dedup_lsh_compact", oracle=_INCR_JACCARD_SQL)
+def dedup_lsh_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH index lifecycle step 3 — COMPACTION (r9, the OPTIMIZE the
+    band index was missing; IVF got append+compact in r8): the same
+    base-build + day-append as dedup_lsh_append, then
+    `operators.dedup.lsh_compact_index` rewrites the fragmented index
+    to 4 files sorted by (band, sig) via the two-rename directory
+    swap.  Today's delta probes the COMPACTED index and must produce
+    the SAME answer (shared `_INCR_JACCARD_SQL` oracle) — the hash row
+    proves compaction is layout-only at the stored-artifact level,
+    with the file-count/row-count pins in tests/test_dedup.py.
+
+    Build+append+compact run once per fixture (write-once `artifacts`
+    contract); repeat invocations price the daily probe against the
+    compacted layout.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from another_map_reduce_spark.artifacts import (
+        ensure_artifact,
+        source_fingerprint,
+    )
+    from another_map_reduce_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        lsh_append_docs,
+        lsh_band_index,
+        lsh_compact_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(~(F.col("doc_id") % 10).isin(0, 5))
+    day1 = docs.where(F.col("doc_id") % 10 == 5)
+    hist = docs.where(F.col("doc_id") % 10 != 0)  # base ∪ day1
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"amrs_lsh_compacted_{tag}")
+    bands = os.path.join(path, "bands")
+
+    def _build_append_compact() -> None:
+        lsh_band_index(base).write.mode("overwrite").parquet(bands)
+        lsh_append_docs(day1, bands)
+        lsh_compact_index(spark, bands, target_files=4)
+
+    ensure_artifact(
+        path,
+        source_fingerprint(
+            sf_dir, "documents", op="lsh_compact", n=3, k=128, bands=32,
+            base_mods=(0, 5), target_files=4,
+        ),
+        _build_append_compact,
+    )
+    index = spark.read.parquet(bands)
+    return incremental_minhash_pairs(hist, delta, index, threshold=0.8)
+
+
 # Exact delta×history containment — shared by dedup_containment
 # (history shingled in-flight) and dedup_containment_incremental (the
 # same history read from a STORED inverted index): identical answers
