@@ -3345,6 +3345,170 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("step")
 
 
+_BPE_BATCH_ROUNDS = 2
+_BPE_BATCH_CAP = 4
+_BPE_BATCH_POOL = 16
+
+
+def _bpe_batched_oracle(
+    rounds: int = _BPE_BATCH_ROUNDS,
+    cap: int = _BPE_BATCH_CAP,
+    pool: int = _BPE_BATCH_POOL,
+) -> str:
+    """Batched-BPE oracle: per round, the top-``pool`` ranked pairs
+    form the candidate pool and ``cap`` chained LIMIT-1 selections
+    with NOT-IN symbol exclusions replay the greedy pairwise-disjoint
+    pick EXACTLY (skip-conflicts semantics, same pool bound as the
+    Spark side — both sides are total-ordered by (c DESC, a, b), so
+    the pool boundary is deterministic); the ``cap`` merge
+    applications per round reuse the sequential oracle's list_reduce
+    fold with '' sentinel pads (an empty selection applies a no-op
+    and emits no row, matching the Spark side skipping it)."""
+    parts = [
+        r"""
+WITH words AS (
+  SELECT word, COUNT(*) AS cnt FROM (
+    SELECT unnest(string_split(
+             regexp_replace(lower(text), '[^a-z]', ' ', 'g'), ' ')) AS word
+    FROM documents
+  ) WHERE word <> '' GROUP BY word
+), b0z AS (
+  SELECT word, cnt, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seq
+  FROM words
+)"""
+    ]
+    rows = []
+    prev = "b0z"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", bx{r} AS (
+  SELECT cnt, s, unnest(range(1, len(s))) AS j
+  FROM (SELECT cnt, string_split(seq, ' ') AS s FROM {prev})
+), bp{r} AS MATERIALIZED (
+  SELECT a, b, c FROM (
+    SELECT s[j] AS a, s[j + 1] AS b, SUM(cnt) AS c FROM bx{r} GROUP BY 1, 2
+  ) ORDER BY c DESC, a, b LIMIT {pool}
+)"""
+        )
+        used: list[str] = []
+        for k in range(1, cap + 1):
+            excl = ""
+            if used:
+                syms = ", ".join(used)
+                excl = f"WHERE a NOT IN ({syms}) AND b NOT IN ({syms})"
+            parts.append(
+                f""", bs{r}_{k} AS MATERIALIZED (
+  SELECT a, b, c FROM bp{r} {excl} ORDER BY c DESC, a, b LIMIT 1
+), bw{r}_{k} AS (
+  SELECT COALESCE(MAX(a), '') AS a, COALESCE(MAX(b), '') AS b FROM bs{r}_{k}
+)"""
+            )
+            used.extend([f"(SELECT a FROM bw{r}_{k})", f"(SELECT b FROM bw{r}_{k})"])
+        prev_v = prev
+        for k in range(1, cap + 1):
+            parts.append(
+                f""", bv{r}_{k} AS MATERIALIZED (
+  SELECT word, cnt,
+         list_reduce(string_split(seq, ' '),
+           (acc, x) -> CASE
+             WHEN x = bw{r}_{k}.b
+                  AND (acc = bw{r}_{k}.a OR ends_with(acc, ' ' || bw{r}_{k}.a))
+             THEN left(acc, length(acc) - length(bw{r}_{k}.a))
+                    || bw{r}_{k}.a || bw{r}_{k}.b
+             ELSE acc || ' ' || x END) AS seq
+  FROM {prev_v}, bw{r}_{k}
+)"""
+            )
+            prev_v = f"bv{r}_{k}"
+        parts.append(
+            f""", bt{r} AS (
+  SELECT CAST(SUM(cnt * len(string_split(seq, ' '))) AS BIGINT)
+             AS tokens_after
+  FROM {prev_v}
+)"""
+        )
+        prev = prev_v
+        for k in range(1, cap + 1):
+            rows.append(
+                f"SELECT CAST({r} AS BIGINT) AS round, CAST({k} AS BIGINT)"
+                f" AS pos, a AS sym_a, b AS sym_b, CAST(c AS BIGINT) AS"
+                f" pair_count, (SELECT tokens_after FROM bt{r}) AS"
+                f" tokens_after FROM bs{r}_{k}"
+            )
+    return (
+        "".join(parts)
+        + " "
+        + " UNION ALL ".join(rows)
+        + " ORDER BY round, pos"
+    )
+
+
+@register("bpe_train_batched_rounds", oracle=_bpe_batched_oracle())
+def bpe_train_batched_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED BPE training on the driver path — the merge-count scale
+    answer (operators/bpe.bpe_train_batched, SCALE.md r9: flat
+    0.094–0.104 s/merge at 64–256 merges vs 0.34 sequential), here in
+    its FIXED-ROUNDS form so the oracle is exact on ANY fixture:
+    {rounds} rounds, each selecting the greedy pairwise-SYMBOL-DISJOINT
+    subset (≤ {cap}, rank order, conflicts skipped) of the SAME
+    top-{pool} candidate pool both engines rank by (count DESC, a, b),
+    then applying the round's merges in one composed fold pass.
+
+    Fixed rounds — rather than loop-until-n-merges — removes the one
+    data dependence a static SQL unroll can't express (a conflict-
+    shortened round changing later rounds' budgets); selection,
+    application, and token accounting are otherwise the production
+    batched trainer's exact semantics.  Output: one row per applied
+    merge (round, pos, pair, weighted count) plus the round's
+    post-merge corpus token total.  [extension]
+    """
+    from another_map_reduce_spark.operators.bpe import (
+        bpe_init_vocab,
+        bpe_pair_counts,
+        merge_fold,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    v = bpe_init_vocab(docs).localCheckpoint(eager=True)
+    out_rows = []
+    for rnd in range(1, _BPE_BATCH_ROUNDS + 1):
+        top = (
+            bpe_pair_counts(v)
+            .orderBy(F.col("c").desc(), "a", "b")
+            .limit(_BPE_BATCH_POOL)
+            .collect()
+        )
+        chosen: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for r in top:
+            if len(chosen) >= _BPE_BATCH_CAP:
+                break
+            if r.a in used or r.b in used:
+                continue
+            chosen.append((r.a, r.b, int(r.c)))
+            used.update((r.a, r.b))
+        expr = F.col("seq")
+        for j, (a, b, _c) in enumerate(chosen):
+            expr = merge_fold(expr, a, b)
+            if (j + 1) % 4 == 0 or j + 1 == len(chosen):
+                v = v.withColumn("seq", expr)
+                expr = F.col("seq")
+        v = v.localCheckpoint(eager=True)
+        tokens_after = int(
+            v.agg(
+                F.sum(F.col("cnt") * F.size(F.split("seq", " ")))
+            ).collect()[0][0]
+            or 0
+        )
+        for pos, (a, b, c) in enumerate(chosen, start=1):
+            out_rows.append((rnd, pos, a, b, c, tokens_after))
+    return spark.createDataFrame(
+        out_rows,
+        "round long, pos long, sym_a string, sym_b string, "
+        "pair_count long, tokens_after long",
+    ).orderBy("round", "pos")
+
+
 @register("bpe_encode_report", oracle=_bpe_encode_oracle())
 def bpe_encode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer APPLICATION — the other half of bpe_train_merges:

@@ -69,6 +69,7 @@ _ORDER_FRONT = [
     "graph_sssp_weighted",
     "graph_kcore_peel",
     "dedup_lsh_compact",
+    "bpe_train_batched_rounds",
     # the 34 r8 additions that have never had a driver row:
     "ann_ivf_append",
     "dedup_lsh_append",
@@ -116,11 +117,11 @@ _ORDER_FRONT = [
     "pysource_stream_wordcount",
     "hll_sketch_rollup",
     "bloom_join_pruned_revenue",
-    "skew_join_aqe",
 ]
 # The rest of the r6 cohort (next-oldest, r6 order) fronts the r10
 # window; then the r7 cohort.
 _ORDER_NEXT_R9 = [
+    "skew_join_aqe",
     "pysource_stream_sink_roundtrip",
     "dedup_incremental_minhash",
     "graph_triangle_count",
