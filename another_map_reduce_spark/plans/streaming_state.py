@@ -432,32 +432,47 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _write_relay(root: str, src: str, splits, label: str) -> None:
     """Write relay micro-batch files ``src/b{i}.parquet`` THROUGH Spark
-    (no driver-side toPandas of a corpus-scale column): coalesce(1)
-    because the relay contract is one file per micro-batch, then the
-    single part file is renamed into place and its mtime spaced to
-    force the file-stream arrival order (local-FS demo rig;
-    production reads real arrival order).
+    (no driver-side toPandas of a corpus-scale column), in ONE job:
+    the slices union into a frame tagged with a slice id, repartition
+    on the tag puts each slice wholly in one task (one part file per
+    ``_rb=i`` directory — the relay contract is one file per
+    micro-batch), and the part files are renamed into place with
+    spaced mtimes to force the file-stream arrival order (local-FS
+    demo rig; production reads real arrival order).
     """
     import os
     import shutil
 
+    tagged = None
     for i, s in enumerate(splits):
-        stage = os.path.join(root, f"stage{i}")
-        s.coalesce(1).write.parquet(stage)
-        parts = [
-            f for f in os.listdir(stage)
-            if f.endswith(".parquet") and not f.startswith("_")
-        ]
+        t = s.withColumn("_rb", F.lit(i))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    stage = os.path.join(root, "stage")
+    (
+        tagged.repartition(len(splits), "_rb")
+        .write.partitionBy("_rb")
+        .parquet(stage)
+    )
+    for i in range(len(splits)):
+        d = os.path.join(stage, f"_rb={i}")
+        parts = (
+            [
+                f for f in os.listdir(d)
+                if f.endswith(".parquet") and not f.startswith("_")
+            ]
+            if os.path.isdir(d)
+            else []
+        )
         if len(parts) != 1:
             raise RuntimeError(
                 f"{label} relay batch {i}: expected one part file, "
-                f"got {parts} (empty slice means the events fixture "
+                f"got {parts} (an empty slice means the events fixture "
                 f"does not straddle the relay cutoffs)"
             )
         p = os.path.join(src, f"b{i}.parquet")
-        os.rename(os.path.join(stage, parts[0]), p)
-        shutil.rmtree(stage, ignore_errors=True)
+        os.rename(os.path.join(d, parts[0]), p)
         os.utime(p, (1000 * (i + 1), 1000 * (i + 1)))  # force file order
+    shutil.rmtree(stage, ignore_errors=True)
 
 
 # Deterministic late-data relay constants, shared with the oracle.
