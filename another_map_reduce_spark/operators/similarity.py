@@ -1004,6 +1004,65 @@ def build_ivf_pq_index(
     ).parquet(f"{path}/pqcodes")
 
 
+def ivf_pq_append_vectors(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """APPEND a day's vectors to a stored IVF+PQ index — both layouts:
+    the full-precision postings (via ``ivf_append_vectors``, the same
+    stored-centroid assignment as the build) AND the ``pqcodes``
+    table, encoding the delta against the STORED codebooks so an
+    appended vector's codes are exactly what a rebuild would produce
+    (codes are a pure function of (vector, codebooks) — append ≡
+    rebuild, pytest-pinned).  O(delta): no retraining of centroids or
+    codebooks, no rewrite of existing rows, at most one new file per
+    touched cell per table.  Codebook drift under a growing corpus is
+    the same policy knob as centroid drift (see ivf_append_vectors).
+    """
+    ivf_append_vectors(spark, path, delta, id_col=id_col, vec_col=vec_col)
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    cents = [[float(x) for x in r.centroid] for r in cent_rows]
+    cbs = read_pq_codebooks(spark, path)
+    codes = delta.select(
+        F.element_at(top_cells(F.col(vec_col), cents, 1), 1).alias("cell"),
+        F.col(id_col).alias("cid"),
+        pq_encode(F.col(vec_col), cbs).alias("codes"),
+    )
+    codes.repartition("cell").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{path}/pqcodes")
+
+
+def ivf_pq_compact(spark: SparkSession, path: str) -> None:
+    """Compact BOTH layouts of an IVF+PQ index back to one file per
+    cell — ``ivf_compact_cells`` for the postings plus the same
+    temp-dir + two-rename swap for ``pqcodes`` (same crash window and
+    object-store remediation; layout-only, probe parity pytest-pinned).
+    """
+    import os
+    import shutil
+
+    ivf_compact_cells(spark, path)
+    src = f"{path}/pqcodes"
+    tmp = f"{path}/pqcodes__compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        spark.read.parquet(src)
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp)
+    )
+    old = f"{path}/pqcodes__old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(src, old)
+    os.replace(tmp, src)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def read_pq_codebooks(
     spark: SparkSession, path: str
 ) -> list[list[list[float]]]:
