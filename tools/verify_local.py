@@ -122,13 +122,32 @@ def _debug_diff(spdf: pd.DataFrame, odf: pd.DataFrame) -> None:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
-    from another_map_reduce_spark.session import get_spark
 
-    spark = get_spark(app_name="verify-local")
+    if vanilla:
+        # Reproduce the DRIVER's environment: a bare SparkSession whose
+        # JVM launched without our PYTHONPATH export, none of
+        # get_spark's confs — catches session-config dependencies the
+        # tuned session hides (timezone, nanos, worker sys.path, the
+        # TWS state-worker env).  Pair with a cwd OUTSIDE the repo for
+        # the full effect (see .claude/skills/verify/SKILL.md).
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .appName("verify-local-vanilla")
+            .getOrCreate()
+        )
+    else:
+        from another_map_reduce_spark.session import get_spark
+
+        spark = get_spark(app_name="verify-local")
     con = make_oracle_con(sf_dir)
 
     qs = entrymod.queries()
