@@ -1074,6 +1074,25 @@ def read_pq_codebooks(
     return cbs
 
 
+RERANK_FRACTION = 0.02  # rerank ≈ 2% of probed candidates
+
+
+def proportional_rerank(
+    corpus_rows: int, num_cells: int, nprobe: int,
+    fraction: float = RERANK_FRACTION, floor: int = 100,
+) -> int:
+    """Constant-recall rerank sizing — the shortlist twin of
+    ``proportional_nprobe``: a FIXED rerank decays in recall as the
+    probed candidate count (corpus/cells × nprobe) outgrows it
+    (measured, BENCH_SCALE_r9pq.json: 0.69 → 0.65 over 10×), while a
+    rerank proportional to the probed candidates holds recall at flat
+    probe cost (10×: rerank 100 → 0.651, 400 → 0.839, 1000 → 0.884 at
+    7.5 / 6.5 / 7.5 s).  Exact-rerank cost stays bounded by
+    rerank × d per query."""
+    probed = corpus_rows * nprobe // max(num_cells, 1)
+    return max(floor, int(probed * fraction))
+
+
 def ivf_pq_probe_topk(
     spark: SparkSession,
     path: str,

@@ -430,30 +430,30 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _write_relay(root: str, src: str, splits, label: str) -> None:
+def _write_relay(
+    root: str, src: str, tagged: DataFrame, n_slices: int, label: str
+) -> None:
     """Write relay micro-batch files ``src/b{i}.parquet`` THROUGH Spark
-    (no driver-side toPandas of a corpus-scale column), in ONE job:
-    the slices union into a frame tagged with a slice id, repartition
-    on the tag puts each slice wholly in one task (one part file per
-    ``_rb=i`` directory — the relay contract is one file per
-    micro-batch), and the part files are renamed into place with
-    spaced mtimes to force the file-stream arrival order (local-FS
-    demo rig; production reads real arrival order).
+    (no driver-side toPandas of a corpus-scale column), in ONE job and
+    ONE corpus scan: ``tagged`` carries a ``_rb`` slice-id column (a
+    CASE expression — not a union of filters, which would rescan the
+    source once per slice), repartition on the tag puts each slice
+    wholly in one task (one part file per ``_rb=i`` directory — the
+    relay contract is one file per micro-batch), and the part files
+    are renamed into place with spaced mtimes to force the file-stream
+    arrival order (local-FS demo rig; production reads real arrival
+    order).
     """
     import os
     import shutil
 
-    tagged = None
-    for i, s in enumerate(splits):
-        t = s.withColumn("_rb", F.lit(i))
-        tagged = t if tagged is None else tagged.unionByName(t)
     stage = os.path.join(root, "stage")
     (
-        tagged.repartition(len(splits), "_rb")
+        tagged.repartition(n_slices, "_rb")
         .write.partitionBy("_rb")
         .parquet(stage)
     )
-    for i in range(len(splits)):
+    for i in range(n_slices):
         d = os.path.join(stage, f"_rb={i}")
         parts = (
             [
@@ -600,7 +600,19 @@ def stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     src = os.path.join(root, "src")
     os.makedirs(src)
-    _write_relay(root, src, [s.select("ts") for s in splits], "late-data")
+    _write_relay(
+        root,
+        src,
+        ev.select(
+            "ts",
+            F.when((F.col("ts") < c1) & ~late, 0)
+            .when((F.col("ts") >= c1) & (F.col("ts") < c2), 1)
+            .otherwise(2)
+            .alias("_rb"),
+        ),
+        3,
+        "late-data",
+    )
     # The watermark schedule (and the oracle's replay of it) assumes
     # every relay batch is non-empty — i.e. the fixture's timestamps
     # straddle both cutoffs.  Fail loudly on a degenerate fixture
@@ -939,11 +951,6 @@ def stream_session_close_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     c1 = F.lit(_TWS_C1).cast("timestamp")
     c2 = F.lit(_TWS_C2).cast("timestamp")
-    splits = [
-        ev.where(F.col("ts") < c1),
-        ev.where((F.col("ts") >= c1) & (F.col("ts") < c2)),
-        ev.where(F.col("ts") >= c2),
-    ]
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     root = os.path.join(
         tempfile.gettempdir(), f"amrs_twsclose_{tag}_{os.getpid()}"
@@ -951,7 +958,20 @@ def stream_session_close_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     src = os.path.join(root, "src")
     os.makedirs(src)
-    _write_relay(root, src, splits, "session-close")
+    _write_relay(
+        root,
+        src,
+        ev.select(
+            "user_id",
+            "ts",
+            F.when(F.col("ts") < c1, 0)
+            .when(F.col("ts") < c2, 1)
+            .otherwise(2)
+            .alias("_rb"),
+        ),
+        3,
+        "session-close",
+    )
     # The watermark replay assumes every relay batch is non-empty;
     # fail loudly on a degenerate fixture.  Row counts come from the
     # just-written files' parquet FOOTERS — metadata reads, no extra

@@ -768,3 +768,16 @@ def test_ivf_pq_append_equals_rebuild_and_compact_parity(spark, emb, tmp_path):
         ).collect()
     ]
     assert before == after
+
+
+def test_proportional_rerank_sizing():
+    from another_map_reduce_spark.operators.similarity import (
+        proportional_rerank,
+    )
+
+    # floor applies on small corpora
+    assert proportional_rerank(1800, 8, 4) == 100
+    # grows with probed candidates: 54000/240 * 120 = 27000 * 0.02 = 540
+    assert proportional_rerank(54_000, 240, 120) == 540
+    # degenerate cells guard
+    assert proportional_rerank(1000, 0, 1) >= 100
