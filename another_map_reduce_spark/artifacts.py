@@ -77,3 +77,43 @@ def ensure_artifact(
     with open(marker, "w", encoding="utf-8") as fh:
         fh.write(fingerprint)
     return True
+
+
+def sweep_stale_pid_siblings(prefix: str) -> None:
+    """Remove tempdir layouts left by DEAD sibling processes.
+
+    pid-keying the per-process temp layouts (dpp fact table, bucketed
+    catalog table paths, streaming relay roots) stops concurrent
+    sessions clobbering each other, but every process then leaves a
+    fresh ``{prefix}_{pid}`` directory that nothing cleans up — a
+    long-lived host accumulates unbounded residue.  This sweep runs at
+    each site's setup: any sibling ``{prefix}_{pid}`` whose pid is not
+    our own and no longer refers to a LIVE process is deleted (a live
+    sibling is left alone — it may be mid-query).  pid reuse can at
+    worst spare a stale dir for one more round; it can never delete a
+    live process's layout.
+    """
+    import re
+    import shutil
+    import tempfile
+
+    tmp = tempfile.gettempdir()
+    pat = re.compile(re.escape(prefix) + r"_(\d+)$")
+    me = os.getpid()
+    try:
+        names = os.listdir(tmp)
+    except OSError:
+        return
+    for name in names:
+        m = pat.match(name)
+        if not m or int(m.group(1)) == me:
+            continue
+        pid = int(m.group(1))
+        try:
+            os.kill(pid, 0)
+            continue  # live sibling — leave it alone
+        except ProcessLookupError:
+            pass
+        except PermissionError:
+            continue  # live, owned by someone else
+        shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)

@@ -184,6 +184,10 @@ def bpe_train_batched(
     each other's application (a merge only creates/destroys
     adjacencies involving its own symbols), so every applied
     (pair, count) is exactly what sequential BPE counted this round.
+    Disjointness covers the MINTED symbol as well: a candidate whose
+    symbol equals the concatenation a+b of an earlier-chosen pair is
+    skipped, because applying (a, b) mints new 'ab' tokens whose
+    adjacencies the candidate's count never saw.
     The REMAINING divergence from sequential training: a pair newly
     created by an earlier batch member (count ≤ its creator's) can
     rank above a later batch member and would have been merged first
@@ -219,7 +223,12 @@ def bpe_train_batched(
             if r.a in used or r.b in used:
                 continue
             chosen.append((r.a, r.b, int(r.c)))
-            used.update((r.a, r.b))
+            # Reserve the MINTED symbol too: if 'ab' already exists as
+            # a corpus symbol (from a prior round), applying (a, b)
+            # mints NEW 'ab' tokens whose adjacencies a later batch
+            # member (ab, c) never counted — admitting it would break
+            # the count-invariance this docstring promises.
+            used.update((r.a, r.b, r.a + r.b))
         # The top-ranked candidate always qualifies → progress is
         # guaranteed every round.
         expr: Column = F.col("seq")

@@ -946,10 +946,43 @@ def lsh_append_docs(
     per append (append ≡ rebuild is oracle-proven by
     dedup_lsh_append's hash row and pinned in tests/test_dedup.py).
     Same parameters as the original build or the band keys won't align
-    — keep them in the artifact fingerprint.
+    — keep them in the artifact fingerprint.  The write lands in the
+    index's LIVE generation (storeops.resolve_table), so appends keep
+    working after any number of pointer-committed compactions.
     """
+    from another_map_reduce_spark.storeops import resolve_table
+
     lsh_band_index(df, n=n, k=k, bands=bands, text_col=text_col,
-                   id_col=id_col).write.mode("append").parquet(path)
+                   id_col=id_col).write.mode("append").parquet(
+        resolve_table(path)
+    )
+
+
+def read_lsh_index(spark: SparkSession, path: str) -> DataFrame:
+    """Live rows of a stored LSH band index: the pointer-named
+    generation (legacy un-pointered layout when none), minus any
+    tombstoned docs (broadcast anti-join — the takedown set is tiny
+    next to the index).  Every probe goes through here so a deleted
+    document stops matching IMMEDIATELY, before any compaction."""
+    from another_map_reduce_spark.storeops import read_table
+
+    return read_table(spark, path, id_col="doc")
+
+
+def lsh_delete_docs(spark: SparkSession, path: str, doc_ids: DataFrame) -> None:
+    """DELETE documents from a stored LSH band index (takedowns,
+    opt-outs, retention windows — the obligation any persisted 100 TB
+    corpus index carries).  Logical delete: the ids land in the index's
+    tombstone set (append-only, one row per id) and every
+    ``read_lsh_index`` probe anti-joins them; the next
+    ``lsh_compact_index`` excises the rows physically and clears the
+    set.  delete+compact ≡ rebuild-from-survivors is oracle-proven by
+    dedup_lsh_delete's hash row and pytest-pinned.  ``doc_ids`` must
+    expose the ids in a column named ``doc`` (the index's id column).
+    """
+    from another_map_reduce_spark.storeops import append_tombstones
+
+    append_tombstones(doc_ids, path, "doc")
 
 
 def lsh_compact_index(
@@ -961,34 +994,32 @@ def lsh_compact_index(
     ``ivf_compact_cells``: daily ``lsh_append_docs`` calls add one
     small file per day, and after many days the probe's file-open and
     footer-read overhead erodes the index's whole point (an
-    O(delta)-cost daily join).  Compaction is LAYOUT-ONLY: same rows,
-    sorted within partitions by (band, sig) so probe-side row-group
-    skipping on the join keys survives the rewrite.
+    O(delta)-cost daily join).  Tombstoned docs are physically excised
+    during the rewrite (and the tombstone set cleared); absent
+    deletes, compaction is LAYOUT-ONLY: same rows, sorted within
+    partitions by (band, sig) so probe-side row-group skipping on the
+    join keys survives the rewrite.
 
-    Same local-FS two-rename swap discipline (and the same crash
-    window + object-store remediation) as ivf_compact_cells:
-    read-then-overwrite of one path races the scan, so write a
-    ``__compact`` sibling and swap.  Probe parity before/after is
-    pytest-pinned in tests/test_dedup.py.
+    Commit is the MANIFEST/POINTER scheme (storeops.compact_table):
+    the new generation is written completely, one small pointer file
+    flips atomically, stale generations are GC'd — no crash point
+    leaves a reader without a complete index (kill-point pytest in
+    tests/test_dedup.py), and the single-key flip translates directly
+    to object stores (conditional PUT), unlike a directory rename.
     """
-    import os
-    import shutil
+    from another_map_reduce_spark.storeops import compact_table
 
     n_files = target_files or spark.sparkContext.defaultParallelism
-    tmp = f"{path}__compact"
-    shutil.rmtree(tmp, ignore_errors=True)
-    (
-        spark.read.parquet(path)
-        .repartition(n_files, "band", "sig")
-        .sortWithinPartitions("band", "sig")
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
-    old = f"{path}__old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.replace(path, old)
-    os.replace(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+
+    def _write(df: DataFrame, dest: str) -> None:
+        (
+            df.repartition(n_files, "band", "sig")
+            .sortWithinPartitions("band", "sig")
+            .write.mode("overwrite")
+            .parquet(dest)
+        )
+
+    compact_table(spark, path, id_col="doc", write_fn=_write)
 
 
 def incremental_minhash_pairs(
@@ -1074,3 +1105,100 @@ def incremental_minhash_pairs(
         .where(F.col("jac") >= threshold)
         .orderBy("new_doc", "dup_of")
     )
+
+
+# ---------------------------------------------------------------------------
+# DELETE / tombstone support for the remaining stored dedup indexes
+# ---------------------------------------------------------------------------
+#
+# Takedowns, opt-outs, and retention windows are a standing obligation
+# for any persisted index over a 100 TB corpus: a deleted document must
+# stop matching probes IMMEDIATELY (logical delete — tombstone
+# anti-join) and disappear physically at the next compaction, with
+# delete+compact ≡ rebuild-from-survivors provable.  The LSH band index
+# has lsh_delete_docs / read_lsh_index / lsh_compact_index above; these
+# give the SimHash chunk index and the containment inverted postings
+# the same lifecycle via the shared storeops layout (generation pointer
+# + tombstone set).  [extension] — the reference persists no indexes.
+
+
+def simhash_delete_docs(
+    spark: SparkSession, path: str, doc_ids: DataFrame
+) -> None:
+    """DELETE documents from a stored SimHash chunk index
+    (``simhash_chunks`` rows persisted to parquet).  Logical delete:
+    ids land in the tombstone set; ``read_simhash_index`` probes drop
+    them immediately; ``simhash_compact_index`` excises physically.
+    ``doc_ids`` must expose the ids in a column named ``doc``."""
+    from another_map_reduce_spark.storeops import append_tombstones
+
+    append_tombstones(doc_ids, path, "doc")
+
+
+def read_simhash_index(spark: SparkSession, path: str) -> DataFrame:
+    """Live rows of a stored SimHash chunk index (pointer-resolved,
+    tombstones anti-joined) — the probe-side reader every
+    ``incremental_simhash_pairs`` caller should use."""
+    from another_map_reduce_spark.storeops import read_table
+
+    return read_table(spark, path, id_col="doc")
+
+
+def simhash_compact_index(
+    spark: SparkSession, path: str, target_files: int | None = None
+) -> None:
+    """COMPACT a stored SimHash chunk index: excise tombstoned docs,
+    rewrite to ``target_files`` files sorted by (idx, chunk) so the
+    probe's equi-join keys keep row-group skipping, commit via the
+    manifest/pointer scheme (storeops.compact_table — same crash
+    matrix as the LSH/IVF compactors)."""
+    from another_map_reduce_spark.storeops import compact_table
+
+    n_files = target_files or spark.sparkContext.defaultParallelism
+
+    def _write(df: DataFrame, dest: str) -> None:
+        (
+            df.repartition(n_files, "idx", "chunk")
+            .sortWithinPartitions("idx", "chunk")
+            .write.mode("overwrite")
+            .parquet(dest)
+        )
+
+    compact_table(spark, path, id_col="doc", write_fn=_write)
+
+
+def postings_delete_docs(
+    spark: SparkSession, path: str, doc_ids: DataFrame
+) -> None:
+    """DELETE source documents from a stored containment inverted index
+    ((shingle, src_doc) postings).  Logical delete via the tombstone
+    set; ``read_postings_index`` probes drop the doc immediately;
+    ``postings_compact_index`` excises physically.  ``doc_ids`` must
+    expose the ids in a column named ``src_doc``."""
+    from another_map_reduce_spark.storeops import append_tombstones
+
+    append_tombstones(doc_ids, path, "src_doc")
+
+
+def read_postings_index(spark: SparkSession, path: str) -> DataFrame:
+    """Live rows of a stored inverted postings index (pointer-resolved,
+    tombstones anti-joined)."""
+    from another_map_reduce_spark.storeops import read_table
+
+    return read_table(spark, path, id_col="src_doc")
+
+
+def postings_compact_index(spark: SparkSession, path: str) -> None:
+    """COMPACT a stored inverted postings index: excise tombstoned
+    docs, re-cluster on ``shingle`` (the probe's equi-join key), commit
+    via the manifest/pointer scheme."""
+    from another_map_reduce_spark.storeops import compact_table
+
+    def _write(df: DataFrame, dest: str) -> None:
+        (
+            df.repartition("shingle")
+            .write.mode("overwrite")
+            .parquet(dest)
+        )
+
+    compact_table(spark, path, id_col="src_doc", write_fn=_write)

@@ -371,9 +371,13 @@ def sssp_weighted(
     destination, one improvement join against the settled distances.
     Rounds are eagerly checkpointed (O(1) lineage) and an empty
     frontier short-circuits with a bounded 1-row probe — the
-    bfs_hops/CC discipline.  With weights ≥ 1 the ``d < cap`` guard
-    bounds both path length and round count, so ``max_iters``
-    defaults to ``cap + 1`` as a pure safety rail.
+    bfs_hops/CC discipline.  Weights must be ≥ 1: only then does the
+    ``d < cap`` guard bound both path length and round count, making
+    the default ``max_iters = cap + 1`` sufficient for convergence
+    (a zero-weight edge would allow improving paths longer than
+    cap+1 hops).  Exhausting ``max_iters`` with a still-non-empty
+    frontier therefore RAISES instead of silently returning
+    non-converged distances.
 
     Integer distances keep the result ENGINE-EXACT (no float path-sum
     ordering concerns) — the registered query's recursive-CTE oracle
@@ -389,6 +393,7 @@ def sssp_weighted(
         .localCheckpoint(eager=True)
     )
     frontier = dist
+    converged = False
     for _ in range(max_iters):
         cand = (
             edges.join(
@@ -411,6 +416,7 @@ def sssp_weighted(
             .localCheckpoint(eager=True)
         )
         if improved.isEmpty():
+            converged = True
             break
         dist = (
             dist.join(
@@ -422,6 +428,12 @@ def sssp_weighted(
             .localCheckpoint(eager=True)
         )
         frontier = improved
+    if not converged and not frontier.where(F.col("d") < cap).isEmpty():
+        raise RuntimeError(
+            "sssp_weighted exhausted max_iters with a non-empty "
+            "frontier — weights < 1 (or an undersized max_iters) "
+            "would otherwise return silently non-converged distances"
+        )
     return dist
 
 
@@ -473,3 +485,72 @@ def kcore_peel(
         stats, "round long, n_alive long, n_edges long"
     ).orderBy("round")
     return sdf, es
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """COMMUNITY DETECTION by synchronous label propagation (Raghavan
+    et al. 2007) over a SYMMETRIZED edge list — the standard next step
+    past connected components: CC answers "which nodes touch at all",
+    LPA finds densely-linked groups inside one component.
+
+    Every node starts labelled with its own id; each round, every node
+    adopts the label carried by the PLURALITY of its in-neighbours,
+    ties broken by the MINIMUM label — the deterministic tie-break
+    that makes a fixed-round run engine-exact (the CC/SSSP
+    discipline), unlike the randomized asynchronous formulation.  A
+    FIXED ``iters`` keeps the computation replayable by an
+    unrolled-CTE oracle: both engines run the same rounds, so the
+    result hash-matches whether or not the labelling has converged
+    (synchronous LPA can 2-cycle on bipartite structure — a bounded
+    prefix is the well-defined object, same contract as kcore_peel).
+
+    Requires every node to appear as a destination (symmetrize first —
+    then in-neighbourhood = neighbourhood and no keep-own-label branch
+    is needed, keeping the oracle join exact).  Returns (node, label).
+
+    Scale shape: per round, ONE shuffle_hash join of the node-sized
+    label table against the src-partitioned cached edge blocks (the
+    corpus-sized side never re-shuffles — the pagerank discipline),
+    one grouped count on (dst, label), one node-partitioned window to
+    pick the plurality label.  Rounds are eagerly checkpointed so
+    lineage stays O(1).  [extension] — the reference has no graph
+    surface.
+    """
+    from pyspark.sql import Window
+
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+    ).repartition("src").localCheckpoint(eager=False)
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label")
+    )
+    for _ in range(iters):
+        cnt = (
+            e.join(
+                labels.withColumnRenamed("node", "src").hint(
+                    "shuffle_hash"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -39,6 +39,12 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from another_map_reduce_spark.storeops import (
+    read_table,
+    reset_table,
+    resolve_table,
+)
+
 from another_map_reduce_spark.functions.vectors import cosine_similarity
 
 
@@ -574,6 +580,9 @@ def build_ivf_index(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    # A from-scratch rebuild writes the legacy postings directory; a
+    # pointer left by a previous build's compaction would shadow it.
+    reset_table(f"{path}/postings")
     cents = train_centroids(
         corpus, num_cells, id_col, vec_col, iters=train_iters, train_mod=train_mod
     )
@@ -639,7 +648,7 @@ def ivf_probe_topk(
     """
     cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     cents = [[float(x) for x in r.centroid] for r in cent_rows]
-    postings = spark.read.parquet(f"{path}/postings")
+    postings = read_table(spark, f"{path}/postings", id_col="cid")
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qvec"),
@@ -698,7 +707,26 @@ def ivf_append_vectors(
         F.col(vec_col).alias("cvec"),
     )
     rows.repartition("cell").write.mode("append").partitionBy("cell").parquet(
-        f"{path}/postings"
+        resolve_table(f"{path}/postings")
+    )
+
+
+def ivf_delete_vectors(
+    spark: SparkSession, path: str, ids: DataFrame, id_col: str = "vec_id"
+) -> None:
+    """DELETE vectors from a stored IVF index (takedowns, opt-outs,
+    retention windows).  Logical delete: the ids land in the postings'
+    tombstone set and every ``ivf_probe_topk`` anti-joins them — a
+    deleted vector stops matching probes IMMEDIATELY; the next
+    ``ivf_compact_cells`` excises the rows physically and clears the
+    set.  delete+compact ≡ rebuild-from-survivors is oracle-proven by
+    ann_ivf_delete's hash row and pytest-pinned.  O(tombstones): no
+    rewrite, no retraining (centroid drift from deletions is the same
+    policy knob as append drift)."""
+    from another_map_reduce_spark.storeops import append_tombstones
+
+    append_tombstones(
+        ids.select(F.col(id_col).alias("cid")), f"{path}/postings", "cid"
     )
 
 
@@ -708,40 +736,30 @@ def ivf_compact_cells(spark: SparkSession, path: str) -> None:
     ``ivf_append_vectors`` calls add one small file per touched cell,
     and after many days the probe's file-open cost erodes the
     partition-pruning win — compaction restores the one-file-per-cell
-    layout without touching the centroid model or changing any row.
+    layout without touching the centroid model.  Tombstoned vectors
+    (``ivf_delete_vectors``) are physically excised during the rewrite
+    and the tombstone set cleared; absent deletes no row changes.
 
-    Read-then-overwrite of the SAME path is illegal in Spark (the scan
-    would race the delete), so this writes to a ``postings__compact``
-    sibling and swaps directories with two ``os.replace`` renames.
-    Each rename is atomic but the PAIR is not: a crash between them
-    leaves no ``postings/`` — recover by renaming ``postings__old``
-    back (the data is never lost; this is weaker than the reference's
-    single-file temp+rename commit, `/root/reference/src/
-    worker.rs:107-114`, because POSIX has no two-directory atomic
-    swap).  Like the centroid write, the swap is local-filesystem-
-    only; on an object store, compact cell-by-cell with
-    `partitionOverwriteMode=dynamic` instead — per-cell replacement is
-    atomic there and needs no swap.  Probe parity before/after is
-    pytest-pinned.
+    Commit is the MANIFEST/POINTER scheme (storeops.compact_table):
+    write generation N+1 completely, flip ONE small pointer file
+    atomically (os.replace locally; a conditional PUT of one key on an
+    object store — the Iceberg/Delta metadata-pointer pattern), GC
+    stale generations.  Unlike the previous two-directory rename swap
+    there is NO crash point at which a reader sees a missing or
+    half-written postings table — kill-point pytest-pinned, probe
+    parity before/after pinned.
     """
-    import os
-    import shutil
+    from another_map_reduce_spark.storeops import compact_table
 
-    src = f"{path}/postings"
-    tmp = f"{path}/postings__compact"
-    shutil.rmtree(tmp, ignore_errors=True)
-    (
-        spark.read.parquet(src)
-        .repartition("cell")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(tmp)
-    )
-    old = f"{path}/postings__old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.replace(src, old)
-    os.replace(tmp, src)
-    shutil.rmtree(old, ignore_errors=True)
+    def _write(df: DataFrame, dest: str) -> None:
+        (
+            df.repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(dest)
+        )
+
+    compact_table(spark, f"{path}/postings", id_col="cid", write_fn=_write)
 
 
 # ---------------------------------------------------------------------------
@@ -993,7 +1011,8 @@ def build_ivf_pq_index(
         f"{path}/codebooks/part-0.parquet",
     )
     spark = corpus.sparkSession
-    postings = spark.read.parquet(f"{path}/postings")
+    reset_table(f"{path}/pqcodes")
+    postings = read_table(spark, f"{path}/postings", id_col="cid")
     codes = postings.select(
         "cell",
         "cid",
@@ -1021,6 +1040,19 @@ def ivf_pq_append_vectors(
     codebooks, no rewrite of existing rows, at most one new file per
     touched cell per table.  Codebook drift under a growing corpus is
     the same policy knob as centroid drift (see ivf_append_vectors).
+
+    CRASH WINDOW: the two layouts are written by two INDEPENDENT
+    appends (postings first via ivf_append_vectors, then pqcodes); a
+    crash between them leaves postings rows with no PQ code, and
+    ``ivf_pq_probe_topk`` ranks from pqcodes only — an orphaned
+    candidate is silently dropped even in the lossless
+    nprobe=num_cells / rerank=None regime.  Run
+    ``ivf_pq_check_consistency`` after a suspicious interruption (or
+    before relying on the lossless regime); re-running the same
+    append does NOT repair (mode="append" would duplicate the
+    postings) — repair by re-encoding exactly the missing ids against
+    the stored codebooks.  On an object store the manifest-commit
+    remediation documented at ivf_pq_compact applies here too.
     """
     ivf_append_vectors(spark, path, delta, id_col=id_col, vec_col=vec_col)
     cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
@@ -1033,34 +1065,82 @@ def ivf_pq_append_vectors(
     )
     codes.repartition("cell").write.mode("append").partitionBy(
         "cell"
-    ).parquet(f"{path}/pqcodes")
+    ).parquet(resolve_table(f"{path}/pqcodes"))
+
+
+def ivf_pq_delete_vectors(
+    spark: SparkSession, path: str, ids: DataFrame, id_col: str = "vec_id"
+) -> None:
+    """DELETE vectors from a stored IVF+PQ index — tombstones BOTH
+    layouts (postings via ``ivf_delete_vectors``, plus the pqcodes
+    table) so the ADC candidate scan and the exact rerank agree a
+    deleted vector no longer exists.  Probes drop it immediately; the
+    next ``ivf_pq_compact`` excises both tables physically.  The
+    two-table write shares the append path's crash window (documented
+    at ivf_pq_append_vectors): a crash between the two tombstone
+    appends leaves the vector tombstoned in postings but not pqcodes —
+    still CORRECT for probes (the rerank join against live postings
+    drops it) and healed by the next compact of either table."""
+    from another_map_reduce_spark.storeops import append_tombstones
+
+    cids = ids.select(F.col(id_col).alias("cid"))
+    append_tombstones(cids, f"{path}/postings", "cid")
+    append_tombstones(cids, f"{path}/pqcodes", "cid")
+
+
+def ivf_pq_check_consistency(spark: SparkSession, path: str) -> DataFrame:
+    """Cheap postings↔pqcodes consistency audit for a stored IVF+PQ
+    index — the detector for the ivf_pq_append_vectors crash window:
+    one full-outer count-join per cell (both sides read only (cell,
+    cid) — column pruning keeps vectors and codes on disk), returning
+    the cells whose row counts disagree as (cell, n_postings,
+    n_pqcodes).  An EMPTY result means every posting has exactly one
+    code and vice versa; a non-empty result names the cells to repair
+    (re-encode missing ids against the stored codebooks, or compact
+    from the postings truth).
+    """
+    p = (
+        read_table(spark, f"{path}/postings", id_col="cid")
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_postings"))
+    )
+    c = (
+        read_table(spark, f"{path}/pqcodes", id_col="cid")
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_pqcodes"))
+    )
+    return (
+        p.join(c, "cell", "full")
+        .select(
+            "cell",
+            F.coalesce("n_postings", F.lit(0)).alias("n_postings"),
+            F.coalesce("n_pqcodes", F.lit(0)).alias("n_pqcodes"),
+        )
+        .where(F.col("n_postings") != F.col("n_pqcodes"))
+    )
 
 
 def ivf_pq_compact(spark: SparkSession, path: str) -> None:
     """Compact BOTH layouts of an IVF+PQ index back to one file per
     cell — ``ivf_compact_cells`` for the postings plus the same
-    temp-dir + two-rename swap for ``pqcodes`` (same crash window and
-    object-store remediation; layout-only, probe parity pytest-pinned).
-    """
-    import os
-    import shutil
+    manifest/pointer commit (storeops.compact_table) for ``pqcodes``:
+    tombstoned vectors are excised from both tables, each table's
+    pointer flips atomically, and no crash point leaves a reader
+    without a complete table (kill-point pytest-pinned; probe parity
+    before/after pinned)."""
+    from another_map_reduce_spark.storeops import compact_table
 
     ivf_compact_cells(spark, path)
-    src = f"{path}/pqcodes"
-    tmp = f"{path}/pqcodes__compact"
-    shutil.rmtree(tmp, ignore_errors=True)
-    (
-        spark.read.parquet(src)
-        .repartition("cell")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(tmp)
-    )
-    old = f"{path}/pqcodes__old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.replace(src, old)
-    os.replace(tmp, src)
-    shutil.rmtree(old, ignore_errors=True)
+
+    def _write(df: DataFrame, dest: str) -> None:
+        (
+            df.repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(dest)
+        )
+
+    compact_table(spark, f"{path}/pqcodes", id_col="cid", write_fn=_write)
 
 
 def read_pq_codebooks(
@@ -1149,7 +1229,7 @@ def ivf_pq_probe_topk(
         lut.alias("lut"),
         F.explode(top_cells(F.col(vec_col), cents, nprobe)).alias("cell"),
     )
-    codes = spark.read.parquet(f"{path}/pqcodes")
+    codes = read_table(spark, f"{path}/pqcodes", id_col="cid")
     adc = (
         codes.join(F.broadcast(q), "cell")
         .where(F.col("cid") != F.col("qid"))
@@ -1176,7 +1256,7 @@ def ivf_pq_probe_topk(
         adc = adc.withColumn("arank", F.row_number().over(w_adc)).where(
             F.col("arank") <= rerank
         )
-    postings = spark.read.parquet(f"{path}/postings").select(
+    postings = read_table(spark, f"{path}/postings", id_col="cid").select(
         "cell", "cid", "cvec"
     )
     exact = adc.join(postings, ["cell", "cid"]).select(

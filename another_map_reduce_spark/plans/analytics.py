@@ -472,6 +472,114 @@ def pagerank(
     return ranks
 
 
+_LPA_ITERS = 4
+
+
+def _lpa_oracle(iters: int = _LPA_ITERS) -> str:
+    """Unrolled-iteration label-propagation SQL over the same
+    symmetrized trade graph as the PageRank oracle: one
+    count-join + plurality window per round (ROW_NUMBER ordered by
+    count DESC, label ASC — the identical deterministic tie-break the
+    Spark loop applies), chained ``iters`` times."""
+    parts = [
+        f"""
+WITH e0 AS (
+  SELECT DISTINCT l_suppkey AS src, {_PR_OFF} + o_custkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+), l0 AS (
+  SELECT DISTINCT src AS node, src AS label FROM edges
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", c{i} AS (
+  SELECT e.dst AS node, l.label, COUNT(*) AS c
+  FROM edges e JOIN l{i - 1} l ON e.src = l.node
+  GROUP BY 1, 2
+), l{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY c DESC, label) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"""
+SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM l{iters}
+GROUP BY label
+ORDER BY n_members DESC, community
+LIMIT 20"""
+    )
+    return "".join(parts)
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMMUNITY DETECTION (r10) — deterministic synchronous label
+    propagation (`operators.graph.label_propagation`) over the
+    symmetrized supplier↔customer trade graph pagerank_suppliers
+    walks, answering the standard next ask past connected components:
+    the densely-linked groups INSIDE the giant trade component.
+
+    Four fixed rounds; every round each node adopts its neighbours'
+    PLURALITY label with the min-label tie-break, so the run is
+    engine-exact and the oracle — the same rounds unrolled as chained
+    CTEs (the pagerank/recursive-CTE restriction) — must hash-match
+    bit-for-bit: integer counts, integer labels, no float anywhere.
+    Output: the 20 largest communities (community = its seed label,
+    n_members), size-desc with label tie-break.
+
+    Scale shape: per round ONE shuffle_hash join of the node-sized
+    label table against src-partitioned cached edges + one grouped
+    count + one node-partitioned window — no corpus-side re-shuffle,
+    the same per-round discipline as pagerank/SSSP (30× data → 2.4×
+    wall, BENCH_SCALE_r9rel).  [extension].
+    """
+    from another_map_reduce_spark.operators.graph import label_propagation
+    from another_map_reduce_spark.plans.relational import (
+        _stream_shuffle_partitions,
+    )
+    from another_map_reduce_spark.session import shuffle_width
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.lit(_PR_OFF) + F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # Same data-sized shuffle-width override as pagerank_suppliers
+    # (edges ≈ 8·|orders|; eager 20-row checkpoint keeps the narrowed
+    # width from leaking into the caller's session).
+    n_orders = orders.count()
+    width = max(8, min(shuffle_width(spark), n_orders // 20_000))
+    with _stream_shuffle_partitions(spark, width):
+        labels = label_propagation(edges, iters=_LPA_ITERS)
+        top = (
+            labels.groupBy(F.col("label").alias("community"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+            .orderBy(F.col("n_members").desc(), "community")
+            .limit(20)
+            .localCheckpoint(eager=True)
+        )
+    return top
+
+
 @register("pagerank_suppliers", oracle=_pagerank_oracle())
 def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the bipartite supplier↔customer trade graph —
@@ -2691,7 +2799,12 @@ def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a bench racing a test run, two users on one host) never clobber
     # each other's layout mid-query; overwrite-in-place within a
     # process keeps the residue bounded to one layout per (sf, pid).
+    from another_map_reduce_spark.artifacts import sweep_stale_pid_siblings
+
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # Dead siblings' layouts (same tag, different pid) are swept here
+    # so pid-keying doesn't accumulate unbounded /tmp residue.
+    sweep_stale_pid_siblings(f"amrs_dpp_fact_{tag}")
     path = os.path.join(
         tempfile.gettempdir(), f"amrs_dpp_fact_{tag}_{os.getpid()}"
     )
@@ -2774,9 +2887,16 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (pytest-xdist, parallel benches, two users on one host) can't
     # DROP or rmtree each other's layout mid-query; within a process
     # the overwrite-in-place contract bounds the residue.
+    from another_map_reduce_spark.artifacts import sweep_stale_pid_siblings
+
     pid = os.getpid()
     otbl = f"amrs_orders_bucketed_{pid}"
     ltbl = f"amrs_lineitem_bucketed_{pid}"
+    # Dead siblings' table dirs (different pid, process gone) are swept
+    # so pid-keying doesn't accumulate unbounded /tmp residue; their
+    # catalog entries died with their sessions (in-memory catalog).
+    sweep_stale_pid_siblings("amrs_orders_bucketed")
+    sweep_stale_pid_siblings("amrs_lineitem_bucketed")
     for tbl in (otbl, ltbl):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(

@@ -510,7 +510,9 @@ def dedup_lsh_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         _build_then_append,
     )
-    index = spark.read.parquet(bands)
+    from another_map_reduce_spark.operators.dedup import read_lsh_index
+
+    index = read_lsh_index(spark, bands)
     return incremental_minhash_pairs(hist, delta, index, threshold=0.8)
 
 
@@ -520,8 +522,8 @@ def dedup_lsh_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     band index was missing; IVF got append+compact in r8): the same
     base-build + day-append as dedup_lsh_append, then
     `operators.dedup.lsh_compact_index` rewrites the fragmented index
-    to 4 files sorted by (band, sig) via the two-rename directory
-    swap.  Today's delta probes the COMPACTED index and must produce
+    to 4 files sorted by (band, sig) via the manifest/pointer commit
+    (storeops — r10).  Today's delta probes the COMPACTED index and must produce
     the SAME answer (shared `_INCR_JACCARD_SQL` oracle) — the hash row
     proves compaction is layout-only at the stored-artifact level,
     with the file-count/row-count pins in tests/test_dedup.py.
@@ -543,7 +545,9 @@ def dedup_lsh_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_append_docs,
         lsh_band_index,
         lsh_compact_index,
+        read_lsh_index,
     )
+    from another_map_reduce_spark.storeops import reset_table
 
     docs = load_table(spark, sf_dir, "documents")
     base = docs.where(~(F.col("doc_id") % 10).isin(0, 5))
@@ -555,6 +559,7 @@ def dedup_lsh_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = os.path.join(path, "bands")
 
     def _build_append_compact() -> None:
+        reset_table(bands)  # a rebuild must not be shadowed by a stale pointer
         lsh_band_index(base).write.mode("overwrite").parquet(bands)
         lsh_append_docs(day1, bands)
         lsh_compact_index(spark, bands, target_files=4)
@@ -563,12 +568,112 @@ def dedup_lsh_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         path,
         source_fingerprint(
             sf_dir, "documents", op="lsh_compact", n=3, k=128, bands=32,
-            base_mods=(0, 5), target_files=4,
+            base_mods=(0, 5), target_files=4, commit="pointer-v2",
         ),
         _build_append_compact,
     )
-    index = spark.read.parquet(bands)
+    index = read_lsh_index(spark, bands)
     return incremental_minhash_pairs(hist, delta, index, threshold=0.8)
+
+
+# Delete-variant of _INCR_JACCARD_SQL: the indexed history is the
+# SURVIVOR set (doc % 10 ≠ 0 minus the deleted doc % 20 = 12 cohort —
+# a cohort chosen to contain REAL dup sources at sf0.01, so the delete
+# visibly removes pairs from the append answer: 6 rows → 4) —
+# the Spark side must reach this answer through tombstone delete +
+# compact, so the hash row IS the delete+compact ≡ rebuild-from-
+# survivors proof.
+_INCR_JACCARD_DELETE_SQL = f"""
+WITH sh AS (
+  SELECT doc_id AS doc, unnest({_SHINGLES}) AS shingle FROM documents
+), sizes AS (
+  SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc
+), inter AS (
+  SELECT a.doc AS new_doc, b.doc AS dup_of, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc % 10 = 0 AND b.doc % 10 <> 0 AND b.doc % 20 <> 12
+  GROUP BY 1, 2
+)
+SELECT new_doc, dup_of, inter / (s1.sz + s2.sz - inter) AS jac
+FROM inter
+JOIN sizes s1 ON new_doc = s1.doc
+JOIN sizes s2 ON dup_of = s2.doc
+WHERE inter / (s1.sz + s2.sz - inter) >= 0.8
+ORDER BY new_doc, dup_of
+"""
+
+
+@register("dedup_lsh_delete", oracle=_INCR_JACCARD_DELETE_SQL)
+def dedup_lsh_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH index lifecycle step 4 — DELETE (r10, the takedown/opt-out/
+    retention obligation a persisted 100 TB corpus index carries): the
+    same base-build + day-append as dedup_lsh_append, then the
+    doc_id % 20 = 12 cohort (a slice of the BASE history that contains
+    real dup sources at sf0.01 — the delete removes two pairs from the
+    append answer, so a tombstone that failed to mask would flip the
+    hash) is DELETED via
+    `operators.dedup.lsh_delete_docs` (tombstone set, O(ids) — no
+    rewrite) and `lsh_compact_index` excises the rows physically and
+    clears the tombstones under the manifest/pointer commit.  Today's
+    delta probes the post-delete index; the oracle computes exact
+    Jaccard against the SURVIVOR history only, so the hash row proves
+    delete+compact ≡ rebuild-from-survivors at the stored-artifact
+    level (logical-delete ≡ physical-excision parity plus the crash
+    matrix are pinned in tests/test_dedup.py and tests/test_storeops).
+
+    Build+append+delete+compact run once per fixture (write-once
+    `artifacts` contract); repeat invocations price the daily probe.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from another_map_reduce_spark.artifacts import (
+        ensure_artifact,
+        source_fingerprint,
+    )
+    from another_map_reduce_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        lsh_append_docs,
+        lsh_band_index,
+        lsh_compact_index,
+        lsh_delete_docs,
+        read_lsh_index,
+    )
+    from another_map_reduce_spark.storeops import reset_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(~(F.col("doc_id") % 10).isin(0, 5))
+    day1 = docs.where(F.col("doc_id") % 10 == 5)
+    doomed = docs.where(F.col("doc_id") % 20 == 12).select(
+        F.col("doc_id").alias("doc")
+    )
+    # survivor history: indexed docs minus the deleted cohort
+    survivors = docs.where(
+        (F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 20 != 12)
+    )
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"amrs_lsh_deleted_{tag}")
+    bands = os.path.join(path, "bands")
+
+    def _build_append_delete_compact() -> None:
+        reset_table(bands)
+        lsh_band_index(base).write.mode("overwrite").parquet(bands)
+        lsh_append_docs(day1, bands)
+        lsh_delete_docs(spark, bands, doomed)
+        lsh_compact_index(spark, bands, target_files=4)
+
+    ensure_artifact(
+        path,
+        source_fingerprint(
+            sf_dir, "documents", op="lsh_delete", n=3, k=128, bands=32,
+            base_mods=(0, 5), delete_mod20=12, target_files=4,
+        ),
+        _build_append_delete_compact,
+    )
+    index = read_lsh_index(spark, bands)
+    return incremental_minhash_pairs(survivors, delta, index, threshold=0.8)
 
 
 # Exact delta×history containment — shared by dedup_containment
@@ -1237,6 +1342,83 @@ def ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             train_iters=1, hist_mod=10,
         ),
         _build_then_append,
+    )
+    return ivf_probe_topk(
+        spark, path, emb.where(F.col("vec_id") < 10), k=5, nprobe=8
+    )
+
+
+@register(
+    "ann_ivf_delete",
+    oracle=f"""
+WITH scored AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cid,
+         {_DDOT} / ({_DNORM_A} * {_DNORM_B}) AS cos
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id AND b.vec_id % 20 <> 5
+), ranked AS (
+  SELECT qid, cid, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+  FROM scored
+)
+SELECT qid, cid, cos, rank FROM ranked WHERE rank <= 5
+ORDER BY qid, rank
+""",
+)
+def ann_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index lifecycle step 4 — DELETE (r10): the full corpus is
+    indexed (history build + delta append, as ann_ivf_append), then the
+    vec_id % 20 = 5 cohort is DELETED via
+    `operators.similarity.ivf_delete_vectors` (tombstone set — O(ids),
+    no rewrite, no retraining) and `ivf_compact_cells` excises the
+    postings physically under the manifest/pointer commit.  The probe
+    runs at nprobe = num_cells (the LOSSLESS regime), so the result
+    must hash-match the brute-force top-5 over the SURVIVOR corpus —
+    the hash row IS the delete+compact ≡ rebuild-from-survivors proof
+    (a deleted vector that kept matching, or a survivor lost by the
+    excision rewrite, flips the hash).  Logical-delete ≡ physical-
+    excision probe parity and the crash matrix are pytest-pinned.
+
+    Build+append+delete+compact run once per fixture (write-once
+    `artifacts` contract); repeat invocations price the daily probe
+    against the post-takedown index.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from another_map_reduce_spark.artifacts import (
+        ensure_artifact,
+        source_fingerprint,
+    )
+    from another_map_reduce_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_append_vectors,
+        ivf_compact_cells,
+        ivf_delete_vectors,
+        ivf_probe_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hist = emb.where(F.col("vec_id") % 10 != 0)
+    delta = emb.where(F.col("vec_id") % 10 == 0)
+    doomed = emb.where(F.col("vec_id") % 20 == 5).select("vec_id")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"amrs_ivf_deleted_{tag}")
+
+    def _build_append_delete_compact() -> None:
+        build_ivf_index(hist, path, num_cells=8, train_iters=1)
+        ivf_append_vectors(spark, path, delta)
+        ivf_delete_vectors(spark, path, doomed)
+        ivf_compact_cells(spark, path)
+
+    ensure_artifact(
+        path,
+        source_fingerprint(
+            sf_dir, "embeddings", op="ivf_delete", num_cells=8,
+            train_iters=1, hist_mod=10, delete_mod20=5,
+        ),
+        _build_append_delete_compact,
     )
     return ivf_probe_topk(
         spark, path, emb.where(F.col("vec_id") < 10), k=5, nprobe=8

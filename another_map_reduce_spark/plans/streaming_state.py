@@ -593,7 +593,10 @@ def stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ts") >= c2) | ((F.col("ts") < c1) & late)
         ),
     ]
+    from another_map_reduce_spark.artifacts import sweep_stale_pid_siblings
+
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sweep_stale_pid_siblings(f"amrs_late_{tag}")
     root = os.path.join(
         tempfile.gettempdir(), f"amrs_late_{tag}_{os.getpid()}"
     )
@@ -638,8 +641,10 @@ def stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
-        # pandas wrote TIMESTAMP_NTZ; the session timezone is pinned
-        # UTC (session.py), so this cast is value-preserving
+        # _write_relay writes the slices through Spark, whose parquet
+        # timestamps are TIMESTAMP(MILLIS/MICROS, adjusted-to-UTC);
+        # the session timezone is pinned UTC (session.py), so this
+        # cast is value-preserving either way
         .select(F.col("ts").cast("timestamp").alias("ts"))
         .withWatermark("ts", "30 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"))
@@ -951,7 +956,10 @@ def stream_session_close_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     c1 = F.lit(_TWS_C1).cast("timestamp")
     c2 = F.lit(_TWS_C2).cast("timestamp")
+    from another_map_reduce_spark.artifacts import sweep_stale_pid_siblings
+
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sweep_stale_pid_siblings(f"amrs_twsclose_{tag}")
     root = os.path.join(
         tempfile.gettempdir(), f"amrs_twsclose_{tag}_{os.getpid()}"
     )

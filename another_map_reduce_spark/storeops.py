@@ -1,0 +1,229 @@
+"""Generation-committed table storage for the stored-index lifecycle.
+
+Every stored index in this engine (LSH bands, SimHash chunks, inverted
+postings, IVF postings, PQ codes) is a parquet directory that gets
+APPENDED daily and periodically COMPACTED.  Until r9 the compactors
+committed via a two-``os.replace`` directory swap — each rename atomic
+but the PAIR not, leaving a documented crash window (no ``postings/``
+between the renames) and no object-store story at all (S3-like stores
+have no atomic directory rename).
+
+This module replaces the swap with a MANIFEST/POINTER commit:
+
+* data lives in ``<table>__gen_<N>`` directories (one per generation);
+* one SMALL pointer file ``<table>_CURRENT`` names the live generation;
+* readers resolve the pointer (missing pointer → the legacy ``<table>``
+  directory, so pre-generation indexes keep working unmodified);
+* a compaction writes generation N+1 COMPLETELY, then flips the
+  pointer with a single-file write-temp + ``os.replace`` (atomic on
+  POSIX; the object-store translation is a conditional PUT of one
+  key — the pattern Iceberg/Delta use for their metadata pointer),
+  then garbage-collects every other generation.
+
+Crash matrix (pytest-pinned by kill-point injection):
+  during the gen-N+1 write   → pointer still names gen N; readers see
+                               the old, complete generation; the
+                               half-written dir is GC'd next compact.
+  after flip, before GC      → pointer names gen N+1 (complete);
+                               readers consistent; stale dirs are GC'd
+                               next compact.
+There is NO point at which a reader can observe a missing or
+half-written table — the property the directory swap could not give.
+
+DELETE support rides the same layout: ``<table>__tombstones`` holds the
+deleted ids (append-only, tiny); ``read_table(..., id_col=...)``
+anti-joins them at probe time (logical delete, O(tombstones) broadcast)
+and ``compact_table`` excises them physically and clears the set —
+delete+compact ≡ rebuild-from-survivors, oracle- and pytest-pinned.
+Tombstones are cleared only AFTER the pointer flip: a crash between
+flip and clear leaves tombstones whose rows are already excised, and
+re-applying an anti-join against absent ids is a no-op.
+
+Serial-writer contract (same as every artifact in this repo): one
+appender/compactor per table at a time — the driver, bench, and pytest
+harnesses are serial.  Readers are always safe.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_GEN_RE = re.compile(r"__gen_(\d+)$")
+
+
+def _pointer_path(table: str) -> str:
+    return table.rstrip("/") + "_CURRENT"
+
+
+def _gen_dir(table: str, gen: int) -> str:
+    return f"{table.rstrip('/')}__gen_{gen:06d}"
+
+
+def tombstone_path(table: str) -> str:
+    return table.rstrip("/") + "__tombstones"
+
+
+def current_generation(table: str) -> int:
+    """Live generation number; 0 means the legacy un-pointered layout
+    (data at ``table`` itself)."""
+    try:
+        with open(_pointer_path(table), encoding="utf-8") as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return 0
+
+
+def resolve_table(table: str) -> str:
+    """Directory the live rows of ``table`` actually occupy — the
+    generation the pointer names, or the legacy path when no pointer
+    has ever been committed.  Every reader and appender of a
+    generation-committed table goes through here."""
+    gen = current_generation(table)
+    return table if gen == 0 else _gen_dir(table, gen)
+
+
+def _has_tombstones(table: str) -> bool:
+    ts = tombstone_path(table)
+    try:
+        return any(name.endswith(".parquet") for name in os.listdir(ts))
+    except OSError:
+        return False
+
+
+def append_tombstones(ids: DataFrame, table: str, id_col: str) -> None:
+    """Logically DELETE ``ids[id_col]`` from ``table``: append them to
+    the tombstone set (tiny — one value per deleted id).  Takes effect
+    immediately for every ``read_table`` probe; physical excision (and
+    tombstone clearing) happens at the next ``compact_table``.  Ids not
+    present in the table are harmless (anti-join no-ops), so takedown
+    lists can be applied verbatim without pre-filtering."""
+    (
+        ids.select(F.col(id_col))
+        .distinct()
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(tombstone_path(table))
+    )
+
+
+def read_table(
+    spark: SparkSession, table: str, id_col: str | None = None
+) -> DataFrame:
+    """Live rows of a generation-committed table: resolve the pointer,
+    anti-join any tombstones (broadcast — the takedown set is always
+    small relative to the index).  ``id_col=None`` skips the tombstone
+    check for tables that never delete."""
+    df = spark.read.parquet(resolve_table(table))
+    if id_col is not None and _has_tombstones(table):
+        ts = (
+            spark.read.parquet(tombstone_path(table))
+            .select(F.col(id_col))
+            .distinct()
+        )
+        df = df.join(F.broadcast(ts), id_col, "left_anti")
+    return df
+
+
+def commit_generation(
+    table: str, write_fn: Callable[[str], None]
+) -> str:
+    """Write the next generation of ``table`` via ``write_fn(dest)``
+    and make it live with one atomic pointer flip; then GC every other
+    generation (and the legacy directory).  Returns the committed
+    directory.  See the module docstring for the crash matrix."""
+    cur = current_generation(table)
+    nxt = cur + 1
+    dest = _gen_dir(table, nxt)
+    shutil.rmtree(dest, ignore_errors=True)
+    write_fn(dest)
+    # Atomic flip: the pointer is ONE small file, written to a temp
+    # sibling and renamed over the live name — the object-store
+    # translation is a conditional PUT of this single key.
+    ptr = _pointer_path(table)
+    tmp = ptr + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(nxt))
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, ptr)
+    gc_stale_generations(table)
+    return dest
+
+
+def gc_stale_generations(table: str) -> None:
+    """Remove every data directory of ``table`` that the pointer does
+    NOT name: older generations, a half-written next generation from a
+    crashed compact, and (once a pointer exists) the legacy directory.
+    Safe to run any time — it never touches the live generation."""
+    gen = current_generation(table)
+    if gen == 0:
+        return  # never committed — nothing is provably stale
+    base = table.rstrip("/")
+    live = _gen_dir(base, gen)
+    parent = os.path.dirname(base) or "."
+    prefix = os.path.basename(base) + "__gen_"
+    try:
+        names = os.listdir(parent)
+    except OSError:
+        return
+    for name in names:
+        full = os.path.join(parent, name)
+        if full == live:
+            continue
+        if name.startswith(prefix) and _GEN_RE.search(name):
+            shutil.rmtree(full, ignore_errors=True)
+    if os.path.isdir(base):
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def reset_table(table: str) -> None:
+    """Forget a table's generation/tombstone state ahead of a
+    from-scratch REBUILD (a builder's ``mode("overwrite")`` writes the
+    legacy directory, which a stale pointer would otherwise shadow).
+    Removes the pointer, every generation directory, and the tombstone
+    set; leaves the legacy directory for the builder to overwrite."""
+    base = table.rstrip("/")
+    try:
+        os.remove(_pointer_path(base))
+    except OSError:
+        pass
+    parent = os.path.dirname(base) or "."
+    prefix = os.path.basename(base) + "__gen_"
+    try:
+        names = os.listdir(parent)
+    except OSError:
+        names = []
+    for name in names:
+        if name.startswith(prefix) and _GEN_RE.search(name):
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+    shutil.rmtree(tombstone_path(base), ignore_errors=True)
+
+
+def compact_table(
+    spark: SparkSession,
+    table: str,
+    id_col: str | None = None,
+    write_fn: Callable[[DataFrame, str], None] | None = None,
+) -> None:
+    """COMPACT a generation-committed table: read the live rows (with
+    tombstones excised when ``id_col`` is given), rewrite them via
+    ``write_fn(df, dest)`` (default: plain parquet), commit with the
+    atomic pointer flip, and clear the consumed tombstones.
+
+    Clearing AFTER the flip keeps every crash point consistent: a
+    crash before the clear leaves tombstones that name already-excised
+    rows — the next probe's anti-join is a no-op, and the next compact
+    clears them.
+    """
+    df = read_table(spark, table, id_col=id_col)
+    if write_fn is None:
+        def write_fn(d: DataFrame, dest: str) -> None:  # noqa: F811
+            d.write.mode("overwrite").parquet(dest)
+    commit_generation(table, lambda dest: write_fn(df, dest))
+    shutil.rmtree(tombstone_path(table), ignore_errors=True)

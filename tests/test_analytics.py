@@ -1075,3 +1075,40 @@ def test_kcore_peel_cycle_with_pendant(spark):
     assert sorted((r.src, r.dst) for r in final.collect()) == [
         (1, 2), (1, 3), (2, 1), (2, 3), (3, 1), (3, 2)
     ]
+
+
+def test_label_propagation_two_triangles_bridge(spark):
+    """Hand-traced synchronous LPA (min-label plurality tie-break) on
+    two triangles joined by one bridge edge: after 4 rounds the
+    triangles settle into two distinct communities (labels 1 and 3 —
+    the bridge drags node 3's seed label into triangle B, which is the
+    documented deterministic dynamics, not a bug)."""
+    from another_map_reduce_spark.operators.graph import label_propagation
+
+    und = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {
+        r.node: r.label for r in label_propagation(edges, iters=4).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 3, 11: 3, 12: 3}
+
+
+def test_label_propagation_pair_two_cycle_prefix(spark):
+    """Synchronous LPA 2-cycles on an isolated edge (bipartite
+    oscillation); a FIXED even round count returns the seed labels —
+    pinning the bounded-prefix contract the oracle replays."""
+    from another_map_reduce_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(100, 101), (101, 100)], "src long, dst long"
+    )
+    got = {
+        r.node: r.label for r in label_propagation(edges, iters=4).collect()
+    }
+    assert got == {100: 100, 101: 101}
+    odd = {
+        r.node: r.label for r in label_propagation(edges, iters=3).collect()
+    }
+    assert odd == {100: 101, 101: 100}

@@ -591,12 +591,16 @@ def test_lsh_compact_index_layout_only(spark, sf_dir, tmp_path):
     lsh_append_docs(day1, path)
     lsh_append_docs(day2, path)
 
+    from another_map_reduce_spark.operators.dedup import read_lsh_index
+    from another_map_reduce_spark.storeops import resolve_table
+
     def n_files():
-        return len(glob.glob(f"{path}/*.parquet"))
+        # the live generation moves on compaction (pointer commit)
+        return len(glob.glob(f"{resolve_table(path)}/*.parquet"))
 
     hist = docs.where(F.col("doc_id") % 10 != 0)
     delta = docs.where(F.col("doc_id") % 10 == 0)
-    idx = spark.read.parquet(path)
+    idx = read_lsh_index(spark, path)
     before_rows = idx.count()
     before = {
         (r.new_doc, r.dup_of, round(r.jac, 9))
@@ -605,7 +609,7 @@ def test_lsh_compact_index_layout_only(spark, sf_dir, tmp_path):
     assert n_files() > 4  # fragmentation is real
     lsh_compact_index(spark, path, target_files=4)
     assert n_files() == 4
-    idx2 = spark.read.parquet(path)
+    idx2 = read_lsh_index(spark, path)
     assert idx2.count() == before_rows
     after = {
         (r.new_doc, r.dup_of, round(r.jac, 9))

@@ -416,10 +416,13 @@ def test_ivf_compact_restores_one_file_per_cell(spark, emb, tmp_path):
             )
         )
 
+    from another_map_reduce_spark.storeops import resolve_table
+
     def files_per_cell():
+        # the live generation moves on compaction (pointer commit)
         return {
             d: len(glob.glob(f"{d}/*.parquet"))
-            for d in glob.glob(f"{path}/postings/cell=*")
+            for d in glob.glob(f"{resolve_table(f'{path}/postings')}/cell=*")
         }
 
     queries = emb.where(F.col("vec_id") < 30)
@@ -751,10 +754,13 @@ def test_ivf_pq_append_equals_rebuild_and_compact_parity(spark, emb, tmp_path):
         ).collect()
     ]
 
+    from another_map_reduce_spark.storeops import resolve_table
+
     def files_per_cell(sub):
+        # the live generation moves on compaction (pointer commit)
         return {
             d: len(glob.glob(f"{d}/*.parquet"))
-            for d in glob.glob(f"{apath}/{sub}/cell=*")
+            for d in glob.glob(f"{resolve_table(f'{apath}/{sub}')}/cell=*")
         }
 
     assert max(files_per_cell("pqcodes").values()) > 1  # fragmented
