@@ -105,6 +105,26 @@ def decode_png_pure(blob: bytes) -> tuple[int, int] | None:
     decompression bomb cannot expand past the declared size before
     the length check runs.
     """
+    out = _png_decode(blob, want_pixels=False)
+    return None if out is None else (out[0], out[1])
+
+
+def png_pixels_pure(blob: bytes) -> tuple[int, int, int, bytes] | None:
+    """(width, height, channels, pixel bytes) of a PNG via the pure
+    decoder — the unfiltered scanlines :func:`decode_png_pure` already
+    computes, exposed for pixel-level consumers (the decoded-luminance
+    perceptual hash).  None for non-PNG, malformed streams, or images
+    over the full-decode pixel budget (where decode_png_pure still
+    reports dimensions but no unfiltered pixels exist)."""
+    out = _png_decode(blob, want_pixels=True)
+    if out is None or out[3] is None:
+        return None
+    return out
+
+
+def _png_decode(
+    blob: bytes, want_pixels: bool
+) -> tuple[int, int, int, bytes | None] | None:
     import struct
     import zlib
 
@@ -182,7 +202,8 @@ def decode_png_pure(blob: bytes) -> tuple[int, int] | None:
             # byte budget.
             if max(raw[:: 1 + stride]) > 4:
                 return None
-            return int(width), int(height)
+            return int(width), int(height), int(channels), None
+        pixels = bytearray() if want_pixels else None
         prev = bytearray(stride)
         for y in range(height):
             row = raw[y * (1 + stride) : (y + 1) * (1 + stride)]
@@ -215,24 +236,86 @@ def decode_png_pure(blob: bytes) -> tuple[int, int] | None:
             else:
                 return None
             prev = line
-        return int(width), int(height)
+            if pixels is not None:
+                pixels += line
+        return (
+            int(width),
+            int(height),
+            int(channels),
+            bytes(pixels) if pixels is not None else None,
+        )
+    except Exception:
+        return None
+
+
+_JPEG_SOI = b"\xff\xd8"
+# SOF markers that carry frame dimensions (baseline, extended,
+# progressive, lossless, and the differential/arithmetic variants);
+# NOT SOF4/8/12 (DHT/JPG/DAC share the C0-CF range but aren't frames).
+_JPEG_SOF = {
+    0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+}
+
+
+def decode_jpeg_headers(blob: bytes) -> tuple[int, int] | None:
+    """STRUCTURAL JPEG parse with only the stdlib — the r10 rung for
+    the dominant crawled-image format: validates the SOI marker, walks
+    the segment list (every segment length-checked against the
+    payload), and reads (width, height) from the first SOF frame
+    header.  Returns None for non-JPEG or malformed streams (caller
+    falls through).  This is a header PARSE, not a pixel decode — a
+    full pure-Python entropy decode is not a sensible rung; when PIL
+    is present (rung 1) JPEG pixels get a REAL decode there, and
+    :func:`luma_grid64` builds the cross-format perceptual hash on
+    top of it."""
+    import struct
+
+    b = bytes(blob)
+    if len(b) < 4 or b[:2] != _JPEG_SOI:
+        return None
+    pos = 2
+    try:
+        while pos + 4 <= len(b):
+            if b[pos] != 0xFF:
+                return None
+            marker = b[pos + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                pos += 2  # standalone markers carry no length
+                continue
+            if marker == 0xD9:  # EOI before any SOF
+                return None
+            (seg_len,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+            if seg_len < 2 or pos + 2 + seg_len > len(b):
+                return None
+            if marker in _JPEG_SOF:
+                if seg_len < 7:
+                    return None
+                h, w = struct.unpack(">HH", b[pos + 5 : pos + 9])
+                if w == 0 or h == 0:
+                    return None
+                return int(w), int(h)
+            pos += 2 + seg_len
+        return None
     except Exception:
         return None
 
 
 def decode_image(blob: bytes) -> tuple[int, int]:
-    """Real-when-possible image decode, three rungs:
+    """Real-when-possible image decode, four rungs:
 
     1. PIL's ``Image.open(...).size`` when the library is importable
        and the bytes parse;
     2. :func:`decode_png_pure` — a genuine stdlib PNG decode (CRC
-       check, inflate, unfilter), so real image bytes take a REAL
-       decode path even in containers with no media libraries;
-    3. the deterministic stub for everything else.
+       check, inflate, unfilter);
+    3. :func:`decode_jpeg_headers` — a stdlib JPEG segment walk (r10),
+       so the dominant crawled format reports true dimensions even in
+       containers with no media libraries;
+    4. the deterministic stub for everything else.
 
     The oracle-checked queries stay consistent across environments
-    because the test corpus's payloads are utf-8 text that neither
-    real rung accepts — they fall to the stub everywhere."""
+    because the test corpus's payloads are utf-8 text that no real
+    rung accepts — they fall to the stub everywhere."""
     if blob is None:
         raise NotImplementedError("no payload; real decoder would raise IOError")
     if _PIL_IMAGE is not None:
@@ -244,6 +327,9 @@ def decode_image(blob: bytes) -> tuple[int, int]:
         except Exception:
             pass  # undecodable payload → next rung
     dims = decode_png_pure(blob)
+    if dims is not None:
+        return dims
+    dims = decode_jpeg_headers(blob)
     if dims is not None:
         return dims
     return decode_image_stub(blob)
@@ -510,19 +596,146 @@ def ahash64(blob: bytes) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
+# Magic prefixes of formats PIL may parse — the pixel-hash rung tries a
+# real decode ONLY behind these, so utf-8 text payloads (the test
+# corpus) NEVER enter a codec: they take the raw-byte path on every
+# engine, keeping the oracle-checked queries environment-independent
+# (ASCII formats like Netpbm could otherwise parse as images).
+_IMAGE_MAGIC = (
+    _PNG_SIG,
+    _JPEG_SOI,
+    b"GIF8",
+    b"BM",
+    b"RIFF",  # WEBP (RIFF....WEBP) — cheap over-match is fine, PIL decides
+)
+
+
+def looks_like_image(blob: bytes) -> bool:
+    b = bytes(blob[:8])
+    return any(b.startswith(m) for m in _IMAGE_MAGIC)
+
+
+def luma_grid64(blob: bytes) -> list[int] | None:
+    """64 luminance cells of a DECODED image — PIL rung: decode, convert
+    to 8-bit grayscale, box-resample to 8×8 (area average — the
+    standard aHash pooling).  Returns None when PIL is absent or the
+    bytes don't decode (caller falls back to raw-byte pooling).
+
+    This is what makes media dedup CROSS-FORMAT (r10): a PNG and a
+    JPEG of the same picture share no payload bytes, but their decoded
+    luminance grids agree to within JPEG quantization noise — a few
+    flipped threshold bits, caught by the hamming-≤3 pigeonhole join
+    (pytest-pinned on a planted same-image PNG/JPEG pair)."""
+    if _PIL_IMAGE is None:
+        return None
+    import io
+
+    try:
+        with _PIL_IMAGE.open(io.BytesIO(bytes(blob))) as im:
+            g = im.convert("L").resize(
+                (8, 8), _PIL_IMAGE.Resampling.BOX
+            )
+            return list(g.getdata())
+    except Exception:
+        return None
+
+
+def ahash64_cells(cells: list[int]) -> int:
+    """64-bit average hash over 64 pre-pooled cells: bit i set iff
+    cell i strictly exceeds the mean, compared cross-multiplied
+    (cell·64 > total) — integer-exact, same thresholding contract as
+    :func:`ahash64`."""
+    total = sum(cells)
+    h = 0
+    for i, c in enumerate(cells):
+        if c * 64 > total:
+            h |= 1 << i
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def png_luma_hash64(blob: bytes) -> int | None:
+    """Decoded-luminance aHash of a PNG via the PURE stdlib pixel
+    decoder — the no-library rung of cross-encoding media dedup: two
+    byte-disjoint PNG encodings of the same pixels (different filter
+    strategies, different compression levels) hash IDENTICALLY,
+    because the hash is a function of the unfiltered pixels, not the
+    payload bytes (pytest-pinned).
+
+    Integer-exact end to end: per-pixel luma is the Rec.601 integer
+    form 299R + 587G + 114B (grey channels scaled ×1000 to match),
+    cells are an 8×8 box grid with cross-multiplied mean thresholds
+    (sum_i · n_total > total · n_i) — no division, no floats, so the
+    hash is deterministic on any platform.  None for non-PNG /
+    malformed / over-pixel-budget payloads."""
+    import numpy as np
+
+    out = png_pixels_pure(blob)
+    if out is None:
+        return None
+    w, h, ch, px = out
+    arr = np.frombuffer(px, np.uint8).reshape(h, w, ch).astype(np.int64)
+    if ch >= 3:
+        luma = 299 * arr[..., 0] + 587 * arr[..., 1] + 114 * arr[..., 2]
+    else:
+        luma = arr[..., 0] * 1000
+    ys = (np.arange(h, dtype=np.int64) * 8) // h
+    xs = (np.arange(w, dtype=np.int64) * 8) // w
+    cell = (ys[:, None] * 8 + xs[None, :]).ravel()
+    # float64 bincount weights stay exact: sums ≤ 255·1000·2^20 < 2^53
+    sums = np.bincount(cell, weights=luma.ravel(), minlength=64).astype(
+        np.int64
+    )
+    cnts = np.bincount(cell, minlength=64)
+    total = int(sums.sum())
+    n = w * h
+    h64 = 0
+    for i in range(64):
+        if cnts[i] and int(sums[i]) * n > total * int(cnts[i]):
+            h64 |= 1 << i
+    return h64 - (1 << 64) if h64 >= (1 << 63) else h64
+
+
+def image_phash64(blob: bytes) -> int:
+    """Content-addressed perceptual hash ladder: for payloads that
+    sniff as real images, hash DECODED LUMINANCE — PIL rung when the
+    library exists (any format PIL reads, which is what makes the
+    dedup CROSS-FORMAT: a PNG and a JPEG of one picture agree to
+    within quantization noise), pure-PNG pixel rung otherwise (cross-
+    ENCODING: byte-disjoint PNGs of the same pixels hash identically
+    with no media library at all).  Everything else — including this
+    repo's utf-8 test payloads — takes the raw-byte :func:`ahash64`,
+    so mixed corpora hash every row deterministically and the
+    oracle-checked queries stay engine-independent."""
+    if looks_like_image(blob):
+        cells = luma_grid64(blob)
+        if cells is not None:
+            return ahash64_cells(cells)
+        ph = png_luma_hash64(blob)
+        if ph is not None:
+            return ph
+    return ahash64(blob)
+
+
 def perceptual_hash_frame(
-    df: DataFrame, blob_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame,
+    blob_col: str = "payload",
+    id_col: str = "doc_id",
+    hasher=None,
 ) -> DataFrame:
     """(doc, sh) perceptual hashes via the Arrow-batched decode stage —
     the same mapInPandas plumbing as extract_image_metadata; blobs
-    never leave the stage, only 8-byte hashes shuffle."""
+    never leave the stage, only 8-byte hashes shuffle.  ``hasher``
+    defaults to :func:`image_phash64` (decoded-luminance aHash behind
+    a magic sniff, raw-byte aHash otherwise); pass :func:`ahash64` to
+    force the raw-byte construction everywhere."""
+    hash_fn = hasher or image_phash64
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             yield pd.DataFrame(
                 {
                     "doc": batch[id_col],
-                    "sh": [ahash64(b) for b in batch[blob_col]],
+                    "sh": [hash_fn(b) for b in batch[blob_col]],
                 }
             )
 

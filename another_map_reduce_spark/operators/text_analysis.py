@@ -58,12 +58,60 @@ def punct_char_count(text: Column) -> Column:
     return F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
 
 
-def stopword_hits(text: Column, lang: str) -> Column:
-    """Number of tokens that are stopwords of ``lang``."""
+# ---------------------------------------------------------------------------
+# Unicode-robust tokenization face (r10) — the locale-aware twin of the
+# ASCII surface above.  The reference-parity tokenizer ([A-Za-z],
+# worker.rs:26-29) and the whitespace tokens stay as-is; these variants
+# exist because CJK/diacritic text silently degrades the ASCII gates
+# (é counts as "punctuation", 中文 has no whitespace).  Java and RE2
+# agree on \p{L}/\p{N} classes and on simple case folding for the
+# mappings used here (verified bit-identical cross-engine on the
+# planted multilingual fixture — unicode_token_stats' oracle row), so
+# every function has an exact DuckDB twin.
+# ---------------------------------------------------------------------------
+
+UNICODE_TOKEN_SPLIT = r"[^\p{L}\p{N}]+"
+
+
+def unicode_tokens(text: Column) -> Column:
+    """Lowercased tokens split on any run of non-letter/non-digit
+    (Unicode classes, not ASCII ranges): diacritics stay inside
+    tokens, CJK codepoints are letters, digits survive.  DuckDB twin:
+    ``list_filter(string_split_regex(lower(text),
+    '[^\\p{L}\\p{N}]+'), x -> x <> '')``."""
+    return F.array_remove(F.split(F.lower(text), UNICODE_TOKEN_SPLIT), "")
+
+
+def unicode_token_count(text: Column) -> Column:
+    return F.size(unicode_tokens(text))
+
+
+def unicode_alpha_char_count(text: Column) -> Column:
+    """Letter count under \\p{L} — é, ü, 我 all count (the ASCII
+    ``alpha_char_count`` treats them as non-alpha, which is exactly
+    the quality-gate degradation this face removes)."""
+    return F.length(F.regexp_replace(text, r"[^\p{L}]", ""))
+
+
+def unicode_punct_char_count(text: Column) -> Column:
+    """Characters that are neither letters, digits, nor whitespace —
+    the locale-aware punctuation count («», ¿, — are punctuation;
+    é is NOT)."""
+    return F.length(F.regexp_replace(text, r"[\p{L}\p{N}\s]", ""))
+
+
+def stopword_hits(text: Column, lang: str, unicode_mode: bool = False) -> Column:
+    """Number of tokens that are stopwords of ``lang``.
+
+    ``unicode_mode=True`` tokenizes with :func:`unicode_tokens`
+    instead of whitespace splitting — the opt-in that lets lang-ID see
+    stopwords adjacent to punctuation («le» or est-il) and scores
+    diacritic text correctly."""
     words = STOPWORDS[lang]
+    toks = unicode_tokens(text) if unicode_mode else _ws_tokens(text)
     return F.size(
         F.filter(
-            _ws_tokens(text),
+            toks,
             lambda t: t.isin(*words),
         )
     )
@@ -90,19 +138,27 @@ def lang_case_from_hits(hits: dict[str, Column]) -> Column:
     return expr
 
 
-def detect_language(text: Column) -> Column:
+def detect_language(text: Column, unicode_mode: bool = False) -> Column:
     """Heuristic language ID: argmax stopword hits, 'und' when zero.
 
     Ties break by LANG_PRIORITY order.  A classic n-gram model would
     need training data; stopword voting is the deterministic,
     SQL-expressible core of the same idea.
 
+    ``unicode_mode=True`` votes over :func:`unicode_tokens` — the
+    opt-in locale-aware face: French «le» beside guillemets, hyphened
+    clitics (est-il), and space-segmented CJK all register, where the
+    whitespace tokenizer returns 'und'.
+
     Single-expression form (convenient but re-tokenizes per branch);
     for bulk scoring prefer a projection of hit columns +
     ``lang_case_from_hits`` (see plans/pipeline.lang_id_confusion).
     """
     return lang_case_from_hits(
-        {lang: stopword_hits(text, lang) for lang in LANG_PRIORITY}
+        {
+            lang: stopword_hits(text, lang, unicode_mode=unicode_mode)
+            for lang in LANG_PRIORITY
+        }
     )
 
 
@@ -118,6 +174,33 @@ def quality_score(text: Column) -> Column:
     alpha_ratio = alpha_char_count(text) / F.greatest(n_chars, F.lit(1.0))
     punct_ratio = punct_char_count(text) / F.greatest(n_chars, F.lit(1.0))
     stop_ratio = stopword_hits(text, "en") / F.greatest(n_tokens, F.lit(1.0))
+    length_score = F.least(n_chars / F.lit(400.0), F.lit(1.0))
+    return (
+        F.lit(0.3) * length_score
+        + F.lit(0.4) * alpha_ratio
+        + F.lit(0.2) * stop_ratio
+        - F.lit(0.1) * punct_ratio
+    )
+
+
+def quality_score_unicode(text: Column) -> Column:
+    """:func:`quality_score` over the Unicode faces — same fixed
+    weights, but alpha/punct/token counts are locale-aware, so
+    diacritic or CJK text is scored on its content instead of being
+    penalized as 'punctuation'.  The opt-in gate variant; the ASCII
+    form stays the default (its oracle rows and thresholds are
+    calibrated to it)."""
+    n_chars = F.length(text).cast("double")
+    n_tokens = unicode_token_count(text).cast("double")
+    alpha_ratio = unicode_alpha_char_count(text) / F.greatest(
+        n_chars, F.lit(1.0)
+    )
+    punct_ratio = unicode_punct_char_count(text) / F.greatest(
+        n_chars, F.lit(1.0)
+    )
+    stop_ratio = stopword_hits(text, "en", unicode_mode=True) / F.greatest(
+        n_tokens, F.lit(1.0)
+    )
     length_score = F.least(n_chars / F.lit(400.0), F.lit(1.0))
     return (
         F.lit(0.3) * length_score

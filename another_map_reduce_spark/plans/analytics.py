@@ -1605,6 +1605,83 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "incremental_join_maintenance",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1 ORDER BY 1
+""",
+)
+def incremental_join_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DELTA-JOIN materialized-view maintenance (r10) — the join twin
+    of incremental_agg_maintenance, completing the MV family: a stored
+    JOIN view V = A ⋈ B absorbs simultaneous deltas on BOTH sides via
+    the standard delta-join identity
+
+        (A ∪ ΔA) ⋈ (B ∪ ΔB)
+          = A⋈B  ∪  ΔA⋈B  ∪  A⋈ΔB  ∪  ΔA⋈ΔB
+
+    — the three delta terms each touch ONE delta side (small) against
+    one base side (or the other delta), so the stored A⋈B is never
+    recomputed.  Here A = orders split at the _MV_CUTOFF date (the
+    partition-pruning predicate of a date-partitioned fact) and
+    B = lineitem split on l_linenumber ≥ 4 — deliberately independent
+    of the join key AND of the orders split, so ALL FOUR quadrants are
+    non-empty (pytest-pinned) and a dropped or double-counted term
+    flips the hash.  The oracle is the one-shot join over the full
+    tables, so the hash match IS the incremental ≡ recompute proof.
+
+    The maintained view is aggregated per priority for a bounded,
+    hash-comparable result (exact-decimal revenue, the dsum
+    contract); any row lost or duplicated by the maintenance changes
+    n_lines/revenue.  At 100 TB each delta term is a
+    delta-sized-build shuffle_hash or broadcast join against a base
+    kept bucketed on the join key (bucketed_join_colocated's layout),
+    so daily maintenance costs O(Δ ⋈ base-probe), never O(A ⋈ B).
+    [extension] — the reference recomputes from scratch.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    cut = F.lit(_MV_CUTOFF).cast("timestamp")
+    ob = o.where(F.col("o_orderdate") < cut)
+    od = o.where(F.col("o_orderdate") >= cut)
+    lb = li.where(F.col("l_linenumber") < 4)
+    ld = li.where(F.col("l_linenumber") >= 4)
+
+    def j(a: DataFrame, b: DataFrame) -> DataFrame:
+        return a.join(b, a.o_orderkey == b.l_orderkey).select(
+            "o_orderpriority", "l_extendedprice", "l_discount"
+        )
+
+    stored = j(ob, lb)  # the pre-existing view (A ⋈ B)
+    maintained = (
+        stored.unionByName(j(od, lb))   # ΔA ⋈ B
+        .unionByName(j(ob, ld))         # A ⋈ ΔB
+        .unionByName(j(od, ld))         # ΔA ⋈ ΔB
+    )
+    return (
+        maintained.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # (table, key) pairs the skew diagnosis audits — the join/agg keys the
 # suite's skew remedies (salting, AQE splitting) would be pointed at.
 _SKEWDIAG_KEYS = [

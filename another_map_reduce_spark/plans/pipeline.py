@@ -35,15 +35,16 @@ def _hits_sql(lang: str) -> str:
     return f"len(list_filter({_TOKENS}, t -> t IN ({words})))"
 
 
-def _lang_case_sql() -> str:
-    """CASE chain identical to text_analysis.detect_language."""
+def _lang_case_sql(prefix: str = "h_") -> str:
+    """CASE chain identical to text_analysis.detect_language, over hit
+    columns named ``{prefix}{lang}``."""
     branches = []
     for idx, lang in enumerate(LANG_PRIORITY):
-        conds = [f"h_{lang} > 0"]
+        conds = [f"{prefix}{lang} > 0"]
         for other in LANG_PRIORITY[:idx]:
-            conds.append(f"h_{lang} > h_{other}")  # strictly beat earlier
+            conds.append(f"{prefix}{lang} > {prefix}{other}")  # strictly beat earlier
         for other in LANG_PRIORITY[idx + 1 :]:
-            conds.append(f"h_{lang} >= h_{other}")  # tie-beat later
+            conds.append(f"{prefix}{lang} >= {prefix}{other}")  # tie-beat later
         branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
     return "CASE " + " ".join(branches) + " ELSE 'und' END"
 
@@ -270,6 +271,133 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("lang", "pred_lang")
     )
+
+
+# Planted multilingual fixture for the Unicode tokenization face —
+# texts chosen so the ASCII/whitespace surface DEGRADES measurably
+# (stopwords glued to punctuation, CJK with no spaces) while the
+# \p{L}\p{N} tokenizer recovers them.  Shared verbatim by the Spark
+# query and its oracle's VALUES clause; single quotes are SQL-escaped.
+_UNI_FIXTURE: list[tuple[int, str]] = [
+    (1, "«Le» café… est-il fermé? Je— oui; et… la— nuit tombe déjà."),
+    (2, "Die Küche ist schön und GRÖSSER als zuvor — oder nicht?"),
+    (3, "El niño comió mañana y el perro está en casa… ¿verdad?"),
+    (4, "the naïve résumé was coöperative; few knew it was his first day"),
+    (5, "我、不。在!这里:他;是。人?这、有。12个"),
+    (6, "систем данных 42 систем"),
+]
+
+
+def _uni_hits_sql(tok_expr: str, lang: str) -> str:
+    from another_map_reduce_spark.operators.text_analysis import STOPWORDS
+
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({tok_expr}, x -> x IN ({words})))"
+
+
+def _unicode_token_stats_oracle() -> str:
+    values = ",\n    ".join(
+        f"({i}, '{t.replace(chr(39), chr(39) * 2)}')" for i, t in _UNI_FIXTURE
+    )
+    uni_hits = ",\n         ".join(
+        f"{_uni_hits_sql('ut', lang)} AS u_{lang}" for lang in LANG_PRIORITY
+    )
+    ws_hits = ",\n         ".join(
+        f"{_uni_hits_sql('wt', lang)} AS w_{lang}" for lang in LANG_PRIORITY
+    )
+    return f"""
+WITH t(doc_id, text) AS (VALUES
+    {values}
+), tok AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text),
+             '[^\\p{{L}}\\p{{N}}]+'), x -> x <> '') AS ut,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+             x -> x <> '') AS wt
+  FROM t
+), hits AS (
+  SELECT doc_id, text, ut,
+         {uni_hits},
+         {ws_hits}
+  FROM tok
+)
+SELECT doc_id,
+       {_lang_case_sql('u_')} AS lang_uni,
+       {_lang_case_sql('w_')} AS lang_ws,
+       CAST(len(ut) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(ut)) AS BIGINT) AS n_unique,
+       CAST(length(regexp_replace(text, '[^\\p{{L}}]', '', 'g'))
+           AS BIGINT) AS alpha_chars,
+       CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g'))
+           AS BIGINT) AS punct_chars
+FROM hits ORDER BY doc_id
+"""
+
+
+@register("unicode_token_stats", oracle=_unicode_token_stats_oracle())
+def unicode_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-robust tokenization face (r10) — the locale-aware twin
+    of the ASCII text surface, oracle-proven bit-identical across
+    engines: tokens split on Unicode \\p{{L}}\\p{{N}} classes (Java
+    regex and DuckDB's RE2 agree, verified on this fixture), Unicode
+    lowercasing, letter/punct counts by Unicode category, and lang-ID
+    voting over the unicode tokens (detect_language's opt-in
+    ``unicode_mode`` — operators/text_analysis.py).
+
+    The planted fixture shows exactly the degradation the r9 verdict
+    flagged: French stopwords glued to guillemets/dashes and CJK with
+    ideographic punctuation read 'und' under whitespace tokens
+    (lang_ws) but identify correctly under unicode tokens (lang_uni);
+    é/ü/我 count as letters in alpha_chars instead of as punctuation.
+    The fixture is a deterministic VALUES literal on both sides — the
+    tokenizer semantics ARE the thing under test, so the corpus
+    (ASCII by construction) can't exercise them.  [extension].
+    """
+    from another_map_reduce_spark.operators.text_analysis import (
+        lang_case_from_hits,
+        unicode_alpha_char_count,
+        unicode_punct_char_count,
+        unicode_tokens,
+    )
+
+    df = spark.createDataFrame(_UNI_FIXTURE, "doc_id long, text string")
+    ws = F.array_remove(F.split(F.lower(F.col("text")), r"\s+"), "")
+
+    def _hits(toks: F.Column, lang: str) -> F.Column:
+        words = STOPWORDS[lang]
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    # hit columns materialised behind the projection (the
+    # lang_id_confusion discipline — no 25× re-tokenization)
+    hit_cols = df.select(
+        "doc_id",
+        "text",
+        unicode_tokens(F.col("text")).alias("ut"),
+        *[
+            _hits(unicode_tokens(F.col("text")), lang).alias(f"u_{lang}")
+            for lang in LANG_PRIORITY
+        ],
+        *[_hits(ws, lang).alias(f"w_{lang}") for lang in LANG_PRIORITY],
+    )
+    lang_uni = lang_case_from_hits(
+        {lang: F.col(f"u_{lang}") for lang in LANG_PRIORITY}
+    )
+    lang_ws = lang_case_from_hits(
+        {lang: F.col(f"w_{lang}") for lang in LANG_PRIORITY}
+    )
+    return hit_cols.select(
+        "doc_id",
+        lang_uni.alias("lang_uni"),
+        lang_ws.alias("lang_ws"),
+        F.size("ut").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("ut")).cast("long").alias("n_unique"),
+        unicode_alpha_char_count(F.col("text"))
+        .cast("long")
+        .alias("alpha_chars"),
+        unicode_punct_char_count(F.col("text"))
+        .cast("long")
+        .alias("punct_chars"),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -3370,6 +3498,14 @@ def multimodal_phash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-checked face (pairs are pinned on planted near-identical
     blobs in tests/test_multimodal.py, including brute-force parity).
 
+    r10: the hash stage runs the full production ladder
+    (multimodal.image_phash64) — payloads that sniff as real images
+    get a DECODED-luminance aHash (PIL rung), making the dedup
+    CROSS-FORMAT (a planted same-image PNG/JPEG pair lands at
+    hamming ≤ 3, pytest-pinned); this corpus's utf-8 payloads fail
+    the magic sniff and take the raw-byte path on every engine, so
+    the oracle stays exact while the checked row exercises the ladder.
+
     Scale shape: blobs never leave the decode stage (only 8-byte
     hashes shuffle); candidates come from 4 equi-joins on the chunk
     index instead of all-pairs — the dedup.simhash_pairs plan over
@@ -3536,6 +3672,7 @@ def _bpe_batched_oracle(
     rounds: int = _BPE_BATCH_ROUNDS,
     cap: int = _BPE_BATCH_CAP,
     pool: int = _BPE_BATCH_POOL,
+    minted: bool = False,
 ) -> str:
     """Batched-BPE oracle: per round, the top-``pool`` ranked pairs
     form the candidate pool and ``cap`` chained LIMIT-1 selections
@@ -3545,7 +3682,16 @@ def _bpe_batched_oracle(
     the pool boundary is deterministic); the ``cap`` merge
     applications per round reuse the sequential oracle's list_reduce
     fold with '' sentinel pads (an empty selection applies a no-op
-    and emits no row, matching the Spark side skipping it)."""
+    and emits no row, matching the Spark side skipping it).
+
+    ``minted=True`` additionally excludes candidates whose symbol
+    equals an earlier selection's concatenation a||b — the FULL
+    symbol-disjointness rule the incremental trainer requires (its
+    affected-word predicate is only exact when batch members cannot
+    interact).  CRITICALLY, this oracle RECOUNTS the pair frame from
+    scratch every round, while the Spark side ranks from its
+    incrementally-MAINTAINED counts — so the hash match is the proof
+    that maintained ≡ recount."""
     parts = [
         r"""
 WITH words AS (
@@ -3586,6 +3732,8 @@ WITH words AS (
 )"""
             )
             used.extend([f"(SELECT a FROM bw{r}_{k})", f"(SELECT b FROM bw{r}_{k})"])
+            if minted:
+                used.append(f"(SELECT a || b FROM bw{r}_{k})")
         prev_v = prev
         for k in range(1, cap + 1):
             parts.append(
@@ -3681,6 +3829,102 @@ def bpe_train_batched_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("cnt") * F.size(F.split("seq", " ")))
             ).collect()[0][0]
             or 0
+        )
+        for pos, (a, b, c) in enumerate(chosen, start=1):
+            out_rows.append((rnd, pos, a, b, c, tokens_after))
+    return spark.createDataFrame(
+        out_rows,
+        "round long, pos long, sym_a string, sym_b string, "
+        "pair_count long, tokens_after long",
+    ).orderBy("round", "pos")
+
+
+@register(
+    "bpe_train_incremental_rounds",
+    oracle=_bpe_batched_oracle(minted=True),
+)
+def bpe_train_incremental_rounds(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batched BPE with INCREMENTALLY MAINTAINED pair counts (r10) —
+    the production form for real 30k-merge vocabularies: the per-round
+    full-vocab pair recount (one explode+shuffle whose cost never
+    shrinks) is replaced by exact maintenance of the (a, b, c) frame
+    from only the words the round's merges actually touch
+    (`operators.bpe.bpe_train_batched_incremental`'s update rule:
+    counts − pairs(affected, before) + pairs(affected, after), with
+    the affected set an exact substring predicate under full
+    symbol-disjointness — including the minted a+b symbol).  The
+    corpus token total falls out of the maintained counts through the
+    Σ cnt·len = Σ c + Σ cnt identity, removing the full-frame token
+    aggregation too.
+
+    The ORACLE recounts the pair frame from scratch every round and
+    replays the same pool-bounded greedy selection (with the minted-
+    symbol exclusion), so the hash match proves maintained ≡ recount
+    — the strongest possible pin on the incremental update rule.
+    Output: one row per applied merge (round, pos, pair, count) plus
+    the round's post-merge token total, as bpe_train_batched_rounds.
+    [extension]
+    """
+    from another_map_reduce_spark.operators.bpe import (
+        bpe_init_vocab,
+        bpe_pair_counts,
+        merge_fold,
+        pair_adjacency_pred,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    v = bpe_init_vocab(docs).localCheckpoint(eager=True)
+    w_total = int(v.agg(F.sum("cnt")).collect()[0][0] or 0)
+    counts = bpe_pair_counts(v).localCheckpoint(eager=True)
+    out_rows = []
+    for rnd in range(1, _BPE_BATCH_ROUNDS + 1):
+        top = (
+            counts.orderBy(F.col("c").desc(), "a", "b")
+            .limit(_BPE_BATCH_POOL)
+            .collect()
+        )
+        chosen: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for r in top:
+            if len(chosen) >= _BPE_BATCH_CAP:
+                break
+            if r.a in used or r.b in used:
+                continue
+            chosen.append((r.a, r.b, int(r.c)))
+            used.update((r.a, r.b, r.a + r.b))
+        pred = pair_adjacency_pred(F.col("seq"), chosen)
+        affected = v.where(pred)
+        old_pairs = bpe_pair_counts(affected).select(
+            "a", "b", (-F.col("c")).alias("c")
+        )
+        expr = F.col("seq")
+        new_affected = affected
+        for j, (a, b, _c) in enumerate(chosen):
+            expr = merge_fold(expr, a, b)
+            if (j + 1) % 4 == 0 or j + 1 == len(chosen):
+                new_affected = new_affected.withColumn("seq", expr)
+                expr = F.col("seq")
+        new_affected = new_affected.localCheckpoint(eager=True)
+        # lazy checkpoints: the token-total aggregate materialises the
+        # counts blocks in the same job; next round's first use
+        # materialises v (the operator's job-count discipline)
+        counts = (
+            counts.unionByName(old_pairs)
+            .unionByName(bpe_pair_counts(new_affected))
+            .groupBy("a", "b")
+            .agg(F.sum("c").alias("c"))
+            .where(F.col("c") != 0)
+            .localCheckpoint(eager=False)
+        )
+        v = (
+            v.where(~pred)
+            .unionByName(new_affected)
+            .localCheckpoint(eager=False)
+        )
+        tokens_after = (
+            int(counts.agg(F.sum("c")).collect()[0][0] or 0) + w_total
         )
         for pos, (a, b, c) in enumerate(chosen, start=1):
             out_rows.append((rnd, pos, a, b, c, tokens_after))

@@ -1112,3 +1112,32 @@ def test_label_propagation_pair_two_cycle_prefix(spark):
         r.node: r.label for r in label_propagation(edges, iters=3).collect()
     }
     assert odd == {100: 101, 101: 100}
+
+
+def test_delta_join_quadrants_all_nonempty(spark, sf_dir):
+    """Sharp case for incremental_join_maintenance: the fixture splits
+    must put rows in ALL FOUR delta-join quadrants (base⋈base, Δ⋈base,
+    base⋈Δ, Δ⋈Δ), and the quadrants must partition the one-shot join
+    exactly (counts sum)."""
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber"
+    )
+    cut = F.lit("1997-06-01").cast("timestamp")
+    ob = o.where(F.col("o_orderdate") < cut)
+    od = o.where(F.col("o_orderdate") >= cut)
+    lb = li.where(F.col("l_linenumber") < 4)
+    ld = li.where(F.col("l_linenumber") >= 4)
+    quads = [
+        a.join(b, a.o_orderkey == b.l_orderkey).count()
+        for a in (ob, od)
+        for b in (lb, ld)
+    ]
+    assert all(q > 0 for q in quads), quads
+    assert sum(quads) == o.join(
+        li, o.o_orderkey == li.l_orderkey
+    ).count()

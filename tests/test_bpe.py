@@ -243,3 +243,50 @@ def test_bpe_batched_close_to_sequential_on_corpus(spark, sf_dir):
         seq_tokens,
         bat_tokens,
     )
+
+
+def test_incremental_equals_batched(spark, sf_dir):
+    """bpe_train_batched_incremental must reproduce bpe_train_batched
+    EXACTLY (rounds, merges, counts, token totals) on the real corpus
+    — the maintained pair-count frame is a drop-in for the per-round
+    recount."""
+    from another_map_reduce_spark.operators.bpe import (
+        bpe_init_vocab,
+        bpe_train_batched,
+        bpe_train_batched_incremental,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v = bpe_init_vocab(docs)
+    want, vw = bpe_train_batched(v, n_merges=12, batch_cap=4)
+    got, vg = bpe_train_batched_incremental(v, n_merges=12, batch_cap=4)
+    assert got == want
+    assert sorted(map(tuple, vg.collect())) == sorted(map(tuple, vw.collect()))
+
+
+def test_incremental_counts_match_recount_with_prior_symbol(spark):
+    """Crafted corpus where a minted symbol collides with a prior-round
+    symbol ('ab' exists before (a,b) is merged): the maintained counts
+    must still equal a from-scratch recount after every round."""
+    from another_map_reduce_spark.operators.bpe import (
+        bpe_init_vocab,
+        bpe_pair_counts,
+        bpe_train_batched,
+        bpe_train_batched_incremental,
+    )
+
+    docs = spark.createDataFrame(
+        [("abab abab ab a b c abc cab bac abcabc ba",)] * 3
+        + [("aabb ccaa bbcc abca cabc",)] * 2,
+        "text string",
+    )
+    v = bpe_init_vocab(docs)
+    got, vg = bpe_train_batched_incremental(v, n_merges=6, batch_cap=3)
+    want, vw = bpe_train_batched(v, n_merges=6, batch_cap=3)
+    assert got == want
+    recount = {
+        (r.a, r.b): r.c for r in bpe_pair_counts(vg).collect()
+    }
+    # the final vocab frames agree, so a recount over either equals the
+    # maintained state the incremental trainer ended on
+    assert recount == {(r.a, r.b): r.c for r in bpe_pair_counts(vw).collect()}

@@ -499,3 +499,134 @@ def test_ahash64_bigint_fallback_matches_numpy_path(monkeypatch):
     assert fast == slow
     for b, h in zip(blobs, fast):
         assert h == _ref_ahash(b)
+
+
+# ---------------------------------------------------------------------------
+# r10: JPEG header rung + decoded-pixel (cross-encoding) media dedup
+# ---------------------------------------------------------------------------
+
+
+def _encode_jpeg_headers(width, height, progressive=False):
+    """Minimal structurally-valid JPEG prefix: SOI, an APP0, a DQT,
+    then a SOF frame header carrying the dimensions (entropy data is
+    irrelevant to the header walk — truncated after SOF)."""
+    import struct
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes(
+        [3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, bytes(65))
+        + seg(0xC2 if progressive else 0xC0, sof)
+    )
+
+
+def test_jpeg_header_rung_dimensions():
+    from another_map_reduce_spark.operators import multimodal as mm
+
+    assert mm.decode_jpeg_headers(_encode_jpeg_headers(640, 480)) == (640, 480)
+    assert mm.decode_jpeg_headers(
+        _encode_jpeg_headers(31, 7, progressive=True)
+    ) == (31, 7)
+    # decode_image falls through PIL(absent)/PNG(not PNG) to the rung
+    assert mm.decode_image(_encode_jpeg_headers(640, 480)) == (640, 480)
+    # malformed: not JPEG, truncated length, zero dims, DHT-only
+    assert mm.decode_jpeg_headers(b"\x89PNG\r\n\x1a\nxxxx") is None
+    assert mm.decode_jpeg_headers(b"\xff\xd8\xff\xe0\xff\xff") is None
+    assert mm.decode_jpeg_headers(_encode_jpeg_headers(0, 7)) is None
+    import struct
+
+    dht_only = b"\xff\xd8" + bytes([0xFF, 0xC4]) + struct.pack(">H", 5) + bytes(3)
+    assert mm.decode_jpeg_headers(dht_only) is None
+
+
+def test_png_luma_hash_is_encoding_invariant():
+    """Two byte-disjoint PNG encodings of the SAME pixels (filter-0
+    rows vs per-row Sub/Up/Avg/Paeth filters — completely different
+    IDAT streams) produce the IDENTICAL decoded-luminance hash, while
+    the raw-byte ahash64 of the same payloads differs — the point of
+    hashing pixels, not bytes."""
+    from another_map_reduce_spark.operators import multimodal as mm
+
+    a = _encode_png(32, 24, channels=3, filters=[0] * 24)
+    b = _encode_png(32, 24, channels=3, filters=([1, 2, 3, 4] * 6))
+    assert bytes(a) != bytes(b)
+    ha, hb = mm.png_luma_hash64(a), mm.png_luma_hash64(b)
+    assert ha is not None and ha == hb
+    assert mm.ahash64(a) != mm.ahash64(b)
+    # ladder routes PNG payloads to the pixel hash
+    assert mm.image_phash64(a) == ha == mm.image_phash64(b)
+    # grey image exercises the ×1000 luma scaling branch
+    g = _encode_png(16, 16, channels=1)
+    assert mm.png_luma_hash64(g) is not None
+
+
+def test_cross_encoding_pair_caught_by_phash_pairs(spark):
+    """End-to-end cross-encoding media dedup on the Spark path: the
+    planted same-pixels PNG pair (byte-disjoint encodings) is caught
+    at hamming 0 by the pigeonhole join over image_phash64 hashes,
+    among decoy blobs that match nothing."""
+    from pyspark.sql import functions as F
+
+    from another_map_reduce_spark.operators import multimodal as mm
+    from another_map_reduce_spark.operators.multimodal import (
+        perceptual_hash_frame,
+        phash_pairs,
+    )
+
+    rows = [
+        (1, bytearray(_encode_png(32, 24, filters=[0] * 24))),
+        (2, bytearray(_encode_png(32, 24, filters=[1, 2, 3, 4] * 6))),
+        (3, bytearray(_encode_png(32, 24, channels=4))),  # different pixels
+        (4, bytearray(b"opaque non-image payload, hashed raw " * 40)),
+        (5, bytearray(b"another unrelated decoy payload " * 53)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashed = perceptual_hash_frame(df).localCheckpoint(eager=True)
+    pairs = {
+        (r.d1, r.d2): r.hamming for r in phash_pairs(hashed, 3).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    # the non-image decoys collide with nothing
+    assert all({4, 5}.isdisjoint(p) for p in pairs)
+    # brute-force parity: blocked pairs == all-pairs at the same radius
+    hs = {r.doc: r.sh for r in hashed.collect()}
+    brute = {
+        (i, j): bin(hs[i] ^ hs[j]).count("1")
+        for i in hs
+        for j in hs
+        if i < j and bin(hs[i] ^ hs[j]).count("1") <= 3
+    }
+    assert pairs == brute
+
+
+def test_cross_format_png_jpeg_pair_with_pil():
+    """Cross-FORMAT dedup (PNG vs JPEG of one picture) needs a pixel
+    decoder for both formats — the PIL rung.  Skipped where PIL is
+    absent (this container); the pure-PNG cross-encoding test above
+    covers the no-library rung."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from another_map_reduce_spark.operators import multimodal as mm
+
+    im = Image.new("RGB", (64, 48))
+    im.putdata(
+        [((x * 7) % 256, (y * 13) % 256, ((x + y) * 29) % 256)
+         for y in range(48) for x in range(64)]
+    )
+    png_buf, jpg_buf = io.BytesIO(), io.BytesIO()
+    im.save(png_buf, format="PNG")
+    im.save(jpg_buf, format="JPEG", quality=92)
+    hp = mm.image_phash64(png_buf.getvalue())
+    hj = mm.image_phash64(jpg_buf.getvalue())
+    assert bin(hp ^ hj).count("1") <= 3

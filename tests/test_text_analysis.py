@@ -216,3 +216,70 @@ def test_bm25_matches_pure_python_reimplementation(spark, sf_dir):
         scores[d] = round(float(total), 6)
     want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert got == want
+
+
+def test_unicode_tokens_vs_whitespace(spark):
+    """The \\p{L}\\p{N} face recovers stopwords glued to punctuation
+    and CJK with ideographic punctuation; diacritics stay inside
+    tokens; digits survive."""
+    from pyspark.sql import functions as F
+
+    from another_map_reduce_spark.operators.text_analysis import (
+        detect_language,
+        unicode_alpha_char_count,
+        unicode_punct_char_count,
+        unicode_tokens,
+    )
+
+    rows = [
+        (1, "«Le» café… est-il fermé? Je— oui; et… la— nuit tombe déjà."),
+        (2, "我、不。在!这里:他;是。人?这、有。12个"),
+        (3, "the naïve résumé was coöperative"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.uni, r.ws, r.toks, r.alpha, r.punct)
+        for r in df.select(
+            "doc_id",
+            detect_language(F.col("text"), unicode_mode=True).alias("uni"),
+            detect_language(F.col("text")).alias("ws"),
+            unicode_tokens(F.col("text")).alias("toks"),
+            unicode_alpha_char_count(F.col("text")).alias("alpha"),
+            unicode_punct_char_count(F.col("text")).alias("punct"),
+        ).collect()
+    }
+    # the ASCII face reads 'und' on both degraded docs; unicode recovers
+    assert got[1][0] == "fr" and got[1][1] == "und"
+    assert got[2][0] == "zh" and got[2][1] == "und"
+    assert "naïve" in got[3][2] and "résumé" in got[3][2]
+    assert got[3][3] == len("thenaïverésuméwascoöperative")
+    assert got[3][4] == 0  # no punctuation in doc 3
+    assert got[2][3] == 11  # 11 CJK letters (digits excluded)
+
+
+def test_quality_score_unicode_repairs_diacritic_penalty(spark):
+    """A French sentence full of diacritics scores HIGHER under the
+    unicode gate than the ASCII gate (which counts é as punctuation),
+    while pure-ASCII text scores identically under both."""
+    from pyspark.sql import functions as F
+
+    from another_map_reduce_spark.operators.text_analysis import (
+        quality_score,
+        quality_score_unicode,
+    )
+
+    rows = [
+        (1, "le café était déjà fermé hélas où est la nuit étoilée"),
+        (2, "the plain ascii sentence with no accents at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.q_ascii, r.q_uni)
+        for r in df.select(
+            "doc_id",
+            quality_score(F.col("text")).alias("q_ascii"),
+            quality_score_unicode(F.col("text")).alias("q_uni"),
+        ).collect()
+    }
+    assert got[1][1] > got[1][0]  # diacritic text repaired
+    assert abs(got[2][1] - got[2][0]) < 1e-12  # ASCII unchanged
