@@ -54,72 +54,24 @@ def _load() -> None:
 # All parked queries remain proven each round by the sf0.001
 # differential suite and the driver-faithful local gate at sf0.01.
 #
-# Round 9 rotation (same rolling policy as r4..r8): after r8 the
-# row-age census is exactly 50×r8, 50×r7, 50×r6, plus the 34 r8
-# additions that overflowed the r8 window (no driver row at all yet —
-# the r8 VERDICT's top next-round item).  This round's window:
-# (1) the r9 additions (no row possible), (2) the 34 never-checked
-# r8 additions in their r8 _ORDER_NEXT order, (3) the head of the r6
-# cohort — the oldest rows — in its r6 driver-check order, filling
-# the window to exactly 50.
+# Round 10 rotation (same rolling policy as r4..r9): after r9 the
+# row-age census is 50×r9, 50×r8, 50×r7, 40×r6 (the r6 cohort's
+# remainder + the whole r7 cohort were pre-staged in r9's
+# _ORDER_NEXT) plus the 6 r10 additions with no row at all.  This
+# round's window: (1) the r10 additions, (2) the 40 staged
+# oldest-row queries in their staged order, (3) the head of the r7
+# cohort (next-oldest) in its r7 driver-check order — exactly 50.
 _ORDER_FRONT = [
-    # round-9 additions (never had a driver row):
-    "stream_session_close_tws",
-    "ann_ivf_pq_topk",
-    "graph_sssp_weighted",
-    "graph_kcore_peel",
-    "dedup_lsh_compact",
-    "bpe_train_batched_rounds",
-    # the 34 r8 additions that have never had a driver row:
-    "ann_ivf_append",
-    "dedup_lsh_append",
-    "pipeline_ingest_replay",
-    "dedup_containment_incremental",
-    "hybrid_retrieval_rrf",
-    "dedup_simhash_incremental",
-    "dedup_prefix_filter",
-    "kmv_theta_sketch_ops",
-    "bpe_train_merges",
-    "multimodal_phash_index",
-    "embedding_rp_distortion",
-    "constraint_audit",
-    "bpe_encode_report",
-    "snapshot_diff_orders",
-    "incremental_agg_retraction",
-    "timeseries_anomaly_zscore",
-    "class_balanced_sample",
-    "rp_ann_recall",
-    "event_path_regex",
-    "stream_late_data_accounting",
-    "ann_ivf_rp_topk",
-    "skew_diagnosis_report",
-    "stream_session_windows",
-    "market_basket_pairs",
-    "graph_bfs_hops",
-    "dpp_partitioned_join",
-    "bucketed_join_colocated",
-    "scd2_dimension_lookup",
-    "cogroup_asof_pandas",
-    "stream_join_outer_nulls",
-    "pps_systematic_sample",
-    "sql_udf_price_bands",
-    "embedding_dim_correlation",
-    "arrow_group_stats",
-    # r6-cohort head (the oldest rows), r6 driver-check order — fills
-    # the 50-row window:
-    "quantile_cutpoint_buckets",
-    "bm25_retrieval",
-    "scd2_order_history",
-    "incremental_agg_maintenance",
-    "fuzzy_lev1_neighbors",
-    "unpivot_metrics",
-    "dup_substring_removal",
-    "pysource_stream_wordcount",
-    "hll_sketch_rollup",
-    "bloom_join_pruned_revenue",
+    # round-10 additions (never had a driver row):
+    "dedup_lsh_delete",
+    "ann_ivf_delete",
+    "graph_label_propagation",
+    "incremental_join_maintenance",
+    "bpe_train_incremental_rounds",
+    "unicode_token_stats",
 ]
-# The rest of the r6 cohort (next-oldest, r6 order) fronts the r10
-# window; then the r7 cohort.
+# The 40 oldest-row queries staged by the r9 rotation (r6-cohort
+# remainder + r7 cohort) — positions 7-46 of the r10 window.
 _ORDER_NEXT_R9 = [
     "skew_join_aqe",
     "pysource_stream_sink_roundtrip",
@@ -161,6 +113,64 @@ _ORDER_NEXT_R9 = [
     "cdc_upsert_balances",
     "udaf_median_doclen",
     "lm_novelty_score",
+]
+# r7-cohort head (next-oldest rows after the staged 40), r7
+# driver-check order — fills the r10 window to exactly 50 (6+40+4).
+_ORDER_R7_HEAD = [
+    "ann_ivf_incremental",
+    "dedup_containment",
+    "histogram_quantile_rollup",
+    "mr_wordcount",
+]
+# The rest of the r7 cohort (r7 order) fronts the r11 window; then
+# the r8 cohort.
+_ORDER_NEXT_R10 = [
+    "pandas_wordcount",
+    "pack_sequences_report",
+    "stream_join_purchase_view",
+    "pysource_wordcount",
+    "wordcount",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "window_topk_per_group",
+    "window_running_sum",
+    "window_lag_lead",
+    "topk_global",
+    "distinct_pairs",
+    "set_intersect",
+    "set_except",
+    "set_union_all",
+    "scalar_string_date_math",
+    "scalar_case_bucket",
+    "json_extract_agg",
+    "events_hourly",
+    "subquery_above_avg",
+    "asof_last_purchase",
+    "range_views_before_purchase",
+    "session_windows_batch",
+    "pivot_lang_source",
+    "grouping_sets",
+    "percentiles_by_priority",
+    "q3_shipping_priority",
+    "window_rank_family",
+    "array_functions",
+    "json_struct_parse",
+    "q10_returned_items",
+    "string_match_funcs",
+    "null_handling",
+    "cross_join_regions",
+    "text_token_stats",
+    "text_quality_by_lang",
+    "lang_id_confusion",
+    "dedup_exact_stats",
+    "dedup_fingerprint_stats",
+    "dedup_ngram_jaccard",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q19_disjunctive_predicates",
+    "q1_pricing_summary",
+    "stream_dedup_counts",
 ]
 _ORDER_R8_WINDOW = [
     "pipeline_ingest_delta",
@@ -221,7 +231,8 @@ _ORDER_TAIL: list[str] = []
 def _reorder() -> None:
     front = [
         n
-        for n in _ORDER_FRONT + _ORDER_NEXT_R9
+        for n in _ORDER_FRONT + _ORDER_NEXT_R9 + _ORDER_R7_HEAD
+        + _ORDER_NEXT_R10
         if n in QUERIES
     ]
     late = _ORDER_HEAVY + _ORDER_TAIL + [

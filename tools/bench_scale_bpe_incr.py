@@ -93,6 +93,13 @@ def main() -> None:
             v, n_merges=32, cap=8
         )
         print(f"vocab={n_words}: {series[f'vocab{n_words}']}", file=sys.stderr)
+    # the production regime: a LONG run where later rounds' merges are
+    # rare (small affected sets) — the incremental win compounds there
+    v = synth_vocab(spark, 160_000).localCheckpoint(eager=True)
+    series["vocab160000_long256"] = {"n_words": 160_000} | run_pair(
+        v, n_merges=256, cap=32
+    )
+    print(f"long256: {series['vocab160000_long256']}", file=sys.stderr)
     # the testdata fixture for context (31 word types — constants win)
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     v = bpe_init_vocab(docs).localCheckpoint(eager=True)
