@@ -357,10 +357,15 @@ def bpe_train_batched_incremental(
         )
         # unaffected words pass through untouched — no fold, no
         # shuffle; lazily checkpointed (next round's first use
-        # materialises the blocks)
+        # materialises the blocks).  coalesce caps the union's
+        # partition count (unaffected P + affected P would otherwise
+        # DOUBLE per round — 2^rounds tasks by round 10, measured);
+        # narrow, so still no shuffle.
+        par = v.sparkSession.sparkContext.defaultParallelism
         v = (
             v.where(~pred)
             .unionByName(new_affected)
+            .coalesce(par)
             .localCheckpoint(eager=False)
         )
         tokens_after = (

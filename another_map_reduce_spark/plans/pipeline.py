@@ -3918,9 +3918,12 @@ def bpe_train_incremental_rounds(
             .where(F.col("c") != 0)
             .localCheckpoint(eager=False)
         )
+        # coalesce caps the union's partition count (would double
+        # per round otherwise — the operator's discipline); narrow.
         v = (
             v.where(~pred)
             .unionByName(new_affected)
+            .coalesce(spark.sparkContext.defaultParallelism)
             .localCheckpoint(eager=False)
         )
         tokens_after = (
