@@ -73,13 +73,23 @@ def punct_char_count(text: Column) -> Column:
 UNICODE_TOKEN_SPLIT = r"[^\p{L}\p{N}]+"
 
 
-def unicode_tokens(text: Column) -> Column:
+def unicode_tokens(text: Column, split_cjk: bool = False) -> Column:
     """Lowercased tokens split on any run of non-letter/non-digit
     (Unicode classes, not ASCII ranges): diacritics stay inside
     tokens, CJK codepoints are letters, digits survive.  DuckDB twin:
     ``list_filter(string_split_regex(lower(text),
-    '[^\\p{L}\\p{N}]+'), x -> x <> '')``."""
-    return F.array_remove(F.split(F.lower(text), UNICODE_TOKEN_SPLIT), "")
+    '[^\\p{L}\\p{N}]+'), x -> x <> '')``.
+
+    ``split_cjk=True`` first isolates every Han character as its own
+    token (``\\p{IsHan}`` → padded; DuckDB twin ``\\p{Han}``, verified
+    bit-identical) — unsegmented Chinese has no whitespace, so without
+    this a whole sentence is ONE token and the single-character zh
+    stopwords can never match; with it, char-level voting works (the
+    standard char-unigram fallback for unsegmented scripts)."""
+    t = text
+    if split_cjk:
+        t = F.regexp_replace(t, r"(\p{IsHan})", " $1 ")
+    return F.array_remove(F.split(F.lower(t), UNICODE_TOKEN_SPLIT), "")
 
 
 def unicode_token_count(text: Column) -> Column:
@@ -100,15 +110,25 @@ def unicode_punct_char_count(text: Column) -> Column:
     return F.length(F.regexp_replace(text, r"[\p{L}\p{N}\s]", ""))
 
 
-def stopword_hits(text: Column, lang: str, unicode_mode: bool = False) -> Column:
+def stopword_hits(
+    text: Column,
+    lang: str,
+    unicode_mode: bool = False,
+    split_cjk: bool = False,
+) -> Column:
     """Number of tokens that are stopwords of ``lang``.
 
     ``unicode_mode=True`` tokenizes with :func:`unicode_tokens`
     instead of whitespace splitting — the opt-in that lets lang-ID see
     stopwords adjacent to punctuation («le» or est-il) and scores
-    diacritic text correctly."""
+    diacritic text correctly; ``split_cjk=True`` additionally enables
+    char-level voting on unsegmented CJK."""
     words = STOPWORDS[lang]
-    toks = unicode_tokens(text) if unicode_mode else _ws_tokens(text)
+    toks = (
+        unicode_tokens(text, split_cjk=split_cjk)
+        if unicode_mode
+        else _ws_tokens(text)
+    )
     return F.size(
         F.filter(
             toks,
@@ -138,7 +158,9 @@ def lang_case_from_hits(hits: dict[str, Column]) -> Column:
     return expr
 
 
-def detect_language(text: Column, unicode_mode: bool = False) -> Column:
+def detect_language(
+    text: Column, unicode_mode: bool = False, split_cjk: bool = False
+) -> Column:
     """Heuristic language ID: argmax stopword hits, 'und' when zero.
 
     Ties break by LANG_PRIORITY order.  A classic n-gram model would
@@ -156,7 +178,9 @@ def detect_language(text: Column, unicode_mode: bool = False) -> Column:
     """
     return lang_case_from_hits(
         {
-            lang: stopword_hits(text, lang, unicode_mode=unicode_mode)
+            lang: stopword_hits(
+                text, lang, unicode_mode=unicode_mode, split_cjk=split_cjk
+            )
             for lang in LANG_PRIORITY
         }
     )

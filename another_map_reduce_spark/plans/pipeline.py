@@ -285,6 +285,9 @@ _UNI_FIXTURE: list[tuple[int, str]] = [
     (4, "the naïve résumé was coöperative; few knew it was his first day"),
     (5, "我、不。在!这里:他;是。人?这、有。12个"),
     (6, "систем данных 42 систем"),
+    # UNSEGMENTED Chinese — no whitespace, no punctuation between
+    # words: only the split_cjk char-level face can vote stopwords
+    (7, "我不在这里他是人这有这是我的中文句子"),
 ]
 
 
@@ -310,7 +313,8 @@ WITH t(doc_id, text) AS (VALUES
     {values}
 ), tok AS (
   SELECT doc_id, text,
-         list_filter(string_split_regex(lower(text),
+         list_filter(string_split_regex(lower(
+             regexp_replace(text, '(\\p{{Han}})', ' \\1 ', 'g')),
              '[^\\p{{L}}\\p{{N}}]+'), x -> x <> '') AS ut,
          list_filter(string_split_regex(lower(text), '\\s+'),
              x -> x <> '') AS wt
@@ -345,10 +349,13 @@ def unicode_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``unicode_mode`` — operators/text_analysis.py).
 
     The planted fixture shows exactly the degradation the r9 verdict
-    flagged: French stopwords glued to guillemets/dashes and CJK with
-    ideographic punctuation read 'und' under whitespace tokens
-    (lang_ws) but identify correctly under unicode tokens (lang_uni);
-    é/ü/我 count as letters in alpha_chars instead of as punctuation.
+    flagged: French stopwords glued to guillemets/dashes, CJK with
+    ideographic punctuation, and fully UNSEGMENTED Chinese (doc 7 — no
+    whitespace at all, one ws-token) read 'und' under whitespace
+    tokens (lang_ws) but identify correctly under unicode tokens with
+    split_cjk char-level voting (lang_uni — \p{{IsHan}} ≡ RE2
+    \p{{Han}}, verified bit-identical); é/ü/我 count as letters in
+    alpha_chars instead of as punctuation.
     The fixture is a deterministic VALUES literal on both sides — the
     tokenizer semantics ARE the thing under test, so the corpus
     (ASCII by construction) can't exercise them.  [extension].
@@ -372,9 +379,11 @@ def unicode_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit_cols = df.select(
         "doc_id",
         "text",
-        unicode_tokens(F.col("text")).alias("ut"),
+        unicode_tokens(F.col("text"), split_cjk=True).alias("ut"),
         *[
-            _hits(unicode_tokens(F.col("text")), lang).alias(f"u_{lang}")
+            _hits(
+                unicode_tokens(F.col("text"), split_cjk=True), lang
+            ).alias(f"u_{lang}")
             for lang in LANG_PRIORITY
         ],
         *[_hits(ws, lang).alias(f"w_{lang}") for lang in LANG_PRIORITY],

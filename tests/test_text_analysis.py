@@ -283,3 +283,38 @@ def test_quality_score_unicode_repairs_diacritic_penalty(spark):
     }
     assert got[1][1] > got[1][0]  # diacritic text repaired
     assert abs(got[2][1] - got[2][0]) < 1e-12  # ASCII unchanged
+
+
+def test_split_cjk_char_voting_on_unsegmented_chinese(spark):
+    """Unsegmented Chinese (no whitespace, no punctuation) is one
+    token under every other tokenizer — only split_cjk char-level
+    voting identifies it; non-Han text is unaffected by the flag."""
+    from pyspark.sql import functions as F
+
+    from another_map_reduce_spark.operators.text_analysis import (
+        detect_language,
+        unicode_tokens,
+    )
+
+    rows = [
+        (1, "我不在这里他是人这有这是我的中文句子"),
+        (2, "the plain english sentence is unaffected"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.split, r.nosplit, r.n_toks)
+        for r in df.select(
+            "doc_id",
+            detect_language(
+                F.col("text"), unicode_mode=True, split_cjk=True
+            ).alias("split"),
+            detect_language(F.col("text"), unicode_mode=True).alias(
+                "nosplit"
+            ),
+            F.size(unicode_tokens(F.col("text"), split_cjk=True)).alias(
+                "n_toks"
+            ),
+        ).collect()
+    }
+    assert got[1] == ("zh", "und", 18)  # 18 Han chars, char-per-token
+    assert got[2][0] == got[2][1] == "en"
