@@ -726,6 +726,96 @@ def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# base/delta split point shared by the MV-maintenance family below and
+# the schema-evolution generations (arbitrary mid-range date)
+_MV_CUTOFF = "1997-06-01"
+
+
+@register(
+    "schema_evolution_merge",
+    oracle=f"""
+SELECT COALESCE(CASE WHEN o_orderdate < TIMESTAMP '{_MV_CUTOFF}'
+                     THEN NULL ELSE o_orderpriority END,
+                '(pre-evolution)') AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           AS sum_total
+FROM orders
+GROUP BY 1 ORDER BY 1
+""",
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION across table generations (r10) — the lakehouse
+    reality every long-lived 100 TB table hits: early partitions were
+    written before a column existed.  Generation 1 (orders before
+    {_MV_CUTOFF}) is materialized WITHOUT ``o_orderpriority``;
+    generation 2 (on/after) adds the column; the read unifies them
+    with ``mergeSchema=true`` — parquet's per-file schema plus Spark's
+    schema-merging scan reconstruct the superset schema, and the
+    pre-evolution rows surface the new column as NULL (bucketed here
+    to '(pre-evolution)' for a stable group key).
+
+    The oracle replays the NULL-for-old-rows semantics from the
+    original table, so the hash proves the merged read loses no rows,
+    mis-NULLs nothing, and keeps the shared columns exact.  At 100 TB
+    the point is operational: adding a column costs NOTHING on
+    existing data (no rewrite — the old files simply lack it), and
+    per-file schemas mean the scan prunes the column entirely on old
+    partitions.  Layout is pid-free overwrite-in-place under the
+    write-once `artifacts` contract (the evolution is deterministic
+    per fixture).  [extension].
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from another_map_reduce_spark.artifacts import (
+        ensure_artifact,
+        source_fingerprint,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit(_MV_CUTOFF).cast("timestamp")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"amrs_schema_evo_{tag}")
+
+    def _write_generations() -> None:
+        (
+            o.where(F.col("o_orderdate") < cut)
+            .select("o_orderkey", "o_totalprice")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "data"))
+        )
+        (
+            o.where(F.col("o_orderdate") >= cut)
+            .select("o_orderkey", "o_totalprice", "o_orderpriority")
+            .write.mode("append")
+            .parquet(os.path.join(path, "data"))
+        )
+
+    ensure_artifact(
+        path,
+        source_fingerprint(
+            sf_dir, "orders", op="schema_evo", cutoff=_MV_CUTOFF
+        ),
+        _write_generations,
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "data")
+    )
+    return (
+        merged.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("(pre-evolution)"))
+            .alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum("o_totalprice", "sum_total"),
+        )
+        .orderBy("priority")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Z-order (Morton) multi-dimensional data layout
 # ---------------------------------------------------------------------------
@@ -1534,9 +1624,6 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Algebraic materialized-view maintenance — base ⊕ delta == recompute
 # ---------------------------------------------------------------------------
-
-_MV_CUTOFF = "1997-06-01"  # base/delta split point (arbitrary mid-range)
-
 
 @register(
     "incremental_agg_maintenance",

@@ -57,7 +57,7 @@ def _load() -> None:
 # Round 10 rotation (same rolling policy as r4..r9): after r9 the
 # row-age census is 50×r9, 50×r8, 50×r7, 40×r6 (the r6 cohort's
 # remainder + the whole r7 cohort were pre-staged in r9's
-# _ORDER_NEXT) plus the 6 r10 additions with no row at all.  This
+# _ORDER_NEXT) plus the 7 r10 additions with no row at all.  This
 # round's window: (1) the r10 additions, (2) the 40 staged
 # oldest-row queries in their staged order, (3) the head of the r7
 # cohort (next-oldest) in its r7 driver-check order — exactly 50.
@@ -69,6 +69,7 @@ _ORDER_FRONT = [
     "incremental_join_maintenance",
     "bpe_train_incremental_rounds",
     "unicode_token_stats",
+    "schema_evolution_merge",
 ]
 # The 40 oldest-row queries staged by the r9 rotation (r6-cohort
 # remainder + r7 cohort) — positions 7-46 of the r10 window.
@@ -115,16 +116,16 @@ _ORDER_NEXT_R9 = [
     "lm_novelty_score",
 ]
 # r7-cohort head (next-oldest rows after the staged 40), r7
-# driver-check order — fills the r10 window to exactly 50 (6+40+4).
+# driver-check order — fills the r10 window to exactly 50 (7+40+3).
 _ORDER_R7_HEAD = [
     "ann_ivf_incremental",
     "dedup_containment",
     "histogram_quantile_rollup",
-    "mr_wordcount",
 ]
 # The rest of the r7 cohort (r7 order) fronts the r11 window; then
 # the r8 cohort.
 _ORDER_NEXT_R10 = [
+    "mr_wordcount",
     "pandas_wordcount",
     "pack_sequences_report",
     "stream_join_purchase_view",
