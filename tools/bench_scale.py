@@ -101,6 +101,15 @@ REL_QUERIES = [
     # degree-agg + two semi-joins each)
     "graph_sssp_weighted",
     "graph_kcore_peel",
+    # round-10: label propagation (replicas are disjoint components —
+    # label tables grow linearly, 4 fixed rounds; same per-round shape
+    # as pagerank), delta-join IVM (all four quadrant joins replicate
+    # disjointly → linear), and the mergeSchema two-generation read
+    # (scan-bound; the layout write is amortized by the artifact
+    # contract, priced in the cold pass like the DPP row)
+    "graph_label_propagation",
+    "incremental_join_maintenance",
+    "schema_evolution_merge",
 ]
 
 REL_SCALES = [
