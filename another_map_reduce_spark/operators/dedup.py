@@ -969,7 +969,7 @@ def read_lsh_index(spark: SparkSession, path: str) -> DataFrame:
     return read_table(spark, path, id_col="doc")
 
 
-def lsh_delete_docs(spark: SparkSession, path: str, doc_ids: DataFrame) -> None:
+def lsh_delete_docs(path: str, doc_ids: DataFrame) -> None:
     """DELETE documents from a stored LSH band index (takedowns,
     opt-outs, retention windows — the obligation any persisted 100 TB
     corpus index carries).  Logical delete: the ids land in the index's
@@ -1122,9 +1122,7 @@ def incremental_minhash_pairs(
 # + tombstone set).  [extension] — the reference persists no indexes.
 
 
-def simhash_delete_docs(
-    spark: SparkSession, path: str, doc_ids: DataFrame
-) -> None:
+def simhash_delete_docs(path: str, doc_ids: DataFrame) -> None:
     """DELETE documents from a stored SimHash chunk index
     (``simhash_chunks`` rows persisted to parquet).  Logical delete:
     ids land in the tombstone set; ``read_simhash_index`` probes drop
@@ -1167,9 +1165,7 @@ def simhash_compact_index(
     compact_table(spark, path, id_col="doc", write_fn=_write)
 
 
-def postings_delete_docs(
-    spark: SparkSession, path: str, doc_ids: DataFrame
-) -> None:
+def postings_delete_docs(path: str, doc_ids: DataFrame) -> None:
     """DELETE source documents from a stored containment inverted index
     ((shingle, src_doc) postings).  Logical delete via the tombstone
     set; ``read_postings_index`` probes drop the doc immediately;

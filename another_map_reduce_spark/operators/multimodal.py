@@ -279,6 +279,14 @@ def decode_jpeg_headers(blob: bytes) -> tuple[int, int] | None:
         while pos + 4 <= len(b):
             if b[pos] != 0xFF:
                 return None
+            # ISO 10918-1 B.1.1.2: any number of 0xFF FILL bytes may
+            # precede a marker — the marker code is the first non-FF
+            # byte after the FF run (a real crawled JPEG with padding
+            # must not fall through to the stub).
+            while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+                pos += 1
+            if pos + 4 > len(b):
+                return None
             marker = b[pos + 1]
             if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
                 pos += 2  # standalone markers carry no length

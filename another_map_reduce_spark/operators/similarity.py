@@ -712,7 +712,7 @@ def ivf_append_vectors(
 
 
 def ivf_delete_vectors(
-    spark: SparkSession, path: str, ids: DataFrame, id_col: str = "vec_id"
+    path: str, ids: DataFrame, id_col: str = "vec_id"
 ) -> None:
     """DELETE vectors from a stored IVF index (takedowns, opt-outs,
     retention windows).  Logical delete: the ids land in the postings'
@@ -1069,7 +1069,7 @@ def ivf_pq_append_vectors(
 
 
 def ivf_pq_delete_vectors(
-    spark: SparkSession, path: str, ids: DataFrame, id_col: str = "vec_id"
+    path: str, ids: DataFrame, id_col: str = "vec_id"
 ) -> None:
     """DELETE vectors from a stored IVF+PQ index — tombstones BOTH
     layouts (postings via ``ivf_delete_vectors``, plus the pqcodes
@@ -1089,34 +1089,38 @@ def ivf_pq_delete_vectors(
 
 
 def ivf_pq_check_consistency(spark: SparkSession, path: str) -> DataFrame:
-    """Cheap postings↔pqcodes consistency audit for a stored IVF+PQ
-    index — the detector for the ivf_pq_append_vectors crash window:
-    one full-outer count-join per cell (both sides read only (cell,
-    cid) — column pruning keeps vectors and codes on disk), returning
-    the cells whose row counts disagree as (cell, n_postings,
-    n_pqcodes).  An EMPTY result means every posting has exactly one
-    code and vice versa; a non-empty result names the cells to repair
-    (re-encode missing ids against the stored codebooks, or compact
-    from the postings truth).
+    """postings↔pqcodes consistency audit for a stored IVF+PQ index —
+    the detector for the ivf_pq_append_vectors crash window: a
+    full-outer join on the (cell, cid) KEY (both sides read only those
+    two columns — column pruning keeps vectors and codes on disk),
+    reporting the orphans per cell as (cell, n_missing_pqcodes,
+    n_missing_postings).  A true bijection test, not a count
+    comparison — per-cell COUNT equality would let compensating
+    orphans in the same cell (a code-less posting from an append crash
+    plus a posting-less code from a delete crash) cancel out and pass.
+    An EMPTY result means every posting has exactly one code and vice
+    versa; a non-empty result names the cells to repair (re-encode
+    missing ids against the stored codebooks, or compact from the
+    postings truth).
     """
-    p = (
-        read_table(spark, f"{path}/postings", id_col="cid")
-        .groupBy("cell")
-        .agg(F.count("*").alias("n_postings"))
+    p = read_table(spark, f"{path}/postings", id_col="cid").select(
+        "cell", "cid", F.lit(1).alias("_p")
     )
-    c = (
-        read_table(spark, f"{path}/pqcodes", id_col="cid")
-        .groupBy("cell")
-        .agg(F.count("*").alias("n_pqcodes"))
+    c = read_table(spark, f"{path}/pqcodes", id_col="cid").select(
+        "cell", "cid", F.lit(1).alias("_c")
     )
     return (
-        p.join(c, "cell", "full")
-        .select(
-            "cell",
-            F.coalesce("n_postings", F.lit(0)).alias("n_postings"),
-            F.coalesce("n_pqcodes", F.lit(0)).alias("n_pqcodes"),
+        p.join(c, ["cell", "cid"], "full")
+        .where(F.col("_p").isNull() | F.col("_c").isNull())
+        .groupBy("cell")
+        .agg(
+            F.count(F.when(F.col("_c").isNull(), 1)).alias(
+                "n_missing_pqcodes"
+            ),
+            F.count(F.when(F.col("_p").isNull(), 1)).alias(
+                "n_missing_postings"
+            ),
         )
-        .where(F.col("n_postings") != F.col("n_pqcodes"))
     )
 
 

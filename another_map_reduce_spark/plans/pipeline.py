@@ -798,7 +798,7 @@ def dedup_lsh_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         reset_table(bands)
         lsh_band_index(base).write.mode("overwrite").parquet(bands)
         lsh_append_docs(day1, bands)
-        lsh_delete_docs(spark, bands, doomed)
+        lsh_delete_docs(bands, doomed)
         lsh_compact_index(spark, bands, target_files=4)
 
     ensure_artifact(
@@ -1546,7 +1546,7 @@ def ann_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _build_append_delete_compact() -> None:
         build_ivf_index(hist, path, num_cells=8, train_iters=1)
         ivf_append_vectors(spark, path, delta)
-        ivf_delete_vectors(spark, path, doomed)
+        ivf_delete_vectors(path, doomed)
         ivf_compact_cells(spark, path)
 
     ensure_artifact(
@@ -3782,14 +3782,17 @@ WITH words AS (
     )
 
 
-@register("bpe_train_batched_rounds", oracle=_bpe_batched_oracle())
+@register(
+    "bpe_train_batched_rounds", oracle=_bpe_batched_oracle(minted=True)
+)
 def bpe_train_batched_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BATCHED BPE training on the driver path — the merge-count scale
     answer (operators/bpe.bpe_train_batched, SCALE.md r9: flat
     0.094–0.104 s/merge at 64–256 merges vs 0.34 sequential), here in
     its FIXED-ROUNDS form so the oracle is exact on ANY fixture:
-    {rounds} rounds, each selecting the greedy pairwise-SYMBOL-DISJOINT
-    subset (≤ {cap}, rank order, conflicts skipped) of the SAME
+    {rounds} rounds, each selecting the greedy FULLY-symbol-disjoint
+    subset (≤ {cap}, rank order, conflicts skipped, minted a+b symbols
+    excluded — the production operator's exact rule) of the SAME
     top-{pool} candidate pool both engines rank by (count DESC, a, b),
     then applying the round's merges in one composed fold pass.
 
@@ -3825,7 +3828,10 @@ def bpe_train_batched_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             if r.a in used or r.b in used:
                 continue
             chosen.append((r.a, r.b, int(r.c)))
-            used.update((r.a, r.b))
+            # minted-symbol exclusion — the production selection rule
+            # (operators/bpe.bpe_train_batched), replayed by the
+            # minted=True oracle
+            used.update((r.a, r.b, r.a + r.b))
         expr = F.col("seq")
         for j, (a, b, _c) in enumerate(chosen):
             expr = merge_fold(expr, a, b)

@@ -27,8 +27,13 @@ Crash matrix (pytest-pinned by kill-point injection):
   after flip, before GC      → pointer names gen N+1 (complete);
                                readers consistent; stale dirs are GC'd
                                next compact.
-There is NO point at which a reader can observe a missing or
-half-written table — the property the directory swap could not give.
+There is NO process-kill point at which a reader can observe a missing
+or half-written table — the property the directory swap could not
+give.  Power-loss durability: the pointer flip fsyncs the file AND the
+parent directory before GC unlinks anything, so the rename can never
+be lost while the unlinks survive; durability of the generation's DATA
+files is the writer's filesystem/object-store contract (a journaled FS
+or a PUT that returned success), the same boundary Iceberg/Delta draw.
 
 DELETE support rides the same layout: ``<table>__tombstones`` holds the
 deleted ids (append-only, tiny); ``read_table(..., id_col=...)``
@@ -152,6 +157,23 @@ def commit_generation(
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, ptr)
+    # Make the rename's directory entry DURABLE before GC unlinks the
+    # old generation: without the parent-dir fsync a power loss could
+    # persist the unlinks but not the rename, leaving the pointer
+    # naming a deleted directory.  (Process kills never reorder this
+    # way — the dir fsync extends the crash matrix to power loss for
+    # the POINTER; durability of the generation's data files remains
+    # the writer's filesystem/object-store contract, e.g. a PUT that
+    # returned success.)
+    parent = os.path.dirname(ptr) or "."
+    try:
+        dfd = os.open(parent, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass  # non-POSIX or unsyncable parent — object stores don't need it
     gc_stale_generations(table)
     return dest
 
@@ -165,7 +187,11 @@ def gc_stale_generations(table: str) -> None:
     if gen == 0:
         return  # never committed — nothing is provably stale
     base = table.rstrip("/")
-    live = _gen_dir(base, gen)
+    # Compare directory NAMES, not joined paths: os.path.join(parent,
+    # name) of a relative table ('./tbl__gen_000001') never equals the
+    # bare f-string ('tbl__gen_000001'), and a path-equality guard
+    # would GC the LIVE generation of any relative-path table.
+    live_name = os.path.basename(_gen_dir(base, gen))
     parent = os.path.dirname(base) or "."
     prefix = os.path.basename(base) + "__gen_"
     try:
@@ -173,11 +199,10 @@ def gc_stale_generations(table: str) -> None:
     except OSError:
         return
     for name in names:
-        full = os.path.join(parent, name)
-        if full == live:
+        if name == live_name:
             continue
         if name.startswith(prefix) and _GEN_RE.search(name):
-            shutil.rmtree(full, ignore_errors=True)
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
     if os.path.isdir(base):
         shutil.rmtree(base, ignore_errors=True)
 

@@ -630,3 +630,21 @@ def test_cross_format_png_jpeg_pair_with_pil():
     hp = mm.image_phash64(png_buf.getvalue())
     hj = mm.image_phash64(jpg_buf.getvalue())
     assert bin(hp ^ hj).count("1") <= 3
+
+
+def test_jpeg_header_rung_tolerates_fill_bytes():
+    """Regression (r10 review): ISO 10918-1 B.1.1.2 allows any number
+    of 0xFF fill bytes before a marker — a padded but spec-legal JPEG
+    must still report true dimensions, not fall to the stub."""
+    from another_map_reduce_spark.operators import multimodal as mm
+
+    plain = _encode_jpeg_headers(44, 33)
+    assert mm.decode_jpeg_headers(plain) == (44, 33)
+    # insert fill bytes before the final (SOF) marker's 0xFF
+    sof_at = plain.rindex(b"\xff\xc0")
+    padded = plain[:sof_at] + b"\xff\xff\xff" + plain[sof_at:]
+    assert mm.decode_jpeg_headers(padded) == (44, 33)
+    # and before an intermediate (DQT) marker
+    dqt_at = plain.index(b"\xff\xdb")
+    padded2 = plain[:dqt_at] + b"\xff" + plain[dqt_at:]
+    assert mm.decode_jpeg_headers(padded2) == (44, 33)

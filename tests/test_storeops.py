@@ -202,9 +202,7 @@ def test_lsh_compactor_killpoints_keep_probe_consistent(
 
     # delete the dup_of docs of ONE probe hit → that pair must vanish
     victim = sorted(base)[0][1]
-    lsh_delete_docs(
-        spark, path, spark.createDataFrame([(victim,)], "doc long")
-    )
+    lsh_delete_docs(path, spark.createDataFrame([(victim,)], "doc long"))
     after_delete = probe()
     assert all(d != victim for (_, d, _) in after_delete)
 
@@ -271,9 +269,7 @@ def test_simhash_and_postings_delete_compact_parity(spark, sf_dir, tmp_path):
     # --- SimHash chunk index
     spath = str(tmp_path / "chunks")
     simhash_chunks(simhash_frame(hist)).write.mode("overwrite").parquet(spath)
-    simhash_delete_docs(
-        spark, spath, doomed.select(F.col("doc_id").alias("doc"))
-    )
+    simhash_delete_docs(spath, doomed.select(F.col("doc_id").alias("doc")))
     simhash_compact_index(spark, spath, target_files=2)
 
     def sim_pairs(index):
@@ -301,9 +297,7 @@ def test_simhash_and_postings_delete_compact_parity(spark, sf_dir, tmp_path):
         .write.mode("overwrite")
         .parquet(ppath)
     )
-    postings_delete_docs(
-        spark, ppath, doomed.select(F.col("doc_id").alias("src_doc"))
-    )
+    postings_delete_docs(ppath, doomed.select(F.col("doc_id").alias("src_doc")))
     postings_compact_index(spark, ppath)
     dsh = shingle_docs(delta, "text", "doc_id", 3).select(
         F.col("doc").alias("new_doc"), F.explode("shingles").alias("shingle")
@@ -348,7 +342,7 @@ def test_ivf_pq_delete_compact_parity(spark, sf_dir, tmp_path):
     path = str(tmp_path / "pq")
     build_ivf_pq_index(emb, path, num_cells=4, m_sub=8, k_codes=8,
                        train_iters=1)
-    ivf_pq_delete_vectors(spark, path, doomed)
+    ivf_pq_delete_vectors(path, doomed)
 
     def probe():
         return [
@@ -410,3 +404,68 @@ def test_ivf_pq_delete_compact_parity(spark, sf_dir, tmp_path):
         ).collect()
     ]
     assert logical == want
+
+
+def test_gc_relative_path_preserves_live_generation(tmp_path, monkeypatch):
+    """Regression (r10 review): with a RELATIVE table path, the GC's
+    live-generation guard must compare directory names, not joined
+    paths — a path-equality guard deleted the just-committed live
+    generation.  Pure-Python I/O (Spark resolves relative paths
+    against the JVM cwd, but the GC bug is filesystem logic)."""
+    monkeypatch.chdir(tmp_path)
+    table = "reltbl"
+    os.makedirs(table)
+    with open(os.path.join(table, "part-0"), "w") as fh:
+        fh.write("legacy")
+
+    def _write(dest: str) -> None:
+        os.makedirs(dest, exist_ok=True)
+        with open(os.path.join(dest, "part-0"), "w") as fh:
+            fh.write("gen data")
+
+    commit_generation(table, _write)
+    assert current_generation(table) == 1
+    live = resolve_table(table)
+    # the live generation must SURVIVE the GC that ran inside commit
+    assert os.path.isdir(live), "GC deleted the live generation"
+    assert open(os.path.join(live, "part-0")).read() == "gen data"
+    assert not os.path.isdir(table)  # legacy dir was the stale one
+
+
+def test_consistency_checker_catches_compensating_orphans(spark, sf_dir, tmp_path):
+    """Regression (r10 review): per-cell COUNT equality lets a
+    code-less posting and a posting-less code in the SAME cell cancel
+    out; the checker must be a (cell, cid) bijection test."""
+    from another_map_reduce_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_check_consistency,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("vec_id") < 100
+    )
+    path = str(tmp_path / "pq")
+    build_ivf_pq_index(emb, path, num_cells=2, m_sub=8, k_codes=8,
+                       train_iters=1)
+    assert ivf_pq_check_consistency(spark, path).isEmpty()
+    # fabricate compensating orphans in one cell: swap one cid in the
+    # pqcodes table for an id that exists nowhere in postings
+    codes = spark.read.parquet(f"{path}/pqcodes")
+    some = codes.limit(1).collect()[0]
+    patched = codes.withColumn(
+        "cid",
+        F.when(F.col("cid") == some.cid, F.lit(999_999)).otherwise(
+            F.col("cid")
+        ),
+    ).localCheckpoint(eager=True)
+    import shutil
+
+    shutil.rmtree(f"{path}/pqcodes")
+    patched.repartition("cell").write.partitionBy("cell").parquet(
+        f"{path}/pqcodes"
+    )
+    bad = ivf_pq_check_consistency(spark, path).collect()
+    assert len(bad) >= 1
+    assert any(
+        r.n_missing_pqcodes >= 1 and r.n_missing_postings >= 1 for r in bad
+    )
