@@ -70,6 +70,10 @@ _ORDER_FRONT = [
     "bpe_train_incremental_rounds",
     "unicode_token_stats",
     "schema_evolution_merge",
+    # r10 semantic change (minted-symbol selection now matches the
+    # production operator + oracle) — its r9 row pinned the OLD rule,
+    # so it re-fronts for a fresh driver row:
+    "bpe_train_batched_rounds",
 ]
 # The 40 oldest-row queries staged by the r9 rotation (r6-cohort
 # remainder + r7 cohort) — positions 7-46 of the r10 window.
@@ -116,15 +120,15 @@ _ORDER_NEXT_R9 = [
     "lm_novelty_score",
 ]
 # r7-cohort head (next-oldest rows after the staged 40), r7
-# driver-check order — fills the r10 window to exactly 50 (7+40+3).
+# driver-check order — fills the r10 window to exactly 50 (8+40+2).
 _ORDER_R7_HEAD = [
     "ann_ivf_incremental",
     "dedup_containment",
-    "histogram_quantile_rollup",
 ]
 # The rest of the r7 cohort (r7 order) fronts the r11 window; then
 # the r8 cohort.
 _ORDER_NEXT_R10 = [
+    "histogram_quantile_rollup",
     "mr_wordcount",
     "pandas_wordcount",
     "pack_sequences_report",
