@@ -554,3 +554,45 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def incremental_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Merge a day's NEW edges into a STORED (node, component)
+    clustering — the incremental form of connected_components and the
+    missing last step of the daily dedup pipeline: the stored-index
+    probes emit the day's near-dup PAIRS in O(delta), and this folds
+    them into yesterday's clusters without re-walking history's edges.
+
+    Construction: each stored assignment becomes a STAR edge
+    (node → component; the component id IS a member node — the
+    min-label invariant — so stars preserve exactly the old graph's
+    connectivity), unioned with the new edges, then the standard
+    min-label propagation.  Correctness: CC(stars ∪ Δ) = CC(E ∪ Δ)
+    because stars and E have identical transitive closure over the old
+    nodes; min-label ids survive because a merged cluster's minimum is
+    min(old component ids, new node ids) either way (oracle-proven by
+    dedup_cc_incremental's hash against the one-shot recursive CTE).
+
+    Cost: the propagated frame is |clustered nodes| + |Δ| rows — never
+    the historical EDGE count (similarity graphs are edge-heavy), and
+    stars have diameter ≤ 2, so rounds ≈ the diameter of the NEW
+    linkage only.  Nodes appear in the output iff they touch an edge
+    (old stars or Δ) — the same contract as connected_components.
+    [extension].
+    """
+    star = labels.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("nbr"),
+    )
+    delta = new_edges.select(
+        F.col(src).cast("long").alias("node"),
+        F.col(dst).cast("long").alias("nbr"),
+    )
+    return connected_components(
+        star.unionByName(delta), src="node", dst="nbr"
+    )

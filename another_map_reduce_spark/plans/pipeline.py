@@ -1182,6 +1182,87 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_cc_incremental", oracle=_CC_SQL)
+def dedup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup clustering (r10) — the daily form of
+    dedup_cc_clusters, completing the stored-index pipeline's last
+    step: history's clusters are computed ONCE and persisted as
+    (node, component) labels beside its LSH band index (write-once
+    `artifacts` contract); each day only the delta is shingled — its
+    pairs against history come from the STORED index
+    (incremental_minhash_pairs) and its internal pairs from a
+    delta-only LSH pass — and `operators.graph.incremental_components`
+    folds those new edges into the stored labels via star edges
+    (node → component), never re-walking history's EDGE set.
+
+    Oracle = the SAME one-shot recursive-CTE clustering over the full
+    corpus as dedup_cc_clusters, so the hash proves
+    incremental-merge ≡ recompute: a cluster mis-merged, a stale
+    component id, or a lost singleton pair all flip it.  At 100 TB the
+    daily cost is O(delta probes + clustered-node stars) against a
+    pair recompute that is O(corpus shingles) — the same amortization
+    argument as every stored index in this suite, now for the
+    clustering itself.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from another_map_reduce_spark.artifacts import (
+        ensure_artifact,
+        source_fingerprint,
+    )
+    from another_map_reduce_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        lsh_band_index,
+        minhash_lsh_pairs,
+        read_lsh_index,
+    )
+    from another_map_reduce_spark.operators.graph import (
+        cluster_stats,
+        connected_components,
+        incremental_components,
+    )
+    from another_map_reduce_spark.storeops import reset_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.where(F.col("doc_id") % 10 != 0)
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"amrs_cc_incr_{tag}")
+    bands = os.path.join(path, "bands")
+    labels_path = os.path.join(path, "labels")
+
+    def _build() -> None:
+        reset_table(bands)
+        lsh_band_index(hist).write.mode("overwrite").parquet(bands)
+        hpairs = minhash_lsh_pairs(hist, threshold=0.8).select("d1", "d2")
+        connected_components(hpairs, "d1", "d2").write.mode(
+            "overwrite"
+        ).parquet(labels_path)
+
+    ensure_artifact(
+        path,
+        source_fingerprint(
+            sf_dir, "documents", op="cc_incr", n=3, k=128, bands=32,
+            hist_mod=10, threshold=0.8,
+        ),
+        _build,
+    )
+    index = read_lsh_index(spark, bands)
+    labels = spark.read.parquet(labels_path)
+    dh = incremental_minhash_pairs(
+        hist, delta, index, threshold=0.8
+    ).select(F.col("new_doc").alias("d1"), F.col("dup_of").alias("d2"))
+    dd = minhash_lsh_pairs(delta, threshold=0.8).select("d1", "d2")
+    merged = incremental_components(
+        labels, dh.unionByName(dd), src="d1", dst="d2"
+    )
+    return cluster_stats(merged).withColumn(
+        "members", F.concat_ws(",", "members")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

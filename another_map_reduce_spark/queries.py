@@ -70,6 +70,7 @@ _ORDER_FRONT = [
     "bpe_train_incremental_rounds",
     "unicode_token_stats",
     "schema_evolution_merge",
+    "dedup_cc_incremental",
     # r10 semantic change (minted-symbol selection now matches the
     # production operator + oracle) — its r9 row pinned the OLD rule,
     # so it re-fronts for a fresh driver row:
@@ -120,14 +121,14 @@ _ORDER_NEXT_R9 = [
     "lm_novelty_score",
 ]
 # r7-cohort head (next-oldest rows after the staged 40), r7
-# driver-check order — fills the r10 window to exactly 50 (8+40+2).
+# driver-check order — fills the r10 window to exactly 50 (9+40+1).
 _ORDER_R7_HEAD = [
     "ann_ivf_incremental",
-    "dedup_containment",
 ]
 # The rest of the r7 cohort (r7 order) fronts the r11 window; then
 # the r8 cohort.
 _ORDER_NEXT_R10 = [
+    "dedup_containment",
     "histogram_quantile_rollup",
     "mr_wordcount",
     "pandas_wordcount",

@@ -1141,3 +1141,25 @@ def test_delta_join_quadrants_all_nonempty(spark, sf_dir):
     assert sum(quads) == o.join(
         li, o.o_orderkey == li.l_orderkey
     ).count()
+
+
+def test_incremental_components_merges_and_new_clusters(spark):
+    """Star edges from a stored labeling + a day's new edges: a bridge
+    edge merges two old clusters under the global min label, a fresh
+    pair forms a new cluster, and untouched clusters keep their ids."""
+    from another_map_reduce_spark.operators.graph import (
+        incremental_components,
+    )
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (7, 7), (8, 7)],
+        "node long, component long",
+    )
+    new_edges = spark.createDataFrame(
+        [(2, 3), (10, 11)], "src long, dst long"
+    )
+    got = {
+        r.node: r.component
+        for r in incremental_components(labels, new_edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 10: 10, 11: 10}
