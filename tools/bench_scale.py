@@ -183,6 +183,13 @@ INCR_QUERIES = [
     "dedup_containment_incremental",
     "dedup_simhash_incremental",
     "ann_ivf_append",
+    # round-10: the DELETE lifecycle (cold pass = build + tombstone +
+    # compact, warm pass = the daily probe against the post-takedown
+    # index) and the incremental clustering (cold = history pairs +
+    # CC + band index, warm = delta probes + star merge)
+    "dedup_lsh_delete",
+    "ann_ivf_delete",
+    "dedup_cc_incremental",
 ]
 
 # Output-bound queries stop early: session_overlap_pairs' true answer
