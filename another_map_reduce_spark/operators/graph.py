@@ -596,3 +596,79 @@ def incremental_components(
     return connected_components(
         star.unionByName(delta), src="node", dst="nbr"
     )
+
+
+def community_modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Newman MODULARITY contributions of a community assignment over
+    a SYMMETRIZED edge list — the quality metric that turns label
+    propagation from "a labelling" into "a good labelling":
+
+        Q = Σ_c [ in_c/M − (deg_c/M)² ]
+
+    with M = |directed symmetric edges| (= 2m), in_c = directed
+    intra-community edges, deg_c = Σ degrees of c's members — the
+    standard undirected form e_c/m − (d_c/2m)² rewritten in the
+    directed-symmetric quantities this suite's graphs carry.
+
+    Returns one row per community: (community, n_members, intra_edges,
+    degree_sum, q_contrib).  All counts are exact integers from two
+    grouped aggregations (each endpoint labelled via one join against
+    the node-sized label table); the two divisions and one multiply
+    are single exactly-rounded IEEE ops, so q_contrib is bit-identical
+    cross-engine after round(·, 6) — the suite's determinism contract.
+    M arrives as a 1-row broadcast (the pagerank scalar pattern), no
+    driver collect.  [extension].
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+    )
+    lab = labels.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    )
+    m_tot = e.agg(F.count(F.lit(1)).cast("double").alias("m"))
+    both = (
+        e.join(
+            lab.withColumnRenamed("node", "src").withColumnRenamed(
+                "label", "l_src"
+            ),
+            "src",
+        )
+        .join(
+            lab.withColumnRenamed("node", "dst").withColumnRenamed(
+                "label", "l_dst"
+            ),
+            "dst",
+        )
+    )
+    per_c = both.groupBy(F.col("l_src").alias("community")).agg(
+        F.count(F.lit(1)).alias("degree_sum"),  # out-deg ≡ degree (symmetric)
+        F.count(F.when(F.col("l_src") == F.col("l_dst"), 1)).alias(
+            "intra_edges"
+        ),
+    )
+    members = lab.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return (
+        per_c.join(members, "community")
+        .crossJoin(F.broadcast(m_tot))
+        .select(
+            "community",
+            "n_members",
+            F.col("intra_edges").cast("long").alias("intra_edges"),
+            F.col("degree_sum").cast("long").alias("degree_sum"),
+            F.round(
+                F.col("intra_edges") / F.col("m")
+                - (F.col("degree_sum") / F.col("m"))
+                * (F.col("degree_sum") / F.col("m")),
+                6,
+            ).alias("q_contrib"),
+        )
+    )

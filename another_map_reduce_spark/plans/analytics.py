@@ -580,6 +580,99 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top
 
 
+def _modularity_oracle(iters: int = _LPA_ITERS) -> str:
+    """The LPA oracle's CTE chain + Newman modularity aggregation:
+    intra/degree counts by joining both edge endpoints against the
+    final labels, M from a scalar subquery, and q_contrib spelled as
+    the IDENTICAL two-division-one-multiply double expression the
+    Spark side evaluates (no POWER — pow need not be exactly
+    rounded)."""
+    chain = _lpa_oracle(iters)
+    # reuse everything up to the final SELECT of the LPA oracle
+    head = chain[: chain.rindex("\nSELECT label AS community")]
+    return head + f"""
+, mtot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM edges)
+, perc AS (
+  SELECT la.label AS community,
+         COUNT(*) AS degree_sum,
+         COUNT(*) FILTER (WHERE la.label = lb.label) AS intra_edges
+  FROM edges e
+  JOIN l{iters} la ON e.src = la.node
+  JOIN l{iters} lb ON e.dst = lb.node
+  GROUP BY 1
+), mem AS (
+  SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM l{iters} GROUP BY 1
+)
+SELECT p.community, n_members,
+       CAST(intra_edges AS BIGINT) AS intra_edges,
+       CAST(degree_sum AS BIGINT) AS degree_sum,
+       round(CAST(intra_edges AS DOUBLE) / (SELECT m FROM mtot)
+             - (CAST(degree_sum AS DOUBLE) / (SELECT m FROM mtot))
+               * (CAST(degree_sum AS DOUBLE) / (SELECT m FROM mtot)),
+             6) AS q_contrib
+FROM perc p JOIN mem USING (community)
+ORDER BY n_members DESC, community
+LIMIT 20"""
+
+
+@register("graph_community_modularity", oracle=_modularity_oracle())
+def graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman MODULARITY of the label-propagation communities (r10) —
+    the metric that grades a community assignment, completing the
+    detection story (`operators.graph.community_modularity`):
+    Q_c = in_c/M − (deg_c/M)² per community over the symmetrized
+    trade graph, for the same 4 deterministic LPA rounds as
+    graph_label_propagation.
+
+    All counts are exact integers (two grouped aggregations, each
+    endpoint labelled via one node-sized join); the divisions and the
+    multiply are single exactly-rounded IEEE ops spelled identically
+    in the oracle (no POWER), so q_contrib hashes exactly after
+    round 6.  Output: the 20 largest communities with member count,
+    intra-edge count, degree mass, and modularity contribution.
+    [extension].
+    """
+    from another_map_reduce_spark.operators.graph import (
+        community_modularity,
+        label_propagation,
+    )
+    from another_map_reduce_spark.plans.relational import (
+        _stream_shuffle_partitions,
+    )
+    from another_map_reduce_spark.session import shuffle_width
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.lit(_PR_OFF) + F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    n_orders = orders.count()
+    width = max(8, min(shuffle_width(spark), n_orders // 20_000))
+    with _stream_shuffle_partitions(spark, width):
+        edges = edges.localCheckpoint(eager=False)
+        labels = label_propagation(edges, iters=_LPA_ITERS)
+        top = (
+            community_modularity(edges, labels)
+            .orderBy(F.col("n_members").desc(), "community")
+            .limit(20)
+            .localCheckpoint(eager=True)
+        )
+    return top
+
+
 @register("pagerank_suppliers", oracle=_pagerank_oracle())
 def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the bipartite supplier↔customer trade graph —

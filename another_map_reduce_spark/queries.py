@@ -71,6 +71,7 @@ _ORDER_FRONT = [
     "unicode_token_stats",
     "schema_evolution_merge",
     "dedup_cc_incremental",
+    "graph_community_modularity",
     # r10 semantic change (minted-symbol selection now matches the
     # production operator + oracle) — its r9 row pinned the OLD rule,
     # so it re-fronts for a fresh driver row:
@@ -120,14 +121,14 @@ _ORDER_NEXT_R9 = [
     "udaf_median_doclen",
     "lm_novelty_score",
 ]
-# r7-cohort head (next-oldest rows after the staged 40), r7
-# driver-check order — fills the r10 window to exactly 50 (9+40+1).
-_ORDER_R7_HEAD = [
-    "ann_ivf_incremental",
-]
+# The r10 additions + the 40 staged oldest rows fill the window
+# exactly (10 + 40 = 50); the whole remaining r7 cohort is pre-staged
+# for r11 below.
+_ORDER_R7_HEAD: list[str] = []
 # The rest of the r7 cohort (r7 order) fronts the r11 window; then
 # the r8 cohort.
 _ORDER_NEXT_R10 = [
+    "ann_ivf_incremental",
     "dedup_containment",
     "histogram_quantile_rollup",
     "mr_wordcount",

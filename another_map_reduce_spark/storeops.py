@@ -118,12 +118,33 @@ def append_tombstones(ids: DataFrame, table: str, id_col: str) -> None:
 
 
 def read_table(
-    spark: SparkSession, table: str, id_col: str | None = None
+    spark: SparkSession,
+    table: str,
+    id_col: str | None = None,
+    generation: int | None = None,
 ) -> DataFrame:
     """Live rows of a generation-committed table: resolve the pointer,
     anti-join any tombstones (broadcast — the takedown set is always
     small relative to the index).  ``id_col=None`` skips the tombstone
-    check for tables that never delete."""
+    check for tables that never delete.
+
+    ``generation=G`` is TIME TRAVEL: read generation G's directory
+    as-is — the committed snapshot as of its compaction (everything
+    tombstoned before that compaction is already excised; tombstones
+    appended SINCE belong to the next epoch and are deliberately not
+    applied, so the read is a consistent point-in-time view — e.g.
+    "what did the index contain before this takedown").  Requires the
+    generation to still exist: compactions keep ``keep_generations``
+    old snapshots (default 0 — retention is an explicit opt-in, the
+    Iceberg/Delta snapshot-expiry knob)."""
+    if generation is not None:
+        gdir = _gen_dir(table, generation)
+        if not os.path.isdir(gdir):
+            raise FileNotFoundError(
+                f"generation {generation} of {table} does not exist "
+                "(expired by retention, or never committed)"
+            )
+        return spark.read.parquet(gdir)
     df = spark.read.parquet(resolve_table(table))
     if id_col is not None and _has_tombstones(table):
         ts = (
@@ -136,12 +157,16 @@ def read_table(
 
 
 def commit_generation(
-    table: str, write_fn: Callable[[str], None]
+    table: str,
+    write_fn: Callable[[str], None],
+    keep_generations: int = 0,
 ) -> str:
     """Write the next generation of ``table`` via ``write_fn(dest)``
-    and make it live with one atomic pointer flip; then GC every other
-    generation (and the legacy directory).  Returns the committed
-    directory.  See the module docstring for the crash matrix."""
+    and make it live with one atomic pointer flip; then GC stale
+    generations, RETAINING the newest ``keep_generations`` old ones
+    for time-travel reads (default 0 — GC everything stale).  Returns
+    the committed directory.  See the module docstring for the crash
+    matrix."""
     cur = current_generation(table)
     nxt = cur + 1
     dest = _gen_dir(table, nxt)
@@ -174,15 +199,18 @@ def commit_generation(
             os.close(dfd)
     except OSError:
         pass  # non-POSIX or unsyncable parent — object stores don't need it
-    gc_stale_generations(table)
+    gc_stale_generations(table, keep=keep_generations)
     return dest
 
 
-def gc_stale_generations(table: str) -> None:
+def gc_stale_generations(table: str, keep: int = 0) -> None:
     """Remove every data directory of ``table`` that the pointer does
     NOT name: older generations, a half-written next generation from a
     crashed compact, and (once a pointer exists) the legacy directory.
-    Safe to run any time — it never touches the live generation."""
+    ``keep=N`` retains the N newest OLD generations (gen-N .. gen-1)
+    for time-travel reads; everything older — and any generation AHEAD
+    of the pointer (a crashed half-write) — still goes.  Safe to run
+    any time — it never touches the live generation."""
     gen = current_generation(table)
     if gen == 0:
         return  # never committed — nothing is provably stale
@@ -191,15 +219,18 @@ def gc_stale_generations(table: str) -> None:
     # name) of a relative table ('./tbl__gen_000001') never equals the
     # bare f-string ('tbl__gen_000001'), and a path-equality guard
     # would GC the LIVE generation of any relative-path table.
-    live_name = os.path.basename(_gen_dir(base, gen))
     parent = os.path.dirname(base) or "."
     prefix = os.path.basename(base) + "__gen_"
+    retained = {
+        os.path.basename(_gen_dir(base, g))
+        for g in range(max(1, gen - keep), gen + 1)
+    }
     try:
         names = os.listdir(parent)
     except OSError:
         return
     for name in names:
-        if name == live_name:
+        if name in retained:
             continue
         if name.startswith(prefix) and _GEN_RE.search(name):
             shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
@@ -235,6 +266,7 @@ def compact_table(
     table: str,
     id_col: str | None = None,
     write_fn: Callable[[DataFrame, str], None] | None = None,
+    keep_generations: int = 0,
 ) -> None:
     """COMPACT a generation-committed table: read the live rows (with
     tombstones excised when ``id_col`` is given), rewrite them via
@@ -250,5 +282,9 @@ def compact_table(
     if write_fn is None:
         def write_fn(d: DataFrame, dest: str) -> None:  # noqa: F811
             d.write.mode("overwrite").parquet(dest)
-    commit_generation(table, lambda dest: write_fn(df, dest))
+    commit_generation(
+        table,
+        lambda dest: write_fn(df, dest),
+        keep_generations=keep_generations,
+    )
     shutil.rmtree(tombstone_path(table), ignore_errors=True)

@@ -1163,3 +1163,27 @@ def test_incremental_components_merges_and_new_clusters(spark):
         for r in incremental_components(labels, new_edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 10: 10, 11: 10}
+
+
+def test_community_modularity_hand_computed(spark):
+    """Two triangles + bridge, labels from 4 LPA rounds: each triangle
+    contributes in/M − (deg/M)² = 6/14 − (7/14)² = 0.178571 (hand
+    computed; the bridge edge counts in degree mass, not intra)."""
+    from another_map_reduce_spark.operators.graph import (
+        community_modularity,
+        label_propagation,
+    )
+
+    und = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    labels = label_propagation(edges, iters=4)
+    got = {
+        r.community: (r.n_members, r.intra_edges, r.degree_sum, r.q_contrib)
+        for r in community_modularity(edges, labels).collect()
+    }
+    assert got == {
+        1: (3, 6, 7, 0.178571),
+        3: (3, 6, 7, 0.178571),
+    }

@@ -100,7 +100,9 @@ def test_crash_after_flip_before_gc(spark, tmp_path, monkeypatch):
     without touching live data."""
     table = _mk(spark, tmp_path)
     before = _rows(spark, table)
-    monkeypatch.setattr(storeops, "gc_stale_generations", lambda t: None)
+    monkeypatch.setattr(
+        storeops, "gc_stale_generations", lambda t, keep=0: None
+    )
     compact_table(spark, table)
     monkeypatch.undo()
     assert current_generation(table) == 1
@@ -209,7 +211,7 @@ def test_lsh_compactor_killpoints_keep_probe_consistent(
     # kill point 1: crash during the compaction's generation write
     real_commit = storeops.commit_generation
 
-    def _dying_commit(table, write_fn):
+    def _dying_commit(table, write_fn, keep_generations=0):
         raise RuntimeError("injected crash before any write")
 
     monkeypatch.setattr(storeops, "commit_generation", _dying_commit)
@@ -219,7 +221,9 @@ def test_lsh_compactor_killpoints_keep_probe_consistent(
     assert probe() == after_delete  # logical delete still in force
 
     # kill point 2: pointer flipped, GC + tombstone clear skipped
-    monkeypatch.setattr(storeops, "gc_stale_generations", lambda t: None)
+    monkeypatch.setattr(
+        storeops, "gc_stale_generations", lambda t, keep=0: None
+    )
     import shutil as _shutil
 
     real_rmtree = _shutil.rmtree
@@ -469,3 +473,40 @@ def test_consistency_checker_catches_compensating_orphans(spark, sf_dir, tmp_pat
     assert any(
         r.n_missing_pqcodes >= 1 and r.n_missing_postings >= 1 for r in bad
     )
+
+
+def test_retention_and_time_travel(spark, tmp_path):
+    """keep_generations retains old snapshots for time-travel reads;
+    a generation=G read is the committed state AS OF its compaction —
+    rows deleted afterwards are still visible in the old snapshot (the
+    takedown-audit view), and snapshots past the retention window
+    expire."""
+    table = _mk(spark, tmp_path)
+    before = _rows(spark, table)
+    compact_table(spark, table, keep_generations=1)  # gen 1
+    # delete 0..4, compact again retaining one old snapshot
+    append_tombstones(
+        spark.range(5).select(F.col("id").alias("k")), table, "k"
+    )
+    compact_table(spark, table, id_col="k", keep_generations=1)  # gen 2
+    assert current_generation(table) == 2
+    # live view: survivors only
+    assert {r.k for r in read_table(spark, table, id_col="k").collect()} \
+        == set(range(5, 20))
+    # time travel to gen 1: the pre-takedown snapshot, deleted rows intact
+    old = {
+        tuple(r)
+        for r in read_table(spark, table, generation=1).collect()
+    }
+    assert old == before
+    # a third compact with keep=1 expires gen 1
+    compact_table(spark, table, id_col="k", keep_generations=1)  # gen 3
+    assert current_generation(table) == 3
+    with pytest.raises(FileNotFoundError, match="generation 1"):
+        read_table(spark, table, generation=1)
+    # gen 2 (post-takedown) is the retained snapshot
+    assert {r.k for r in read_table(spark, table, generation=2).collect()} \
+        == set(range(5, 20))
+    # default retention (0) still GCs everything stale
+    compact_table(spark, table, id_col="k")
+    assert not os.path.isdir(f"{str(tmp_path / 'tbl')}__gen_000002")
