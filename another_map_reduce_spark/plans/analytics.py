@@ -580,6 +580,168 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top
 
 
+_PPR_SEED_MAX = 5  # seed set: suppliers with suppkey ≤ 5 (exists at every SF)
+
+
+def _ppr_oracle(iters: int = _PR_ITERS) -> str:
+    """Unrolled personalized-PageRank SQL: the pagerank oracle's CTE
+    chain with the uniform base replaced by the seed-restart vector
+    p(v) = 1[v ∈ S]/|S|, r0 = p, and a LEFT join per step so nodes
+    receiving no contribution still carry their restart mass."""
+    parts = [
+        f"""
+WITH e0 AS (
+  SELECT DISTINCT l_suppkey AS src, {_PR_OFF} + o_custkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+), deg AS (
+  SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src
+), seeds AS (
+  SELECT node FROM deg WHERE node <= {_PPR_SEED_MAX}
+), ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS s FROM seeds),
+base AS (
+  SELECT d.node,
+         CASE WHEN d.node <= {_PPR_SEED_MAX}
+              THEN 1.0 / (SELECT s FROM ns) ELSE 0.0 END AS p
+  FROM deg d
+), r0 AS (
+  SELECT node, p AS rank FROM base
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", s{i} AS (
+  SELECT e.dst AS node,
+         SUM(CAST(r.rank / d.d AS DECIMAL(38,18))) AS m
+  FROM edges e
+  JOIN r{i - 1} r ON e.src = r.node
+  JOIN deg d ON e.src = d.node
+  GROUP BY e.dst
+), r{i} AS (
+  SELECT b.node,
+         {1 - _PR_DAMP} * b.p
+           + {_PR_DAMP} * CAST(COALESCE(s.m, 0) AS DOUBLE) AS rank
+  FROM base b LEFT JOIN s{i} s ON b.node = s.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, round(rank, 9) AS ppr,
+       CASE WHEN node >= {_PR_OFF} THEN 'customer' ELSE 'supplier' END
+           AS node_type
+FROM r{iters}
+WHERE round(rank, 9) > 0
+ORDER BY round(rank, 9) DESC, node
+LIMIT 20"""
+    )
+    return "".join(parts)
+
+
+@register("ppr_seed_suppliers", oracle=_ppr_oracle())
+def ppr_seed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank / random walk with restart (r10) — the
+    seed-based relevance ranking data-curation pipelines use to pull
+    documents "near" a trusted seed set: restart mass concentrates on
+    the seeds (suppliers 1..{seed}) instead of spreading uniformly, so
+    rank measures proximity to the seed community.
+
+        r_{{k+1}}(v) = (1−d)·p(v) + d·Σ_{{u→v}} r_k(u)/deg(u),
+        p = 1[v ∈ S]/|S|, r_0 = p
+
+    Same determinism contract as pagerank_suppliers (one IEEE division
+    per edge share, DECIMAL(38,18) order-free sums, rounded-rank
+    ordering with node tie-break) plus one addition: a LEFT join
+    against the node table per step keeps zero-contribution nodes
+    alive with their restart mass (the uniform-base pagerank never
+    needs this — every node receives mass from round 1).  Top 20 by
+    9-digit rounded rank; zero-mass nodes (unreached from the seeds)
+    are excluded on both sides.  [extension].
+    """
+    from another_map_reduce_spark.plans.relational import (
+        _stream_shuffle_partitions,
+    )
+    from another_map_reduce_spark.session import shuffle_width
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.lit(_PR_OFF) + F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    n_orders = orders.count()
+    width = max(8, min(shuffle_width(spark), n_orders // 20_000))
+    with _stream_shuffle_partitions(spark, width):
+        edges = edges.repartition("src").localCheckpoint(eager=False)
+        deg = edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        ns = (
+            deg.where(F.col("node") <= _PPR_SEED_MAX)
+            .agg(F.count(F.lit(1)).cast("double").alias("s"))
+            .localCheckpoint(eager=False)
+        )
+        base = (
+            deg.crossJoin(F.broadcast(ns))
+            .select(
+                "node",
+                F.when(
+                    F.col("node") <= _PPR_SEED_MAX, F.lit(1.0) / F.col("s")
+                )
+                .otherwise(F.lit(0.0))
+                .alias("p"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        edges_d = edges.join(
+            deg.withColumnRenamed("node", "src"), "src"
+        ).localCheckpoint(eager=False)
+        ranks = base.select("node", F.col("p").alias("rank"))
+        for _ in range(_PR_ITERS):
+            contrib = edges_d.join(
+                ranks.hint("shuffle_hash"), edges_d.src == ranks.node
+            ).select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("d"))
+                .cast("decimal(38,18)")
+                .alias("share"),
+            )
+            sums = contrib.groupBy("node").agg(F.sum("share").alias("m"))
+            ranks = base.join(sums, "node", "left").select(
+                "node",
+                (
+                    F.lit(1 - _PR_DAMP) * F.col("p")
+                    + F.lit(_PR_DAMP)
+                    * F.coalesce(F.col("m"), F.lit(0)).cast("double")
+                ).alias("rank"),
+            )
+        top = (
+            ranks.select(
+                "node",
+                F.round("rank", 9).alias("ppr"),
+                F.when(F.col("node") >= _PR_OFF, F.lit("customer"))
+                .otherwise(F.lit("supplier"))
+                .alias("node_type"),
+            )
+            .where(F.col("ppr") > 0)
+            .orderBy(F.col("ppr").desc(), "node")
+            .limit(20)
+            .localCheckpoint(eager=True)
+        )
+    return top
+
+
 def _modularity_oracle(iters: int = _LPA_ITERS) -> str:
     """The LPA oracle's CTE chain + Newman modularity aggregation:
     intra/degree counts by joining both edge endpoints against the

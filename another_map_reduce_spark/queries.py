@@ -72,6 +72,7 @@ _ORDER_FRONT = [
     "schema_evolution_merge",
     "dedup_cc_incremental",
     "graph_community_modularity",
+    "ppr_seed_suppliers",
     # r10 semantic change (minted-symbol selection now matches the
     # production operator + oracle) — its r9 row pinned the OLD rule,
     # so it re-fronts for a fresh driver row:
@@ -119,15 +120,15 @@ _ORDER_NEXT_R9 = [
     "stream_funnel_stateful",
     "cdc_upsert_balances",
     "udaf_median_doclen",
-    "lm_novelty_score",
 ]
-# The r10 additions + the 40 staged oldest rows fill the window
-# exactly (10 + 40 = 50); the whole remaining r7 cohort is pre-staged
-# for r11 below.
+# The r10 additions + the head of the staged oldest rows fill the
+# window exactly (11 + 39 = 50); the 40th staged query rolls to r11
+# with the rest of the r7 cohort.
 _ORDER_R7_HEAD: list[str] = []
 # The rest of the r7 cohort (r7 order) fronts the r11 window; then
 # the r8 cohort.
 _ORDER_NEXT_R10 = [
+    "lm_novelty_score",
     "ann_ivf_incremental",
     "dedup_containment",
     "histogram_quantile_rollup",
