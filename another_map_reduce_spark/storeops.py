@@ -129,11 +129,15 @@ def read_table(
     check for tables that never delete.
 
     ``generation=G`` is TIME TRAVEL: read generation G's directory
-    as-is — the committed snapshot as of its compaction (everything
-    tombstoned before that compaction is already excised; tombstones
-    appended SINCE belong to the next epoch and are deliberately not
-    applied, so the read is a consistent point-in-time view — e.g.
-    "what did the index contain before this takedown").  Requires the
+    as-is.  Because appends land in the LIVE generation's directory, a
+    retained old generation holds the raw rows as of the moment it
+    STOPPED being live — i.e. the pre-compaction state when G+1 was
+    committed: everything tombstoned before G's compaction is already
+    excised, rows appended OR tombstoned during G's tenure are present
+    (their excision happened in G+1).  That is exactly the takedown
+    audit view — "what did the table hold before this compaction's
+    batch of deletes" — and it is immutable from the moment G+1
+    commits (pinned by the model-based lifecycle test).  Requires the
     generation to still exist: compactions keep ``keep_generations``
     old snapshots (default 0 — retention is an explicit opt-in, the
     Iceberg/Delta snapshot-expiry knob)."""

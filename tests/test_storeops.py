@@ -510,3 +510,68 @@ def test_retention_and_time_travel(spark, tmp_path):
     # default retention (0) still GCs everything stale
     compact_table(spark, table, id_col="k")
     assert not os.path.isdir(f"{str(tmp_path / 'tbl')}__gen_000002")
+
+
+def test_model_based_random_lifecycle(spark, tmp_path):
+    """Model-based check: a seeded random walk of append / delete /
+    compact(keep∈{0,1}) operations against a pure-Python reference
+    model — after EVERY op the live view equals the model, and after
+    every compact the retained snapshot equals the model as-of the
+    previous compact."""
+    import random
+
+    rng = random.Random(20260815)
+    table = str(tmp_path / "fuzz")
+    model: set[int] = set(range(10))       # live view (tombstones applied)
+    raw_model: set[int] = set(model)       # physical rows of the live gen
+    spark.createDataFrame(
+        [(k,) for k in sorted(model)], "k long"
+    ).write.mode("overwrite").parquet(table)
+    next_k = 10
+    # snapshot[G] = raw rows of gen G frozen when G+1 committed
+    snapshots: dict[int, set[int]] = {}
+
+    def live() -> set[int]:
+        return {r.k for r in read_table(spark, table, id_col="k").collect()}
+
+    for step in range(18):
+        op = rng.choice(["append", "delete", "delete", "compact"])
+        if op == "append":
+            batch = list(range(next_k, next_k + rng.randint(1, 4)))
+            next_k += len(batch)
+            spark.createDataFrame(
+                [(k,) for k in batch], "k long"
+            ).write.mode("append").parquet(resolve_table(table))
+            model |= set(batch)
+            raw_model |= set(batch)
+        elif op == "delete":
+            pool = sorted(model) or [0]
+            doomed = set(rng.sample(pool, min(2, len(pool))))
+            doomed.add(next_k + 1000 + step)  # an absent id — must no-op
+            append_tombstones(
+                spark.createDataFrame([(k,) for k in sorted(doomed)], "k long"),
+                table,
+                "k",
+            )
+            model -= doomed  # logical only: raw rows stay until compact
+        else:
+            keep = rng.randint(0, 1)
+            gen_before = current_generation(table)
+            # gen_before's dir freezes NOW, holding its raw rows
+            snapshots[gen_before] = set(raw_model)
+            compact_table(spark, table, id_col="k", keep_generations=keep)
+            raw_model = set(model)  # excision happened
+            if keep == 1 and gen_before > 0:
+                old = {
+                    r.k
+                    for r in read_table(
+                        spark, table, generation=gen_before
+                    ).collect()
+                }
+                assert old == snapshots[gen_before], f"step {step}"
+        assert live() == model, f"step {step} op {op}"
+    # end state: one more compact fully reconciles disk with the model
+    compact_table(spark, table, id_col="k")
+    assert {
+        r.k for r in spark.read.parquet(resolve_table(table)).collect()
+    } == model
