@@ -266,6 +266,84 @@ def class_balanced_sample(
     )
 
 
+_PRIORITY_SALT = "amrs-priority-v1"
+_PRIORITY_SPACE = float(1 << 52)  # 2^52, exact in double
+
+
+def priority_sample(
+    df: DataFrame,
+    key: Column,
+    weight: Column,
+    k: int,
+    salt: str = _PRIORITY_SALT,
+) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup, JACM 2007): a
+    weight-aware sample of exactly ``k`` rows that supports UNBIASED
+    subset-sum estimation — the sampling scheme for "estimate any
+    future SUM over this 100 TB table from k rows" workloads, strictly
+    better than Bernoulli-per-row for heavy-tailed weights (a huge row
+    is kept with probability → 1 instead of contributing variance).
+
+    Each row draws priority q = w / u with u uniform on (0,1]; the k
+    largest-priority rows are kept, and τ = the (k+1)-th priority is
+    the Horvitz–Thompson threshold: Σ max(w_i, τ) over the sample is
+    an unbiased estimator of ANY subset's true weight sum.
+
+    Determinism (the suite's no-rand() rule): u = (h+1)/2^52 with h
+    the kmv-style 52-bit md5 hash of (salt || key) — h+1 ≤ 2^52 is
+    exact in a double and the two divisions (u, then w/u) are
+    correctly-rounded IEEE ops, so both engines draw bit-identical
+    priorities and the kept set is engine-exact, rerun-stable, and
+    append-stable (old rows keep their priorities; an append only
+    competes at the τ boundary).
+
+    Plan shape: the priority is a pure projection (no shuffle);
+    selecting the top k+1 is Spark's distributed TakeOrdered (per-
+    partition top-(k+1), then a (k+1)·P-row merge) — never a global
+    sort — and the window that ranks / extracts τ runs on the (k+1)-row
+    result.  Output: the k kept rows as (key, weight, priority, τ,
+    ht_weight = max(w, τ)) with priorities rounded for display only
+    AFTER selection.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 13),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(_PRIORITY_SPACE)
+    q = weight.cast("double") / u
+    cand = (
+        df.select(
+            key.alias("_key"),
+            weight.cast("double").alias("_w"),
+            q.alias("_q"),
+        )
+        .orderBy(F.desc("_q"), F.asc("_key"))
+        .limit(k + 1)
+    )
+    w_all = Window.orderBy(F.desc("_q"), F.asc("_key")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_rank = Window.orderBy(F.desc("_q"), F.asc("_key"))
+    tau = F.max(F.when(F.row_number().over(w_rank) == k + 1, F.col("_q"))).over(
+        w_all
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w_rank))
+        # A corpus with ≤ k rows has no (k+1)-th priority: τ = 0 keeps
+        # ht_weight = w exactly (the sample is then a census).
+        .withColumn("_tau", F.coalesce(tau, F.lit(0.0)))
+        .where(F.col("_rn") <= k)
+        .select(
+            F.col("_key"),
+            F.col("_w"),
+            F.col("_q"),
+            F.col("_tau"),
+            F.greatest(F.col("_w"), F.col("_tau")).alias("_ht"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Intra-document repetition signals (Gopher-style quality filters)
 # ---------------------------------------------------------------------------

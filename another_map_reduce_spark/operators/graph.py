@@ -672,3 +672,67 @@ def community_modularity(
             ).alias("q_contrib"),
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 3,
+    checkpoint_every: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """HITS (Kleinberg 1999) over a DIRECTED edge list (src, dst) →
+    (hubs: (node, score), authorities: (node, score)), L1-normalized
+    each half-step — the hub/authority complement to PageRank's single
+    centrality: on a bipartite who-supplies-whom graph, hubs are the
+    broadly-sourcing side and authorities the broadly-sourced side,
+    and unlike PageRank the two sides are scored by MUTUAL
+    reinforcement (a good hub points at good authorities and vice
+    versa), not by random-walk mass.
+
+    Determinism (the pagerank contract, `plans/analytics.py`):
+    contributions are summed in DECIMAL(38,18) (order-free), each
+    normalization is ONE correctly-rounded IEEE division by the
+    decimal-exact L1 total cast to double, and no libm call appears —
+    so an unrolled-CTE SQL oracle hash-matches bit-for-bit.
+
+    Scale shape (the pagerank lineage discipline): edges are hash-
+    partitioned by the join side of each half-step ONCE (two cached
+    copies, src- and dst-partitioned) and lazily localCheckpoint-ed;
+    every half-step is one shuffle_hash join of the node-sized score
+    table against cached edge blocks (build side = scores) plus one
+    grouped decimal sum; the L1 total is a 1-row broadcast.  Score
+    tables are checkpointed every ``checkpoint_every`` rounds so long
+    runs don't compound plan replay.
+    """
+    e_src = edges.repartition("src").localCheckpoint(eager=False)
+    e_dst = edges.repartition("dst").localCheckpoint(eager=False)
+    hubs = (
+        e_src.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.lit(1.0).alias("score"))
+    )
+
+    def _half(
+        scores: DataFrame, edge_cached: DataFrame, from_col: str, to_col: str
+    ) -> DataFrame:
+        raw = (
+            edge_cached.join(
+                scores.hint("shuffle_hash"),
+                edge_cached[from_col] == scores.node,
+            )
+            .groupBy(F.col(to_col).alias("node"))
+            .agg(F.sum(F.col("score").cast("decimal(38,18)")).alias("m"))
+        )
+        tot = raw.agg(F.sum("m").cast("double").alias("t"))
+        return raw.crossJoin(F.broadcast(tot)).select(
+            "node",
+            (F.col("m").cast("double") / F.col("t")).alias("score"),
+        )
+
+    auths = None
+    for i in range(iters):
+        auths = _half(hubs, e_src, "src", "dst")
+        hubs = _half(auths, e_dst, "dst", "src")
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            hubs = hubs.localCheckpoint(eager=False)
+            auths = auths.localCheckpoint(eager=False)
+    return hubs, auths

@@ -250,3 +250,115 @@ def theta_intersect_estimate(a, b, k: int) -> "F.Column":
     return F.round(
         below.cast("double") * F.lit(_KMV_SPACE) / theta.cast("double"), 4
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+#
+# The missing member of the suite's mergeable-summary family (beside
+# Misra–Gries candidates, KMV/theta distinct sketches, HLL, and
+# fixed-grid histograms): a d×w integer counter grid answering point
+# frequency queries with one-sided error — est(x) ≥ true(x) always,
+# est(x) ≤ true(x) + 2n/w with probability ≥ 1 − 2^−d.  Unlike
+# Misra–Gries it supports WEIGHTED updates and is a plain integer
+# matrix under (+), so per-partition / per-day grids merge by cell
+# addition — the store-partials contract every sketch here follows.
+#
+# Determinism: row-j bucket = md5-derived 52-bit integer of
+# 'cms{j}#key' mod width — the kmv_hash idiom, replayable bit-exactly
+# in ANSI SQL — and every counter is a BIGINT, so a DuckDB oracle
+# hash-matches the estimates EXACTLY, not within a tolerance.
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 512
+
+
+def cms_bucket(key, row: int, width: int = _CMS_WIDTH) -> "F.Column":
+    """Row-``row`` bucket of ``key``: leading 13 hex chars of
+    md5('cms{row}#' || key) as BIGINT, mod ``width``.  Identical SQL:
+    ``CAST('0x' || substr(md5('cms{row}#' || key), 1, 13) AS BIGINT)
+    % width`` (hash ≥ 0, so truncated and floored mod agree)."""
+    col = F.col(key) if isinstance(key, str) else key
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"cms{row}#"), col.cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = _CMS_DEPTH,
+    width: int = _CMS_WIDTH,
+) -> DataFrame:
+    """Build the counter grid: (j, b, c) rows, j < depth, b < width.
+
+    Two-level aggregation keeps the sketch build corpus-shaped, not
+    sketch-shaped: the raw stream first collapses to (key, count) with
+    map-side combine (the one corpus-sized exchange — the same
+    exchange an exact GROUP BY needs), then each distinct key explodes
+    into ``depth`` (j, bucket) cells and a second tiny shuffle sums
+    ≤ depth·width counters.  Weighted streams: pre-aggregate to
+    (key, weight) and pass ``weight_col``-shaped input through the
+    same explode (the grid is linear, so any (key → weight) frame
+    works); this helper takes raw rows for the common count case.
+    """
+    keyed = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_c"))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                cms_bucket(key_col, j, width).alias("b"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        keyed.select(F.explode(cells).alias("r"), "_c")
+        .groupBy(F.col("r.j").alias("j"), F.col("r.b").alias("b"))
+        .agg(F.sum("_c").cast("long").alias("c"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = _CMS_DEPTH,
+    width: int = _CMS_WIDTH,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes[key_col]``: min over the
+    d counters each probe hashes to (missing cell ⇒ 0 via left join —
+    a probe never seen by the build).  The probe frame is tiny by
+    construction (a candidate list), so the join broadcasts it against
+    the ≤ d·w-row grid; output is (key, cms_est)."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                cms_bucket(key_col, j, width).alias("b"),
+            )
+            for j in range(depth)
+        ]
+    )
+    pb = probes.select(key_col, F.explode(cells).alias("r")).select(
+        key_col, F.col("r.j").alias("j"), F.col("r.b").alias("b")
+    )
+    return (
+        pb.join(counters, ["j", "b"], "left")
+        .groupBy(key_col)
+        .agg(
+            F.min(F.coalesce(F.col("c"), F.lit(0)))
+            .cast("long")
+            .alias("cms_est")
+        )
+    )

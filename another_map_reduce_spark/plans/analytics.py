@@ -3767,6 +3767,198 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg) — mutual-reinforcement centrality
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 3
+
+
+def _hits_oracle(iters: int = _HITS_ITERS) -> str:
+    """Unrolled HITS SQL over the DIRECTED supplier→customer trade
+    graph: per half-step one decimal-sum join CTE plus one L1
+    normalization by the decimal-exact total cast to double — the
+    identical arithmetic `operators.graph.hits` performs."""
+    parts = [
+        f"""
+WITH e0 AS (
+  SELECT DISTINCT l_suppkey AS src, {_PR_OFF} + o_custkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), h0 AS (
+  SELECT DISTINCT src AS node, 1.0 AS score FROM e0
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", ar{i} AS (
+  SELECT e.dst AS node, SUM(CAST(h.score AS DECIMAL(38,18))) AS m
+  FROM e0 e JOIN h{i - 1} h ON e.src = h.node GROUP BY 1
+), a{i} AS (
+  SELECT node,
+         CAST(m AS DOUBLE)
+           / (SELECT CAST(SUM(m) AS DOUBLE) FROM ar{i}) AS score
+  FROM ar{i}
+), hr{i} AS (
+  SELECT e.src AS node, SUM(CAST(a.score AS DECIMAL(38,18))) AS m
+  FROM e0 e JOIN a{i} a ON e.dst = a.node GROUP BY 1
+), h{i} AS (
+  SELECT node,
+         CAST(m AS DOUBLE)
+           / (SELECT CAST(SUM(m) AS DOUBLE) FROM hr{i}) AS score
+  FROM hr{i}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT * FROM (
+  SELECT 'authority' AS kind, node, round(score, 9) AS score
+  FROM a{iters} ORDER BY round(score, 9) DESC, node LIMIT 10
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 'hub' AS kind, node, round(score, 9) AS score
+  FROM h{iters} ORDER BY round(score, 9) DESC, node LIMIT 10
+)
+ORDER BY kind, score DESC, node"""
+    )
+    return "".join(parts)
+
+
+@register("hits_hubs_authorities", oracle=_hits_oracle())
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999) over the DIRECTED supplier→customer trade
+    graph (`operators.graph.hits`): the mutual-reinforcement
+    centrality that completes the graph family's ranking axis —
+    PageRank/PPR answer "where does random-walk mass settle on the
+    symmetrized graph"; HITS answers "which suppliers source the most
+    important customers, where importance is defined by being sourced
+    by important suppliers" — the two-sided question a bipartite
+    trade/citation/link graph actually poses.  Top-10 authorities
+    (customers) and top-10 hubs (suppliers), L1-normalized.
+
+    Determinism: the pagerank contract — decimal(38,18) contribution
+    sums (fold-order-free), one IEEE division per node per half-step
+    by the decimal-exact L1 total, top-k ordered by the ROUNDED score
+    with the node id tie-break — so the unrolled-CTE oracle
+    hash-matches bit-for-bit.  Scale shape: per half-step ONE
+    shuffle_hash join of the node-sized score table against src- or
+    dst-partitioned cached edge blocks + one grouped decimal sum + a
+    1-row broadcast total; the corpus-sized edge list never
+    re-shuffles (BENCH_SCALE_r9rel's measured per-round discipline).
+    [extension] — the reference has no graph surface.
+    """
+    from another_map_reduce_spark.operators.graph import hits
+    from another_map_reduce_spark.plans.relational import (
+        _stream_shuffle_partitions,
+    )
+    from another_map_reduce_spark.session import shuffle_width
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.lit(_PR_OFF) + F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    n_orders = orders.count()
+    width = max(8, min(shuffle_width(spark), n_orders // 20_000))
+    with _stream_shuffle_partitions(spark, width):
+        hubs, auths = hits(e0, iters=_HITS_ITERS)
+
+        def _top(df: DataFrame, kind: str) -> DataFrame:
+            return (
+                df.select(
+                    F.lit(kind).alias("kind"),
+                    "node",
+                    F.round("score", 9).alias("score"),
+                )
+                .orderBy(F.desc("score"), "node")
+                .limit(10)
+            )
+
+        out = (
+            _top(auths, "authority")
+            .unionByName(_top(hubs, "hub"))
+            .orderBy("kind", F.desc("score"), "node")
+            .localCheckpoint(eager=True)
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Last-touch revenue attribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+WITH touched AS (
+  SELECT event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM events
+)
+SELECT COALESCE(touch, 'direct') AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM touched
+WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY 1
+""",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH REVENUE ATTRIBUTION — the standard marketing/growth
+    question over an event stream: each purchase's value is credited
+    to the user's most recent PRIOR non-purchase interaction (its
+    event_type is the "channel" here), or to 'direct' when the
+    purchase is the user's first touch.  Completes the event-analytics
+    family (funnel = did the sequence complete, cohort = when did
+    users return, transition matrix = what follows what, attribution =
+    WHICH touch gets the revenue).
+
+    One user-partitioned window (``last(..., ignorenulls=True)`` over
+    rows UNBOUNDED PRECEDING..1 PRECEDING, ts+event_id deterministic
+    order) carries the latest touch forward to every event — a single
+    user-keyed exchange, no self-join against purchases, which is
+    exactly the shape that survives 100 TB event logs (the window is
+    per-user local work after the one shuffle; the report aggregate is
+    |channels|-sized).  Revenue sums in DECIMAL(38,6) (the dsum
+    contract) so the hash can't drift.  [extension].
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("touch", touch)
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            dsum("value", "revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
 # Registry-order repair: if THIS module was the user's first import, the
 # circular import through queries._load() saw it partially initialized
 # and ordered the registry without its entries (they append afterwards).

@@ -219,6 +219,60 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "priority_sample_docs",
+    oracle="""
+WITH pr AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+         CAST(n_chars AS DOUBLE) /
+           ((CAST('0x' || substr(md5('amrs-priority-v1'
+                                     || CAST(doc_id AS VARCHAR)), 1, 13)
+                  AS BIGINT) + 1) / 4503599627370496.0) AS q
+  FROM documents
+), ranked AS (
+  SELECT doc_id, w, q,
+         row_number() OVER (ORDER BY q DESC, doc_id) AS rn
+  FROM pr
+), tau AS (
+  SELECT q AS t FROM ranked WHERE rn = 33
+)
+SELECT doc_id, CAST(w AS BIGINT) AS n_chars,
+       round(q, 4) AS priority,
+       round(GREATEST(w, (SELECT t FROM tau)), 4) AS ht_weight
+FROM ranked WHERE rn <= 32
+ORDER BY q DESC, doc_id
+""",
+)
+def priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIORITY SAMPLING (Duffield–Lund–Thorup 2007) of 32 documents
+    weighted by n_chars (`operators.datapipe.priority_sample`): the
+    weight-aware fixed-size sample whose Horvitz–Thompson column
+    ht_weight = max(w, τ) gives unbiased subset-sum estimates — the
+    third member of the sampling family (stratified = rate per
+    stratum, class-balanced = equal counts, priority = optimal for
+    subset-SUM estimation under heavy-tailed weights).
+
+    Priorities are w/u with u drawn bit-identically on both engines
+    from the 52-bit md5 hash of the doc id (no rand()), so the kept
+    set, τ, and every HT weight hash-match the SQL replay exactly.
+    Selection is Spark's distributed top-(k+1) (per-partition heads,
+    (k+1)·P-row merge — never a global sort); the ranking window runs
+    on the 33-row result.  [extension].
+    """
+    from another_map_reduce_spark.operators.datapipe import priority_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    picked = priority_sample(
+        docs, F.col("doc_id"), F.col("n_chars"), k=32
+    )
+    return picked.select(
+        F.col("_key").alias("doc_id"),
+        F.col("_w").cast("long").alias("n_chars"),
+        F.round("_q", 4).alias("priority"),
+        F.round("_ht", 4).alias("ht_weight"),
+    ).orderBy(F.desc("_q"), "doc_id")
+
+
+@register(
     "class_balanced_sample",
     oracle="""
 WITH ranked AS (

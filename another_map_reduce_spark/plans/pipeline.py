@@ -353,8 +353,8 @@ def unicode_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ideographic punctuation, and fully UNSEGMENTED Chinese (doc 7 — no
     whitespace at all, one ws-token) read 'und' under whitespace
     tokens (lang_ws) but identify correctly under unicode tokens with
-    split_cjk char-level voting (lang_uni — \p{{IsHan}} ≡ RE2
-    \p{{Han}}, verified bit-identical); é/ü/我 count as letters in
+    split_cjk char-level voting (lang_uni — \\p{{IsHan}} ≡ RE2
+    \\p{{Han}}, verified bit-identical); é/ü/我 count as letters in
     alpha_chars instead of as punctuation.
     The fixture is a deterministic VALUES literal on both sides — the
     tokenizer semantics ARE the thing under test, so the corpus
@@ -2071,6 +2071,99 @@ def heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(_ws_tokens(F.col("text"))).alias("word")
     )
     return heavy_hitters_exact(words, theta=_HH_THETA)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch point-frequency estimates (Cormode–Muthukrishnan)
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 512
+
+
+def _cms_oracle(depth: int = _CMS_D, width: int = _CMS_W) -> str:
+    """SQL replay of the Count-Min grid: the same md5-derived row
+    buckets (operators.sketches.cms_bucket spelling), the same
+    BIGINT cell sums, the same min-over-rows estimate."""
+    js = ", ".join(str(j) for j in range(depth))
+    return f"""
+WITH w AS (
+  SELECT unnest({_TOKENS}) AS word FROM documents
+), kc AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY word
+), cells AS (
+  SELECT word, cnt, j,
+         CAST('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || '#' || word),
+                             1, 13) AS BIGINT) % {width} AS b
+  FROM kc, (SELECT unnest([{js}]) AS j)
+), grid AS (
+  SELECT j, b, CAST(SUM(cnt) AS BIGINT) AS c FROM cells GROUP BY j, b
+), top AS (
+  SELECT word, cnt FROM kc ORDER BY cnt DESC, word LIMIT 20
+), est AS (
+  SELECT c2.word, MIN(g.c) AS cms_est
+  FROM cells c2 JOIN grid g USING (j, b)
+  WHERE c2.word IN (SELECT word FROM top)
+  GROUP BY c2.word
+)
+SELECT t.word, t.cnt AS exact_cnt, CAST(e.cms_est AS BIGINT) AS cms_est,
+       CAST(e.cms_est - t.cnt AS BIGINT) AS overestimate
+FROM top t JOIN est e ON t.word = e.word
+ORDER BY exact_cnt DESC, t.word
+"""
+
+
+@register("cms_word_frequency", oracle=_cms_oracle())
+def cms_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH point-frequency estimates, verified against the
+    exact counts in the same result: build the d×w integer grid over
+    corpus words (`operators.sketches.cms_build`), probe it for the 20
+    most frequent words, and report exact count, CMS estimate, and the
+    (provably ≥ 0) overestimate.  Complements the Misra–Gries
+    candidate sketch (heavy_hitter_words): CMS answers ANY point query
+    from d·w integers — including items MG evicted — and takes
+    weighted updates; MG bounds the candidate set.
+
+    Everything is integer arithmetic over md5-derived buckets, so the
+    DuckDB oracle replays the grid bit-for-bit — the estimate column
+    is hash-exact, not a tolerance check.  Scale shape: the build's
+    only corpus-sized exchange is the same (word, count) collapse an
+    exact GROUP BY needs; the grid itself is ≤ d·w rows and merges
+    across partitions/days by cell addition (mergeable-summaries
+    contract).  The probe broadcasts 20 rows against the grid.
+    [extension] — the reference's only aggregate is count-by-key
+    (`/root/reference/src/worker.rs:36-38`).
+    """
+    from another_map_reduce_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from another_map_reduce_spark.operators.text_analysis import _ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(_ws_tokens(F.col("text"))).alias("word")
+    )
+    grid = cms_build(words, "word", depth=_CMS_D, width=_CMS_W)
+    top = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "word")
+        .limit(20)
+    )
+    est = cms_estimate(
+        grid, top.select("word"), "word", depth=_CMS_D, width=_CMS_W
+    )
+    return (
+        top.join(est, "word")
+        .select(
+            "word",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_cnt"), "word")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -77,6 +77,11 @@ _ORDER_FRONT = [
     # production operator + oracle) — its r9 row pinned the OLD rule,
     # so it re-fronts for a fresh driver row:
     "bpe_train_batched_rounds",
+    # r10 second-wave additions (never had a driver row):
+    "cms_word_frequency",
+    "priority_sample_docs",
+    "hits_hubs_authorities",
+    "attribution_last_touch",
 ]
 # The 40 oldest-row queries staged by the r9 rotation (r6-cohort
 # remainder + r7 cohort) — positions 7-46 of the r10 window.
@@ -121,9 +126,9 @@ _ORDER_NEXT_R9 = [
     "cdc_upsert_balances",
     "udaf_median_doclen",
 ]
-# The r10 additions + the head of the staged oldest rows fill the
-# window exactly (11 + 39 = 50); the 40th staged query rolls to r11
-# with the rest of the r7 cohort.
+# The r10 additions (11 first-wave + 4 second-wave) + the head of the
+# staged oldest rows fill the window exactly (15 + 35 = 50); the last
+# 5 staged queries roll to r11 with the rest of the r7 cohort.
 _ORDER_R7_HEAD: list[str] = []
 # The rest of the r7 cohort (r7 order) fronts the r11 window; then
 # the r8 cohort.

@@ -1187,3 +1187,183 @@ def test_community_modularity_hand_computed(spark):
         1: (3, 6, 7, 0.178571),
         3: (3, 6, 7, 0.178571),
     }
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+
+def test_cms_estimate_never_underestimates_and_is_exact_when_sparse(spark):
+    from another_map_reduce_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    words = ["alpha"] * 7 + ["beta"] * 3 + ["gamma"] * 1
+    df = spark.createDataFrame([(w,) for w in words], ["word"])
+    exact = {"alpha": 7, "beta": 3, "gamma": 1}
+
+    # Wide grid: no collisions possible among 3 keys × 4 rows → exact.
+    grid = cms_build(df, "word", depth=4, width=512)
+    probes = spark.createDataFrame([(w,) for w in exact], ["word"])
+    est = {
+        r.word: r.cms_est
+        for r in cms_estimate(grid, probes, "word", 4, 512).collect()
+    }
+    assert est == exact
+
+    # Tiny grid: collisions are forced (3 keys, width 2) — the
+    # one-sided guarantee must hold: est ≥ exact for every key, and
+    # the total mass of any row equals n.
+    grid2 = cms_build(df, "word", depth=2, width=2)
+    est2 = {
+        r.word: r.cms_est
+        for r in cms_estimate(grid2, probes, "word", 2, 2).collect()
+    }
+    assert all(est2[w] >= c for w, c in exact.items())
+    per_row = {
+        r.j: r.tot
+        for r in grid2.groupBy("j")
+        .agg(F.sum("c").alias("tot"))
+        .collect()
+    }
+    assert per_row == {0: len(words), 1: len(words)}
+
+
+def test_cms_grids_merge_by_cell_addition(spark):
+    from another_map_reduce_spark.operators.sketches import cms_build
+
+    a = spark.createDataFrame(
+        [(w,) for w in ["x"] * 4 + ["y"] * 2], ["word"]
+    )
+    b = spark.createDataFrame(
+        [(w,) for w in ["y"] * 3 + ["z"] * 5], ["word"]
+    )
+    union_grid = {
+        (r.j, r.b): r.c
+        for r in cms_build(a.unionByName(b), "word", 3, 8).collect()
+    }
+    ga = cms_build(a, "word", 3, 8)
+    gb = cms_build(b, "word", 3, 8)
+    merged = {
+        (r.j, r.b): r.c
+        for r in ga.unionByName(gb)
+        .groupBy("j", "b")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .collect()
+    }
+    assert merged == union_grid
+
+
+def test_cms_probe_unseen_key_estimates_zero_or_collision(spark):
+    from another_map_reduce_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame([("seen",)], ["word"])
+    grid = cms_build(df, "word", depth=4, width=512)
+    probes = spark.createDataFrame([("never",)], ["word"])
+    [row] = cms_estimate(grid, probes, "word", 4, 512).collect()
+    # With one seen key and width 512, all 4 of "never"'s buckets are
+    # almost surely empty — but the contract is only est ≥ 0; pin the
+    # left-join-missing-cell-is-zero behavior via the min bound.
+    assert 0 <= row.cms_est <= 1
+
+
+# ---------------------------------------------------------------------------
+# HITS (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+
+def test_hits_matches_numpy_on_known_graph(spark):
+    from another_map_reduce_spark.operators.graph import hits
+
+    # s1 → {c1, c2, c3}; s2 → {c3}: s1 is the stronger hub, and c3
+    # (sourced by both) the stronger authority vs c1/c2 after mutual
+    # reinforcement.
+    edges = [(1, 101), (1, 102), (1, 103), (2, 103)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    hubs, auths = hits(e, iters=3)
+    h = {r.node: r.score for r in hubs.collect()}
+    a = {r.node: r.score for r in auths.collect()}
+
+    # Independent replay in float (decimal rounding differs at ~1e-18;
+    # compare loosely).
+    import numpy as np
+
+    hh = {1: 1.0, 2: 1.0}
+    for _ in range(3):
+        aa = {}
+        for s, c in edges:
+            aa[c] = aa.get(c, 0.0) + hh[s]
+        tot = sum(aa.values())
+        aa = {k: v / tot for k, v in aa.items()}
+        hh = {}
+        for s, c in edges:
+            hh[s] = hh.get(s, 0.0) + aa[c]
+        tot = sum(hh.values())
+        hh = {k: v / tot for k, v in hh.items()}
+    for k in hh:
+        assert abs(h[k] - hh[k]) < 1e-12
+    for k in aa:
+        assert abs(a[k] - aa[k]) < 1e-12
+    assert h[1] > h[2]
+    assert a[103] > a[101] == a[102]
+    assert abs(sum(h.values()) - 1.0) < 1e-12
+    assert abs(sum(a.values()) - 1.0) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution (plans/analytics.py)
+# ---------------------------------------------------------------------------
+
+
+def test_attribution_credits_latest_prior_touch_and_direct(spark, tmp_path):
+    import datetime as dt
+
+    from another_map_reduce_spark.plans.analytics import (
+        attribution_last_touch,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, secs, typ, val):
+        return (eid, t0 + dt.timedelta(seconds=secs), uid, typ, val, "{}")
+
+    rows = [
+        # user 1: view → purchase (credited to view), then click →
+        # purchase (credited to click: LATEST prior touch wins).
+        ev(1, 1, 0, "view", 0.0),
+        ev(2, 1, 10, "purchase", 100.0),
+        ev(3, 1, 20, "click", 0.0),
+        ev(4, 1, 30, "purchase", 50.0),
+        # user 2: purchase with NO prior touch → 'direct'.
+        ev(5, 2, 0, "purchase", 7.0),
+        # user 3: same-timestamp tie — event_id order breaks it, so
+        # the view (id 6) precedes the purchase (id 7).
+        ev(6, 3, 0, "view", 0.0),
+        ev(7, 3, 0, "purchase", 9.0),
+        # back-to-back purchases: the second still credits the touch
+        # BEFORE both (purchases never become touches).
+        ev(8, 2, 10, "signup", 0.0),
+        ev(9, 2, 20, "purchase", 1.0),
+        ev(10, 2, 30, "purchase", 2.0),
+    ]
+    p = str(tmp_path / "events.parquet")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).write.parquet(p)
+    # attribution loads "<dir>/events.parquet"
+    got = {
+        r.channel: (r.n_purchases, r.revenue)
+        for r in attribution_last_touch(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "view": (2, 109.0),   # 100 (user1 first) + 9 (user3 tie)
+        "click": (1, 50.0),
+        "direct": (1, 7.0),
+        "signup": (2, 3.0),   # both back-to-back purchases
+    }

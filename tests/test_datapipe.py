@@ -313,3 +313,64 @@ def test_pps_sample_is_weight_proportional_and_deterministic(spark, sf_dir):
     # row spans 2+ steps
     assert 0 < total_kept <= _PPS_N
     assert total_kept >= _PPS_N * 0.9  # no pathological collapse
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling (operators/datapipe.py)
+# ---------------------------------------------------------------------------
+
+
+def test_priority_sample_matches_exhaustive_replay(spark):
+    import hashlib
+
+    from another_map_reduce_spark.operators.datapipe import priority_sample
+
+    rows = [(i, (i * 37) % 100 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    k = 16
+    got = priority_sample(df, F.col("id"), F.col("w"), k=k).collect()
+
+    # Independent Python replay of the exact arithmetic.
+    def q(i, w):
+        h = int(
+            hashlib.md5(f"amrs-priority-v1{i}".encode()).hexdigest()[:13], 16
+        )
+        u = (h + 1) / float(1 << 52)
+        return float(w) / u
+
+    pri = sorted(((q(i, w), i, w) for i, w in rows), key=lambda t: (-t[0], t[1]))
+    tau = pri[k][0]
+    expect = [(i, float(w), qv, tau, max(float(w), tau)) for qv, i, w in pri[:k]]
+    assert [(r._key, r._w, r._q, r._tau, r._ht) for r in got] == expect
+
+
+def test_priority_sample_census_when_corpus_fits(spark):
+    from another_map_reduce_spark.operators.datapipe import priority_sample
+
+    df = spark.createDataFrame([(1, 10), (2, 20)], ["id", "w"])
+    got = priority_sample(df, F.col("id"), F.col("w"), k=5).collect()
+    # ≤ k rows: everything kept, τ = 0, HT weight = true weight (the
+    # estimator degenerates to the exact sum).
+    assert sorted((r._key, r._tau, r._ht) for r in got) == [
+        (1, 0.0, 10.0),
+        (2, 0.0, 20.0),
+    ]
+
+
+def test_priority_sample_is_rerun_and_partitioning_stable(spark):
+    from another_map_reduce_spark.operators.datapipe import priority_sample
+
+    rows = [(i, i % 7 + 1) for i in range(100)]
+    a = priority_sample(
+        spark.createDataFrame(rows, ["id", "w"]).repartition(13),
+        F.col("id"),
+        F.col("w"),
+        k=10,
+    ).collect()
+    b = priority_sample(
+        spark.createDataFrame(rows, ["id", "w"]).coalesce(1),
+        F.col("id"),
+        F.col("w"),
+        k=10,
+    ).collect()
+    assert a == b
