@@ -1303,6 +1303,163 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=10)
 
 
+_MMR_POOL = 24   # candidate pool (top-N by relevance)
+_MMR_K = 8       # diversified picks
+_MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle(pool: int = _MMR_POOL, k: int = _MMR_K) -> str:
+    """Unrolled greedy-MMR SQL: candidate pool + pairwise-sim CTEs,
+    then one (pick, selected-set) CTE pair per round — the pagerank
+    unrolling discipline applied to a greedy selection."""
+    lam = "CAST(0.7 AS DOUBLE)"
+    mu = "CAST(0.3 AS DOUBLE)"
+    cos_ab = (
+        "list_dot_product(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) / "
+        "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(a.embedding AS DOUBLE[]))) * "
+        "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[]))))"
+    )
+    cos_xy = (
+        "list_dot_product(CAST(x.emb AS DOUBLE[]), "
+        "CAST(y.emb AS DOUBLE[])) / "
+        "(sqrt(list_dot_product(CAST(x.emb AS DOUBLE[]), "
+        "CAST(x.emb AS DOUBLE[]))) * "
+        "sqrt(list_dot_product(CAST(y.emb AS DOUBLE[]), "
+        "CAST(y.emb AS DOUBLE[]))))"
+    )
+    parts = [
+        f"""
+WITH cand AS MATERIALIZED (
+  SELECT b.vec_id AS cid, {cos_ab} AS rel, b.embedding AS emb
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id = 0 AND b.vec_id <> 0
+  ORDER BY rel DESC, cid LIMIT {pool}
+), sims AS MATERIALIZED (
+  SELECT x.cid AS c1, y.cid AS c2, {cos_xy} AS sim
+  FROM cand x, cand y WHERE x.cid <> y.cid
+), p1 AS MATERIALIZED (
+  SELECT cid, {lam} * rel - {mu} * CAST(0.0 AS DOUBLE) AS score, rel
+  FROM cand ORDER BY score DESC, cid LIMIT 1
+), sel1 AS MATERIALIZED (SELECT cid FROM p1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f""", p{i} AS MATERIALIZED (
+  SELECT c.cid,
+         {lam} * c.rel
+           - {mu} * (SELECT MAX(s.sim) FROM sims s
+                     WHERE s.c1 = c.cid
+                       AND s.c2 IN (SELECT cid FROM sel{i - 1})) AS score,
+         c.rel
+  FROM cand c WHERE c.cid NOT IN (SELECT cid FROM sel{i - 1})
+  ORDER BY score DESC, cid LIMIT 1
+), sel{i} AS MATERIALIZED (
+  SELECT cid FROM sel{i - 1} UNION ALL SELECT cid FROM p{i}
+)"""
+        )
+    union = "\n  UNION ALL\n".join(
+        f"  SELECT {i} AS pick_round, cid, score, rel FROM p{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append(
+        f"""
+SELECT CAST(pick_round AS BIGINT) AS pick_round, cid,
+       round(score, 6) AS mmr_score, round(rel, 6) AS rel
+FROM (
+{union}
+)
+ORDER BY pick_round"""
+    )
+    return "".join(parts)
+
+
+@register("mmr_diversified_topk", oracle=_mmr_oracle())
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-DIVERSIFIED retrieval (Carbonell & Goldstein 1998): rerank
+    the query's top-24 cosine candidates into 8 picks by maximal
+    marginal relevance — score(c) = λ·rel(c) − (1−λ)·max_{s∈S}
+    sim(c, s), λ = 0.7 — the standard remedy for a top-k list that
+    returns 8 near-copies of the same document (this corpus's
+    embeddings cluster by label, so undiversified top-k does exactly
+    that).  Completes the retrieval family: ann_* answer "nearest",
+    hybrid_retrieval_rrf fuses rankers, MMR diversifies the output.
+
+    Scale + determinism shape: candidate generation is the proven
+    ann_cosine_topk path (at 100 TB: the IVF/PQ index instead —
+    MMR only ever sees the top-N pool); the greedy runs driver-side
+    over the 24-candidate pool and its 24×23 sim matrix — bounded
+    model-sized state, the BPE top-16-pool precedent — with every
+    score a correctly-rounded IEEE expression (two mults + one sub on
+    engine-identical cosines), ties broken by cid.  The oracle unrolls
+    the same 8 greedy rounds as chained CTEs; rounding happens only in
+    the FINAL projection (via F.round, the engine-paired rounding),
+    never inside the selection.  [extension].
+    """
+    from another_map_reduce_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from another_map_reduce_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = cosine_topk(
+        emb, emb.where(F.col("vec_id") == 0), k=_MMR_POOL
+    ).select("cid", F.col("cos").alias("rel"))
+    cvec = cand.join(
+        emb.select(F.col("vec_id").alias("cid"), "embedding"), "cid"
+    )
+    a = cvec.select(
+        F.col("cid").alias("c1"), F.col("embedding").alias("e1")
+    )
+    b = cvec.select(
+        F.col("cid").alias("c2"), F.col("embedding").alias("e2")
+    )
+    sim_rows = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("c1") != F.col("c2"))
+        .select(
+            "c1",
+            "c2",
+            cosine_similarity(F.col("e1"), F.col("e2")).alias("sim"),
+        )
+        .collect()
+    )
+    rel = {r.cid: r.rel for r in cand.collect()}
+    sim: dict[int, dict[int, float]] = {}
+    for r in sim_rows:
+        sim.setdefault(r.c1, {})[r.c2] = r.sim
+
+    # NOT 1.0 - 0.7 (= 0.30000000000000004 in binary): the oracle's
+    # literal 0.3 parses to a DIFFERENT double; use the same literal.
+    lam, mu = _MMR_LAMBDA, 0.3
+    selected: list[tuple[int, int, float, float]] = []
+    chosen: list[int] = []
+    for rnd in range(1, _MMR_K + 1):
+        best = None
+        for cid in sorted(rel):
+            if cid in chosen:
+                continue
+            maxsim = max((sim[cid][s] for s in chosen), default=0.0)
+            score = lam * rel[cid] - mu * maxsim
+            if best is None or score > best[0]:
+                best = (score, cid)
+        score, cid = best
+        chosen.append(cid)
+        selected.append((rnd, cid, score, rel[cid]))
+
+    out = spark.createDataFrame(
+        selected, "pick_round long, cid long, mmr_score double, rel double"
+    )
+    return out.select(
+        "pick_round",
+        "cid",
+        F.round("mmr_score", 6).alias("mmr_score"),
+        F.round("rel", 6).alias("rel"),
+    ).orderBy("pick_round")
+
+
 @register(
     "ann_cosine_pairs",
     oracle=f"""

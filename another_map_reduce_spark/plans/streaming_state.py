@@ -775,6 +775,106 @@ def stream_join_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_join_full_outer",
+    oracle="""
+WITH wm AS (
+  SELECT LEAST(
+    (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'),
+    (SELECT MAX(ts) FROM events WHERE event_type = 'view')
+  ) - INTERVAL 2 HOUR AS w
+),
+pv AS (
+  SELECT p.event_id, p.ts, COUNT(v.event_id) AS n
+  FROM events p
+  LEFT JOIN events v
+    ON v.user_id = p.user_id
+   AND v.event_type = 'view'
+   AND v.ts >= p.ts - INTERVAL 1 HOUR
+   AND v.ts <  p.ts
+  WHERE p.event_type = 'purchase'
+  GROUP BY p.event_id, p.ts
+),
+vp AS (
+  SELECT v.event_id, v.ts, COUNT(p.event_id) AS n
+  FROM events v
+  LEFT JOIN events p
+    ON p.user_id = v.user_id
+   AND p.event_type = 'purchase'
+   AND v.ts >= p.ts - INTERVAL 1 HOUR
+   AND v.ts <  p.ts
+  WHERE v.event_type = 'view'
+  GROUP BY v.event_id, v.ts
+)
+SELECT * FROM (
+  SELECT 'purchase' AS kind, event_id, CAST(n AS BIGINT) AS n_matched
+  FROM pv WHERE n > 0 OR ts <= (SELECT w FROM wm)
+  UNION ALL
+  SELECT 'view' AS kind, event_id, CAST(n AS BIGINT) AS n_matched
+  FROM vp WHERE n > 0 OR ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+)
+ORDER BY kind, event_id
+""",
+)
+def stream_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join — the last join species (inner
+    `stream_join_purchase_view`, left `stream_join_outer_nulls`, now
+    both sides' unmatched rows): every purchase with its prior-hour
+    view count AND every view with its next-hour purchase count,
+    null-padded rows emitted only when the watermark proves no match
+    can arrive.
+
+    The two sides close at DIFFERENT boundaries, both pinned by a
+    synthetic boundary probe before the oracle was written
+    (tests/test_streaming.py::test_full_outer_join_eviction_boundaries):
+    an unmatched purchase emits at p.ts <= wm (a later view would be
+    late-filtered), an unmatched view at v.ts + 1h < wm STRICTLY (a
+    purchase at exactly wm is still admissible) — the `<=` / `<`
+    asymmetry is forced by the join condition's half-open window
+    (v.ts < p.ts <= v.ts + 1h), not a Spark quirk.  The oracle states
+    both horizons directly over the batch table.  [extension] — at
+    100 TB this is the standard two-sided event-matching shape
+    (impressions↔conversions), state linear in the open window per
+    side, one shuffle per side on user_id.
+    """
+    from another_map_reduce_spark.streaming.joins import (
+        purchases_with_view_full,
+    )
+
+    raw = _events_readstream(spark, sf_dir)
+    purchases = raw.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = raw.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    qname = _fresh_sink_name("stream_join_full")
+    with _stream_shuffle_partitions(spark):
+        q = (
+            purchases_with_view_full(purchases, views)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = spark.table(qname)
+    p_side = (
+        out.where(F.col("purchase_id").isNotNull())
+        .groupBy(F.col("purchase_id").alias("event_id"))
+        .agg(F.count("view_id").cast("long").alias("n_matched"))
+        .select(F.lit("purchase").alias("kind"), "event_id", "n_matched")
+    )
+    v_side = (
+        out.where(F.col("view_id").isNotNull())
+        .groupBy(F.col("view_id").alias("event_id"))
+        .agg(F.count("purchase_id").cast("long").alias("n_matched"))
+        .select(F.lit("view").alias("kind"), "event_id", "n_matched")
+    )
+    return p_side.unionByName(v_side).orderBy("kind", "event_id")
+
+
+@register(
     "stream_session_windows",
     oracle="""
 WITH wm AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM events),

@@ -86,3 +86,45 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def purchases_with_view_full(
+    purchases: DataFrame, views: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """FULL OUTER stream-stream join — both sides' unmatched rows
+    survive: every purchase with its prior-hour views, every view with
+    its next-hour purchases, and null-padded rows for whichever side
+    never matched.
+
+    State/emission semantics (empirically pinned by
+    tests/test_streaming.py::test_full_outer_join_eviction_boundaries,
+    the left-outer's probe discipline): with joint watermark
+    wm = min(max purchase ts, max view ts) − delay,
+
+    - an unmatched PURCHASE emits when p.ts <= wm — a matching view
+      would need v.ts < p.ts <= wm, which the late-data filter
+      (drops ts < wm) makes impossible;
+    - an unmatched VIEW emits when v.ts + 1h < wm (STRICT) — its
+      match window is p.ts ∈ (v.ts, v.ts + 1h], and a purchase at
+      exactly p.ts = wm is still admissible, so the window must lie
+      strictly below wm before the view can close.
+
+    The asymmetry (<= vs <) is the join condition's, not Spark's:
+    each side closes exactly when the late-data filter proves its
+    remaining match window empty.
+    """
+    p = purchases.withWatermark("ts", watermark).alias("p")
+    v = views.withWatermark("ts", watermark).alias("v")
+    cond = (
+        (F.col("p.user_id") == F.col("v.user_id"))
+        & (F.col("v.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v.ts") < F.col("p.ts"))
+    )
+    return p.join(v, cond, "fullOuter").select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("v.event_id").alias("view_id"),
+        F.col("p.user_id").alias("p_user"),
+        F.col("v.user_id").alias("v_user"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.col("v.ts").alias("view_ts"),
+    )

@@ -787,3 +787,50 @@ def test_proportional_rerank_sizing():
     assert proportional_rerank(54_000, 240, 120) == 540
     # degenerate cells guard
     assert proportional_rerank(1000, 0, 1) >= 100
+
+
+def test_mmr_skips_near_duplicate_of_first_pick(spark, tmp_path):
+    """Crafted pool where the top-2 by relevance are near-copies: plain
+    top-k returns both; MMR's second pick must skip to the diverse
+    candidate (the operator's entire point)."""
+    import os
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (0, q, 0),
+        # cids 1 and 2: EXACT duplicates (sim = 1.0, equal relevance;
+        # cid tie-break makes 1 the first pick); cid 3: the sign-
+        # flipped twin — bit-identical relevance (dot with q and norm
+        # are unchanged by the second component's sign) but sim to
+        # pick 1 of 0.80/0.82 < 1, so MMR must prefer it for pick 2
+        # while relevance-only ranking cannot separate it from cid 2.
+        (1, [0.9, 0.1, 0.0, 0.0], 0),
+        (2, [0.9, 0.1, 0.0, 0.0], 0),
+        (3, [0.9, -0.1, 0.0, 0.0], 0),
+    ] + [
+        # filler so the pool has > K candidates
+        (10 + i, [0.1, 0.05 * i, 0.2, 0.3], 0)
+        for i in range(8)
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(os.path.join(d, "embeddings.parquet"))
+
+    from another_map_reduce_spark.plans.pipeline import (
+        mmr_diversified_topk,
+    )
+
+    got = mmr_diversified_topk(spark, d).collect()
+    picks = [r.cid for r in got]
+    assert len(picks) == len(set(picks)), "a candidate was picked twice"
+    assert [r.pick_round for r in got] == list(range(1, len(got) + 1))
+    assert picks[0] == 1  # most relevant (cid tie-break vs its copy)
+    # the exact copy of pick 1 must NOT be pick 2 — the sign-flipped
+    # twin (same relevance, lower similarity) is:
+    assert picks[1] == 3
+    # relevance alone could NOT have separated them (the copy is
+    # normally picked in a later round; if so its rel ties cid 3's):
+    rels = {r.cid: r.rel for r in got}
+    if 2 in rels:
+        assert rels[2] == rels[3]

@@ -1176,3 +1176,74 @@ def test_tws_initial_state_bootstrap(spark, tmp_path):
     # user 2 has initial state but no input: update mode emits only
     # keys that produced rows — absence is itself pinned here.
     assert got == {1: 110, 3: 5}
+
+
+def test_full_outer_join_eviction_boundaries(spark, tmp_path):
+    """Pin the full-outer stream-stream join's TWO close boundaries
+    (the oracle of stream_join_full_outer states them): with joint
+    watermark wm = min(max p.ts, max v.ts) − 2h, an unmatched purchase
+    emits iff p.ts <= wm (INCLUSIVE) and an unmatched view iff
+    v.ts + 1h < wm (STRICT) — probe rows sit exactly ON each boundary.
+    """
+    import datetime as dt
+
+    from another_map_reduce_spark.plans.streaming_state import (
+        _events_readstream,
+        _fresh_sink_name,
+    )
+    from another_map_reduce_spark.streaming.joins import (
+        purchases_with_view_full,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 8, 0, 0)
+
+    def ts(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    rows = [
+        # anchors: max ts = 12:00 on BOTH sides → wm = 10:00
+        (1000, ts(240), 1, "view", 0.0, "{}"),
+        (1001, ts(240), 99, "purchase", 1.0, "{}"),
+        # unmatched views (users with no purchases):
+        (2, ts(29), 2, "view", 0.0, "{}"),    # v+1h <  wm → emits
+        (3, ts(60), 3, "view", 0.0, "{}"),    # v+1h == wm → withheld
+        (4, ts(90), 4, "view", 0.0, "{}"),    # v+1h >  wm → withheld
+        # unmatched purchases (users with no views):
+        (12, ts(119), 12, "purchase", 1.0, "{}"),  # p <  wm → emits
+        (13, ts(120), 13, "purchase", 1.0, "{}"),  # p == wm → emits
+        (14, ts(121), 14, "purchase", 1.0, "{}"),  # p >  wm → withheld
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    raw = _events_readstream(spark, str(tmp_path))
+    purchases = raw.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = raw.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    qn = _fresh_sink_name("t_full_outer_probe")
+    q = (
+        purchases_with_view_full(purchases, views)
+        .writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(qn).collect()
+    assert sorted(
+        r.purchase_id for r in out if r.view_id is None
+    ) == [12, 13]
+    assert sorted(
+        r.view_id for r in out if r.purchase_id is None
+    ) == [2]
+    assert not [
+        r for r in out
+        if r.purchase_id is not None and r.view_id is not None
+    ]
