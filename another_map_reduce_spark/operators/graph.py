@@ -721,6 +721,11 @@ def hits(
             )
             .groupBy(F.col(to_col).alias("node"))
             .agg(F.sum(F.col("score").cast("decimal(38,18)")).alias("m"))
+            # raw feeds BOTH the L1 total and the normalize select;
+            # without a checkpoint the half-step's join+groupBy would
+            # execute twice per round (measured 2× wall at sf0.1) —
+            # the lazy checkpoint materialises it once on first use.
+            .localCheckpoint(eager=False)
         )
         tot = raw.agg(F.sum("m").cast("double").alias("t"))
         return raw.crossJoin(F.broadcast(tot)).select(

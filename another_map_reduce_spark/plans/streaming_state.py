@@ -775,6 +775,115 @@ def stream_join_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_checkpoint_restart",
+    oracle="""
+WITH wm AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM events)
+SELECT DATE_TRUNC('hour', ts) AS hour,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+ORDER BY hour, event_type
+""",
+)
+def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT RECOVERY — the streaming property none of the other
+    rows exercise: a stateful query is STOPPED mid-corpus and a brand-
+    new query object resumes from the same checkpoint, and the final
+    answer is exactly-once anyway.  This is the property a production
+    pipeline actually relies on (every deploy/crash is a restart); a
+    row proving source offsets, window state, the watermark, AND the
+    file sink's commit log all survive recovery is worth more than any
+    single-run row.
+
+    Lifecycle: the events table is split at a day boundary into slice
+    A (earlier) and slice B; run 1 streams A through an append-mode
+    hourly aggregation (30-min watermark) into a PARQUET FILE SINK
+    with a checkpoint, drains under AvailableNow, and terminates.
+    Slice B's files are then added to the source directory and a
+    separately-built identical query starts against the SAME
+    checkpoint + sink: the restored source offset log makes it read
+    ONLY the new files, the restored state store carries the windows
+    left open at shutdown (the boundary window spanning the split gets
+    rows from BOTH runs — any replay or loss flips its count), and the
+    restored watermark admits all of B (maxA − 30 min < the split
+    cut, so nothing is spuriously late-dropped).  The final read goes
+    through the sink's _spark_metadata commit log, so only atomically
+    committed files count.
+
+    The oracle is the plain whole-table aggregate under the append
+    twin's close predicate (window end <= global max(ts) − 30 min,
+    the `<=` comparator pinned by stream_events_hourly_append's
+    boundary test): the hash match IS the exactly-once proof — a
+    window emitted twice (sink replay), a window emitted by both runs
+    (state loss), or a reprocessed slice (offset loss) all flip it.
+    tests/test_streaming.py::test_checkpoint_restart_reads_only_new_files
+    additionally pins run 2's input row count to |B| exactly.
+    [extension] — the reference re-runs jobs from scratch.
+    """
+    import os
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    cut = ev.agg(
+        F.date_trunc(
+            "day", F.max("ts") - F.expr("INTERVAL 5 DAYS")
+        ).alias("c")
+    ).collect()[0][0]
+    root = tempfile.mkdtemp(prefix="amrs_ckpt_restart_")
+    src = os.path.join(root, "src")
+    sink = os.path.join(root, "sink")
+    ckpt = os.path.join(root, "ckpt")
+    lit_cut = F.lit(cut).cast("timestamp")
+    ev.where(F.col("ts") < lit_cut).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+
+    def _run() -> None:
+        raw = spark.readStream.schema(schema).parquet(src).withWatermark(
+            "ts", "30 minutes"
+        )
+        windowed = (
+            raw.groupBy(
+                F.window("ts", "1 hour").alias("w"), F.col("event_type")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.col("value").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").alias("hour"), "event_type", "n", "sum_value"
+            )
+        )
+        q = (
+            windowed.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with _stream_shuffle_partitions(spark):
+        _run()  # run 1: slice A only
+        ev.where(F.col("ts") >= lit_cut).write.mode("append").parquet(src)
+        _run()  # run 2: a NEW query recovers from the checkpoint
+
+    return (
+        spark.read.parquet(sink)
+        .orderBy("hour", "event_type")
+        .select("hour", "event_type", "n", "sum_value")
+    )
+
+
+@register(
     "stream_join_full_outer",
     oracle="""
 WITH wm AS (

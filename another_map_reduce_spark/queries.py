@@ -84,6 +84,7 @@ _ORDER_FRONT = [
     "attribution_last_touch",
     "stream_join_full_outer",
     "mmr_diversified_topk",
+    "stream_checkpoint_restart",
 ]
 # The 40 oldest-row queries staged by the r9 rotation (r6-cohort
 # remainder + r7 cohort) — positions 7-46 of the r10 window.
@@ -128,9 +129,9 @@ _ORDER_NEXT_R9 = [
     "cdc_upsert_balances",
     "udaf_median_doclen",
 ]
-# The r10 additions (11 first-wave + 6 second-wave) + the head of the
-# staged oldest rows fill the window exactly (17 + 33 = 50); the last
-# 7 staged queries roll to r11 with the rest of the r7 cohort.
+# The r10 additions (11 first-wave + 7 second-wave) + the head of the
+# staged oldest rows fill the window exactly (18 + 32 = 50); the last
+# 8 staged queries roll to r11 with the rest of the r7 cohort.
 _ORDER_R7_HEAD: list[str] = []
 # The rest of the r7 cohort (r7 order) fronts the r11 window; then
 # the r8 cohort.

@@ -1247,3 +1247,78 @@ def test_full_outer_join_eviction_boundaries(spark, tmp_path):
         r for r in out
         if r.purchase_id is not None and r.view_id is not None
     ]
+
+
+def test_checkpoint_restart_reads_only_new_files(spark, tmp_path):
+    """The stream_checkpoint_restart lifecycle at fixture scale, with
+    the one assertion the oracle hash can't state directly: run 2's
+    total input rows equal |slice B| exactly — the recovered source
+    offset log skipped every already-processed file."""
+    import datetime as dt
+    import json
+    import os
+
+    t0 = dt.datetime(2024, 5, 1, 0, 0, 0)
+
+    def ev(eid, hours, typ, val):
+        return (eid, t0 + dt.timedelta(hours=hours), 1, typ, val)
+
+    # slice A: hours 0..10; slice B: hours 12..20; the split window
+    # (hour 10) closes only in run 2 (wm1 = 10:00 - 30min < its end).
+    slice_a = [ev(i, h, "view", 1.0) for i, h in enumerate([0, 0, 1, 5, 10])]
+    slice_b = [
+        ev(100 + i, h, "view", 1.0) for i, h in enumerate([12, 12, 13, 20])
+    ]
+    schema_str = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(slice_a, schema_str).write.mode("append").parquet(
+        src
+    )
+    schema = spark.read.parquet(src).schema
+
+    def run():
+        raw = spark.readStream.schema(schema).parquet(src).withWatermark(
+            "ts", "30 minutes"
+        )
+        windowed = (
+            raw.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(F.col("w.start").alias("hour"), "event_type", "n")
+        )
+        q = (
+            windowed.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(
+            json.loads(p.json).get("numInputRows", 0)
+            for p in q.recentProgress
+        )
+
+    n1 = run()
+    spark.createDataFrame(slice_b, schema_str).write.mode("append").parquet(
+        src
+    )
+    n2 = run()
+    assert n1 == len(slice_a)
+    assert n2 == len(slice_b), (
+        f"restart reprocessed input: run2 read {n2} rows, |B|={len(slice_b)}"
+    )
+    got = {
+        (r.hour.hour, r.n)
+        for r in spark.read.parquet(sink).collect()
+    }
+    # final watermark = 20:00 - 30min -> closed windows: 0,1,5,10,12,13
+    assert got == {(0, 2), (1, 1), (5, 1), (10, 1), (12, 2), (13, 1)}
+    # crucially hour 10 was emitted ONCE with its full count even
+    # though it was open state at the restart boundary
+    assert not os.path.exists(os.path.join(sink, "_SUCCESS"))

@@ -58,6 +58,15 @@ QUERIES = [
     "bpe_encode_report",
     "multimodal_phash_index",
     "embedding_rp_distortion",
+    # round-10 second wave: the CMS grid build (one (word,count)
+    # exchange — the same corpus-sized shuffle an exact GROUP BY
+    # pays — plus a d·w-bounded second stage), priority sampling
+    # (pure projection + distributed top-(k+1) — should be scan-flat),
+    # and MMR (pool generation is the linear part; the greedy is
+    # constant 24-candidate work)
+    "cms_word_frequency",
+    "priority_sample_docs",
+    "mmr_diversified_topk",
 ]
 
 SCALES = [
@@ -110,6 +119,10 @@ REL_QUERIES = [
     "graph_label_propagation",
     "incremental_join_maintenance",
     "schema_evolution_merge",
+    # round-10 second wave: HITS (six half-step rounds of
+    # score-table-vs-cached-edges shuffle_hash joins — the pagerank
+    # per-round shape, so expect the same flat-ish curve)
+    "hits_hubs_authorities",
 ]
 
 REL_SCALES = [
@@ -152,6 +165,11 @@ EVENT_QUERIES = [
     # round-9: TWS session-close — per-user 8-byte state grows with
     # the user population, micro-batch count stays fixed at 3+flush
     "stream_session_close_tws",
+    # round-10 second wave: attribution (ONE user-keyed window
+    # exchange — disjoint replica users ⇒ linear) and the full-outer
+    # stream join (state linear in each side's open window)
+    "attribution_last_touch",
+    "stream_join_full_outer",
 ]
 
 EVENT_SCALES = [
