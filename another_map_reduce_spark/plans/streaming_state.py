@@ -823,8 +823,14 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     additionally pins run 2's input row count to |B| exactly.
     [extension] — the reference re-runs jobs from scratch.
     """
+    import hashlib
     import os
+    import shutil
     import tempfile
+
+    from another_map_reduce_spark.artifacts import (
+        sweep_stale_pid_siblings,
+    )
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
@@ -834,7 +840,17 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day", F.max("ts") - F.expr("INTERVAL 5 DAYS")
         ).alias("c")
     ).collect()[0][0]
-    root = tempfile.mkdtemp(prefix="amrs_ckpt_restart_")
+    # pid-keyed fixed layout, reset at entry: each rerun gets the
+    # FRESH two-run lifecycle the row exists to prove, at most one
+    # layout per live process survives, and dead siblings are swept
+    # (the residue contract of the dpp/bucketed/relay layouts).
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    prefix = f"amrs_ckpt_restart_{tag}"
+    sweep_stale_pid_siblings(prefix)
+    root = os.path.join(
+        tempfile.gettempdir(), f"{prefix}_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
     src = os.path.join(root, "src")
     sink = os.path.join(root, "sink")
     ckpt = os.path.join(root, "ckpt")
