@@ -3959,6 +3959,70 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# OHLC downsampling (first/last/min/max bars per time bucket)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_resample_ohlc",
+    oracle="""
+WITH v AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS hr, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('hour', ts)
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type, DATE_TRUNC('hour', ts)) AS n
+  FROM events
+)
+SELECT event_type, hr,
+       CAST(MAX(n) AS BIGINT) AS n,
+       MAX(CASE WHEN rn = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn = n THEN value END) AS close,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS vol
+FROM v GROUP BY event_type, hr ORDER BY event_type, hr
+""",
+)
+def timeseries_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per (event_type, hour) bars with the bucket's
+    first (open) and last (close) value under the total (ts, event_id)
+    event order, plus high/low/volume — the resample-to-bars primitive
+    every time-series store exposes (InfluxDB/Timescale `first`/`last`,
+    pandas `resample().ohlc()`), and the lossy-but-bounded form in
+    which tick data survives at 100 TB.
+
+    open/close are exact row picks (min_by/max_by over the unique
+    (ts, event_id) struct — one hash aggregate, NO window sort), so no
+    float summation order is involved; vol sums in decimal then casts,
+    the repo's order-independent discipline.  The oracle spells the
+    same picks as first/last row numbers per bucket.
+
+    Scale shape: single shuffle on the (type, hour) bucket key with
+    map-side partial min_by/max_by combine — buckets are bounded by
+    (cardinality × hours), so the aggregate state is tiny regardless
+    of tick volume; no per-bucket sort anywhere.  [extension].
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hr")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min_by("value", ordk).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordk).alias("close"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("vol"),
+        )
+        .orderBy("event_type", "hr")
+    )
+
+
 # Registry-order repair: if THIS module was the user's first import, the
 # circular import through queries._load() saw it partially initialized
 # and ordered the registry without its entries (they append afterwards).

@@ -1213,6 +1213,206 @@ def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Small-file compaction planner (offset binning over the file manifest)
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET_ROWS = 2_000
+
+
+@register(
+    "compaction_bin_packing",
+    oracle=f"""
+WITH files AS (
+  SELECT l_shipdate AS day, CAST(COUNT(*) AS BIGINT) AS rows_
+  FROM lineitem GROUP BY l_shipdate
+), offs AS (
+  SELECT day, rows_,
+         CAST(COALESCE(SUM(rows_) OVER (
+           ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS off
+  FROM files
+)
+SELECT CAST(off // {_COMPACT_TARGET_ROWS} AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(rows_) AS BIGINT) AS bin_rows,
+       MIN(day) AS first_day,
+       MAX(day) AS last_day
+FROM offs GROUP BY bin ORDER BY bin
+""",
+)
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan: treat each lineitem ship-day as one
+    small file (rows = its size proxy) and assign consecutive files to
+    target-size output bins by OFFSET BINNING — a file opens a new bin
+    when the running offset before it crosses a multiple of the
+    {_COMPACT_TARGET_ROWS}-row target.  This is the planning half of
+    Delta/Iceberg OPTIMIZE and of Spark's own FilePartition packing:
+    the operation that keeps a 100 TB table's file count (and thus its
+    driver-side listing and task-scheduling cost) bounded as daily
+    appends accumulate.
+
+    Offset binning is chosen over greedy close-when-exceeding because
+    it is a pure prefix sum — deterministic, engine-independent, and
+    (unlike the greedy recursion) expressible as a window in both
+    engines; bins overshoot the target by at most one file, the same
+    bound the greedy rule gives.  The ordered cumsum runs over the
+    file MANIFEST, not the data: its size is the file count (metadata
+    scale — thousands, not billions), so the single-partition window
+    sort is bounded; at extreme manifest sizes the same plan
+    range-partitions by day and seeds each range with a per-range
+    offset (the distributed-prefix-sum shape pps_systematic_sample
+    already implements).  [extension].
+    """
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_shipdate")
+    files = li.groupBy(F.col("l_shipdate").alias("day")).agg(
+        F.count("*").alias("rows_")
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = files.withColumn(
+        "off", F.coalesce(F.sum("rows_").over(w), F.lit(0)).cast("long")
+    )
+    return (
+        offs.groupBy(
+            F.floor(F.col("off") / _COMPACT_TARGET_ROWS)
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("rows_").cast("long").alias("bin_rows"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled domain mixture resampling (alpha = 0.5)
+# ---------------------------------------------------------------------------
+
+_MIX_TARGET_DOCS = 1_000
+
+
+@register(
+    "domain_temperature_sample",
+    oracle=f"""
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+), wts AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w
+  FROM counts
+), quotas AS (
+  SELECT source, n_docs, w,
+         CAST({_MIX_TARGET_DOCS} * w
+              // (SELECT SUM(w) FROM wts) AS BIGINT) AS quota
+  FROM wts
+), ranked AS (
+  SELECT d.source, d.doc_id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY d.source
+                            ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                     d.doc_id) AS rk
+  FROM documents d
+), picked AS (
+  SELECT r.source, r.doc_id, r.n_chars
+  FROM ranked r JOIN quotas q ON r.source = q.source
+  WHERE r.rk <= q.quota
+)
+SELECT q.source, q.n_docs, q.w, q.quota,
+       CAST(COALESCE(COUNT(p.doc_id), 0) AS BIGINT) AS n_sampled,
+       CAST(COALESCE(SUM(p.doc_id), 0) AS BIGINT) AS sum_sampled_ids,
+       CAST(COALESCE(SUM(p.n_chars), 0) AS BIGINT) AS sampled_chars
+FROM quotas q LEFT JOIN picked p ON q.source = p.source
+GROUP BY q.source, q.n_docs, q.w, q.quota
+ORDER BY q.source
+""",
+)
+def domain_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture resampling, the multilingual/
+    multi-domain REBALANCING step of LLM data curation (Conneau &
+    Lample 2019, alpha-sampling): head domains are downweighted and
+    tail domains upweighted by sampling each domain in proportion to
+    n_i^alpha with alpha = 0.5, here as an exact per-domain quota of a
+    {_MIX_TARGET_DOCS}-doc target, then a deterministic md5-ranked
+    pick of each domain's quota.
+
+    Float discipline: the weight is floor(sqrt(n_i)) as an INTEGER
+    (IEEE sqrt is correctly rounded and n < 2^52, so the floor is
+    engine-exact), and the quota is integer multiply-then-floor-divide
+    — no double summation anywhere, so quota boundaries can't flip
+    between engines.  The pick ranks by (md5(doc_id), doc_id), the
+    repo's seeded-uniform convention (split_assign, priority_sample).
+    sum_sampled_ids pins the exact selected SET, not just its size.
+
+    Scale shape: one count shuffle, then one rank window per domain.
+    The window sorts each domain once; at 100 TB the same selection is
+    a per-domain md5 THRESHOLD (quota/n-quantile of the hash, the
+    priority_sample_docs shape), turning the sort into a scan —
+    documented here, exact rank kept at test scale for the oracle.
+    [extension].
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    wts = counts.withColumn(
+        "w",
+        F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("long"),
+    )
+    tot = wts.agg(F.sum("w").alias("tw"))
+    quotas = wts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "w",
+        # `div` is true INTEGER division (like the oracle's //): a
+        # double `/`-then-floor could round a near-integer quotient up
+        # across the boundary and disagree with DuckDB by one doc.
+        F.expr(f"({_MIX_TARGET_DOCS} * w) div tw").cast("long").alias("quota"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    picked = (
+        docs.withColumn("rk", rk)
+        .join(F.broadcast(quotas.select("source", "quota")), "source")
+        .where(F.col("rk") <= F.col("quota"))
+    )
+    agg = picked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.sum("doc_id").cast("long").alias("sum_sampled_ids"),
+        F.sum("n_chars").cast("long").alias("sampled_chars"),
+    )
+    return (
+        quotas.join(agg, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "w",
+            "quota",
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+            F.coalesce("sum_sampled_ids", F.lit(0))
+            .cast("long")
+            .alias("sum_sampled_ids"),
+            F.coalesce("sampled_chars", F.lit(0))
+            .cast("long")
+            .alias("sampled_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 # Registry-order repair: if THIS module was the user's first import, the
 # circular import through queries._load() saw it partially initialized
 # and ordered the registry without its entries (they append afterwards).

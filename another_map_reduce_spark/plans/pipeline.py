@@ -4582,6 +4582,107 @@ def arrow_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# PMI collocations (lift-ranked bigram association)
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_C12 = 5
+
+
+@register(
+    "collocation_pmi",
+    oracle=f"""
+WITH t AS (
+  SELECT {_TOKENS} AS w FROM documents
+), b AS (
+  SELECT w[i] AS w1, w[i+1] AS w2
+  FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+        FROM t WHERE len(w) >= 2)
+), c AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM b GROUP BY w1, w2
+), m AS (
+  SELECT w1, w2, c12,
+         CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+         CAST(SUM(c12) OVER (PARTITION BY w2) AS BIGINT) AS c2,
+         CAST(SUM(c12) OVER () AS BIGINT) AS n
+  FROM c
+)
+SELECT w1, w2, c12, c1, c2,
+       round(CAST(c12 AS DOUBLE) * CAST(n AS DOUBLE)
+             / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)), 6) AS lift
+FROM m
+WHERE c12 >= {_PMI_MIN_C12}
+ORDER BY lift DESC, w1, w2
+LIMIT 50
+""",
+)
+def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-ranked collocations: the 50 bigrams whose observed corpus
+    frequency most exceeds the independence expectation — the classic
+    collocation-extraction pass (Church & Hanks 1990) a training-data
+    pipeline runs to find multi-word units worth protecting from
+    tokenizer splits (named entities, idioms, domain terms).
+
+    Reported as ``lift`` = c12·N / (c1·c2) = exp(PMI) rather than the
+    log: lift orders identically to PMI (ln is monotone) but is a
+    single IEEE-exact double division of exact integer counts, so the
+    rounded value — and therefore the limit-50 cut — is bit-identical
+    cross-engine, where ln()'s last-ulp variance between libm and
+    DuckDB could flip a rounding boundary.  Marginals are bigram-
+    positional (c1 = w1-as-left count, c2 = w2-as-right count), the
+    standard contingency-table convention.  A min-count floor of
+    {_PMI_MIN_C12} kills the hapax-pair degeneracy (a 1/1/1 bigram has
+    maximal lift but zero evidence).
+
+    Scale shape: ONE corpus shuffle (the (w1,w2) count with map-side
+    partial agg soaking the Zipfian head); all three marginals are
+    windows over the AGGREGATED bigram table, bounded by |vocab|², and
+    the final cut is TakeOrderedAndProject with a total (lift, w1, w2)
+    order.  [extension] — same fixture as bigram_lm_topk.
+    """
+    from pyspark.sql.window import Window
+
+    from another_map_reduce_spark.operators.text_analysis import _ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _ws_tokens(F.col("text"))
+    bigrams = F.when(
+        F.size(toks) < 2,
+        F.array().cast("array<struct<w1:string,w2:string>>"),
+    ).otherwise(
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+    )
+    counts = (
+        docs.select(F.explode(bigrams).alias("bg"))
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    lift = F.round(
+        F.col("c12").cast("double")
+        * F.col("n").cast("double")
+        / (F.col("c1").cast("double") * F.col("c2").cast("double")),
+        6,
+    )
+    # The grand total joins in as a broadcast scalar — an empty-window
+    # SUM() OVER () would funnel the whole bigram table through ONE
+    # partition, which dies at web-corpus vocab sizes.
+    total = counts.agg(F.sum("c12").alias("n"))
+    return (
+        counts.withColumn("c1", F.sum("c12").over(Window.partitionBy("w1")))
+        .withColumn("c2", F.sum("c12").over(Window.partitionBy("w2")))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("c12") >= _PMI_MIN_C12)
+        .select("w1", "w2", "c12", "c1", "c2", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(50)
+    )
+
+
 # Late registrations (after the module's first registry-order repair):
 # repeat the idempotent reorder so these entries land in their
 # _ORDER_NEXT slots under any import order.

@@ -85,6 +85,11 @@ _ORDER_FRONT = [
     "stream_join_full_outer",
     "mmr_diversified_topk",
     "stream_checkpoint_restart",
+    # r10 third-wave additions (never had a driver row):
+    "collocation_pmi",
+    "timeseries_resample_ohlc",
+    "compaction_bin_packing",
+    "domain_temperature_sample",
 ]
 # The 40 oldest-row queries staged by the r9 rotation (r6-cohort
 # remainder + r7 cohort) — positions 7-46 of the r10 window.
@@ -129,9 +134,10 @@ _ORDER_NEXT_R9 = [
     "cdc_upsert_balances",
     "udaf_median_doclen",
 ]
-# The r10 additions (11 first-wave + 7 second-wave) + the head of the
-# staged oldest rows fill the window exactly (18 + 32 = 50); the last
-# 8 staged queries roll to r11 with the rest of the r7 cohort.
+# The r10 additions (11 first-wave + 7 second-wave + third-wave) + the
+# head of the staged oldest rows fill the window exactly
+# (len(_ORDER_FRONT) + head of _ORDER_NEXT_R9 = 50); staged queries
+# past that head roll to r11 with the rest of the r7 cohort.
 _ORDER_R7_HEAD: list[str] = []
 # The rest of the r7 cohort (r7 order) fronts the r11 window; then
 # the r8 cohort.

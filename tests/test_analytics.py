@@ -1367,3 +1367,27 @@ def test_attribution_credits_latest_prior_touch_and_direct(spark, tmp_path):
         "direct": (1, 7.0),
         "signup": (2, 3.0),   # both back-to-back purchases
     }
+
+
+def test_ohlc_bars_bound_and_pick_the_edge_rows(spark, sf_dir):
+    import pandas as pd
+
+    from another_map_reduce_spark.plans.analytics import (
+        timeseries_resample_ohlc,
+    )
+
+    bars = timeseries_resample_ohlc(spark, sf_dir).toPandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    assert bars.n.sum() == len(ev)
+    # bar invariants
+    assert (bars.low <= bars.open).all() and (bars.open <= bars.high).all()
+    assert (bars.low <= bars.close).all() and (bars.close <= bars.high).all()
+    # open/close are the exact first/last rows under (ts, event_id)
+    ev = ev.sort_values(["ts", "event_id"]).assign(
+        hr=ev.ts.dt.floor("h")
+    )
+    first = ev.groupby(["event_type", "hr"]).value.first()
+    last = ev.groupby(["event_type", "hr"]).value.last()
+    for r in bars.sample(n=min(50, len(bars)), random_state=0).itertuples():
+        assert r.open == first[(r.event_type, r.hr)]
+        assert r.close == last[(r.event_type, r.hr)]

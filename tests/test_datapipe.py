@@ -374,3 +374,57 @@ def test_priority_sample_is_rerun_and_partitioning_stable(spark):
         k=10,
     ).collect()
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave-3: compaction planner + temperature mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def test_compaction_bins_are_contiguous_and_cover(spark, sf_dir):
+    from another_map_reduce_spark.plans.datapipe import (
+        _COMPACT_TARGET_ROWS,
+        compaction_bin_packing,
+    )
+
+    rows = compaction_bin_packing(spark, sf_dir).collect()
+    li_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # full coverage: every lineitem row lands in exactly one bin
+    assert sum(r.bin_rows for r in rows) == li_rows
+    # bins are contiguous from 0 and day-ranges don't interleave
+    assert [r.bin for r in rows] == list(range(len(rows)))
+    for a, b in zip(rows, rows[1:]):
+        assert a.last_day < b.first_day
+    # offset-binning invariant: through every non-final bin the running
+    # total has crossed the next target multiple (a bin only closes
+    # because the offset crossed it)
+    run = 0
+    for r in rows[:-1]:
+        run += r.bin_rows
+        assert run >= (r.bin + 1) * _COMPACT_TARGET_ROWS
+
+
+def test_temperature_sample_quota_math_and_determinism(spark, sf_dir):
+    import math
+
+    from another_map_reduce_spark.plans.datapipe import (
+        _MIX_TARGET_DOCS,
+        domain_temperature_sample,
+    )
+
+    rows = domain_temperature_sample(spark, sf_dir).collect()
+    assert rows, "no domains"
+    tw = sum(r.w for r in rows)
+    for r in rows:
+        # integer-exact weight and quota
+        assert r.w == math.isqrt(r.n_docs)
+        assert r.quota == (_MIX_TARGET_DOCS * r.w) // tw
+        # the pick fills the quota whenever the domain is big enough
+        assert r.n_sampled == min(r.quota, r.n_docs)
+    # never oversamples the target
+    assert sum(r.quota for r in rows) <= _MIX_TARGET_DOCS
+    # rerun-determinism: the exact SET of sampled ids is stable
+    again = domain_temperature_sample(spark, sf_dir).collect()
+    assert [(r.source, r.sum_sampled_ids) for r in rows] == [
+        (r.source, r.sum_sampled_ids) for r in again
+    ]

@@ -318,3 +318,21 @@ def test_split_cjk_char_voting_on_unsegmented_chinese(spark):
     }
     assert got[1] == ("zh", "und", 18)  # 18 Han chars, char-per-token
     assert got[2][0] == got[2][1] == "en"
+
+
+def test_collocation_pmi_lift_is_internally_consistent(spark, sf_dir):
+    from another_map_reduce_spark.plans.pipeline import (
+        _PMI_MIN_C12,
+        collocation_pmi,
+    )
+
+    rows = collocation_pmi(spark, sf_dir).collect()
+    assert rows, "no collocations at smoke SF"
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    assert all(r.c12 >= _PMI_MIN_C12 for r in rows)
+    assert all(r.c12 <= r.c1 and r.c12 <= r.c2 for r in rows)
+    # lift * c1 * c2 / c12 reconstructs the SAME grand total N from
+    # every row (up to the 6-dp rounding of lift)
+    ns = [r.lift * r.c1 * r.c2 / r.c12 for r in rows]
+    assert max(ns) / min(ns) < 1.001
