@@ -741,3 +741,245 @@ def hits(
             hubs = hubs.localCheckpoint(eager=False)
             auths = auths.localCheckpoint(eager=False)
     return hubs, auths
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_outer: int = 12,
+    max_inner: int = 60,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED edge list via the
+    trim + forward-coloring + backward-sweep decomposition (Orzan's
+    coloring algorithm; the distributed SCC used by FW-BW-Trim, Hong
+    et al. 2013) — the directed completion of the graph suite: CC
+    answers mutual reachability for UNDIRECTED graphs, SCC for
+    directed ones (cycle detection, dependency condensation, link-farm
+    collapse in web-graph curation).
+
+    Returns (node, scc) where scc is the component's minimum node id —
+    the CC determinism contract: engine- and partitioning-independent.
+
+    Per outer round:
+    1. TRIM — nodes with no in-edge or no out-edge in the live
+       subgraph are singleton SCCs; peel iteratively (kills DAG tails
+       that would otherwise cost one coloring round EACH).
+    2. COLOR — propagate color(v) = min id that reaches v along the
+       edge direction to fixpoint (monotone-sum convergence, the CC
+       trick: labels only decrease, so SUM(color) stalls exactly at
+       the fixed point).
+    3. SWEEP — every root r (color(r) = r) backward-collects the nodes
+       of its color class that reach it: settled BFS over the
+       intra-class edge subset.  Any u on a u→…→r path with
+       color(u) = r has every intermediate w forced to color(w) = r
+       (r reaches w through u's prefix, and color(w) < r would pull
+       color(r) below r), so restricting the sweep to same-color edges
+       is complete, and each swept node's SCC id IS its color.
+    4. Remove swept nodes; repeat on the remainder.
+
+    Scale shape: every step is the one-shuffle-per-round frontier
+    discipline of bfs_hops/sssp (joins against the live edge list,
+    distinct, anti-join vs settled; eager checkpoints keep lineage
+    O(1)); all loop conditions are 1-row driver probes.  Rounds are
+    bounded by the condensation depth after trimming — small for the
+    dense mutual-trade graphs this targets; the documented worst case
+    (a long pure cycle chain) exhausts ``max_outer`` and fails LOUDLY
+    rather than returning a partial labelling.
+    """
+    e_all = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+    ).distinct()
+    alive = (
+        e_all.select(F.col("src").alias("node"))
+        .unionByName(e_all.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = e_all.localCheckpoint(eager=True)
+    done: DataFrame | None = None
+
+    def _add(part: DataFrame) -> DataFrame:
+        nonlocal done
+        done = part if done is None else done.unionByName(part)
+        done = done.localCheckpoint(eager=True)
+        return done
+
+    for _ in range(max_outer):
+        # --- 1. trim singleton SCCs (missing in- or out-edge) ---
+        while True:
+            has_out = e.select(F.col("src").alias("node")).distinct()
+            has_in = e.select(F.col("dst").alias("node")).distinct()
+            keep = has_out.join(has_in, "node").localCheckpoint(eager=True)
+            trivial = alive.join(keep, "node", "left_anti")
+            if trivial.isEmpty():
+                break
+            _add(trivial.select("node", F.col("node").alias("scc")))
+            alive = keep
+            e = (
+                e.join(alive.withColumnRenamed("node", "src"), "src")
+                .join(alive.withColumnRenamed("node", "dst"), "dst")
+                .select("src", "dst")
+                .localCheckpoint(eager=True)
+            )
+        if alive.isEmpty():
+            return done.select("node", "scc")
+        # --- 2. forward min-color propagation to fixpoint ---
+        colors = alive.select(
+            "node", F.col("node").alias("color")
+        ).localCheckpoint(eager=True)
+        prev_sum = None
+        for _ in range(max_inner):
+            pushed = (
+                e.join(
+                    colors.withColumnRenamed("node", "src").hint(
+                        "shuffle_hash"
+                    ),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("color").alias("inc"))
+            )
+            colors = (
+                colors.join(pushed, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        "color", F.coalesce("inc", F.col("color"))
+                    ).alias("color"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            cur = colors.agg(F.sum("color")).collect()[0][0]
+            if cur == prev_sum:
+                break
+            prev_sum = cur
+        else:
+            raise RuntimeError(
+                f"SCC coloring did not converge in {max_inner} rounds"
+            )
+        # --- 3. backward sweep from roots over intra-class edges ---
+        csrc = colors.select(
+            F.col("node").alias("src"), F.col("color").alias("c_src")
+        )
+        cdst = colors.select(
+            F.col("node").alias("dst"), F.col("color").alias("c_dst")
+        )
+        ecc = (
+            e.join(csrc.hint("shuffle_hash"), "src")
+            .join(cdst.hint("shuffle_hash"), "dst")
+            .where(F.col("c_src") == F.col("c_dst"))
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        settled = (
+            colors.where(F.col("node") == F.col("color"))
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        frontier = settled
+        while not frontier.isEmpty():
+            nxt = (
+                ecc.join(frontier.withColumnRenamed("node", "dst"), "dst")
+                .select(F.col("src").alias("node"))
+                .distinct()
+                .join(settled, "node", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        _add(
+            settled.join(colors, "node").select(
+                "node", F.col("color").alias("scc")
+            )
+        )
+        # --- 4. shrink the live graph and go again ---
+        alive = alive.join(settled, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        if alive.isEmpty():
+            return done.select("node", "scc")
+        e = (
+            e.join(alive.withColumnRenamed("node", "src"), "src")
+            .join(alive.withColumnRenamed("node", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(f"SCC did not decompose in {max_outer} outer rounds")
+
+
+def random_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    steps: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Deterministic random walks (DeepWalk/node2vec sampling,
+    Perozzi et al. 2014): from every start node, walk ``steps`` hops,
+    at each hop moving to the out-neighbour that minimises
+    md5("{walk}:{step}:{neighbour}") — a seeded-uniform pick over the
+    neighbourhood (the split_assign/md5 convention), so the walk
+    corpus is a pure function of (graph, starts, steps): rerun-,
+    partitioning- and engine-independent, replayable by an unrolled
+    SQL oracle.  Walk corpora are the input of graph-embedding
+    training (the skip-gram pairs come from these traces) and of
+    neighbourhood-sampling evaluation.
+
+    Returns (walk, step, node): step 0 is the start node; a walk ends
+    early if its current node has no out-edge.
+
+    Scale shape: per hop, ONE shuffle_hash join of the walk frontier
+    (one row per live walk) against the src-partitioned cached edge
+    blocks, then a min_by aggregate per walk — candidate volume is the
+    frontier's total out-degree.  At web scale the same pick is served
+    from a stored adjacency-list table (neighbours pre-grouped per
+    node, the inverted-postings layout): the join returns ONE row per
+    walk and the pick indexes the array by hash-mod-degree — swap-in
+    documented here, argmin kept because it is exactly replayable
+    cross-engine.  Eager checkpoints per hop keep lineage O(1).
+    [extension] — the reference has no graph surface.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        )
+        .repartition("src")
+        .localCheckpoint(eager=False)
+    )
+    cur = starts.select(
+        F.col(node).cast("long").alias("walk"),
+        F.col(node).cast("long").alias("node"),
+    ).localCheckpoint(eager=True)
+    out = cur.withColumn("step", F.lit(0).cast("long"))
+    for t in range(1, steps + 1):
+        h = F.md5(
+            F.concat_ws(
+                ":",
+                F.col("walk").cast("string"),
+                F.lit(str(t)),
+                F.col("dst").cast("string"),
+            )
+        )
+        cur = (
+            e.join(
+                cur.select(
+                    "walk", F.col("node").alias("src")
+                ).hint("shuffle_hash"),
+                "src",
+            )
+            .groupBy("walk")
+            .agg(
+                F.min_by(
+                    F.col("dst"), F.struct(h.alias("h"), F.col("dst"))
+                ).alias("node")
+            )
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(
+            cur.withColumn("step", F.lit(t).cast("long"))
+        )
+    return out.select("walk", "step", "node")

@@ -4023,6 +4023,200 @@ def timeseries_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Strongly connected components (directed trade graph condensation)
+# ---------------------------------------------------------------------------
+
+_SCC_SQL = f"""
+WITH RECURSIVE p AS (
+  SELECT l_suppkey AS s, {_PR_OFF} + o_custkey AS c,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), e AS (
+  SELECT s AS src, c AS dst FROM p WHERE n >= 2
+  UNION ALL
+  SELECT c AS src, s AS dst FROM p WHERE q % 2 = 0
+), reach(a, b) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+), nodes AS (
+  SELECT DISTINCT src AS node FROM (
+    SELECT src FROM e UNION ALL SELECT dst AS src FROM e
+  )
+), mutual AS (
+  SELECT r1.a AS u, r1.b AS v
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+), scc AS (
+  SELECT n.node,
+         LEAST(n.node, COALESCE(MIN(m.v), n.node)) AS scc
+  FROM nodes n LEFT JOIN mutual m ON m.u = n.node
+  GROUP BY n.node
+), sizes AS (
+  SELECT scc, CAST(COUNT(*) AS BIGINT) AS size FROM scc GROUP BY scc
+)
+SELECT s.size,
+       CAST(COUNT(DISTINCT s.scc) AS BIGINT) AS n_sccs,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(c.scc) AS BIGINT) AS sum_scc
+FROM scc c JOIN sizes s ON c.scc = s.scc
+GROUP BY s.size ORDER BY s.size
+"""
+
+
+@register("graph_scc_condensation", oracle=_SCC_SQL)
+def graph_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the DIRECTED trade graph — the
+    directed completion of the graph suite (CC/BFS/SSSP/PageRank/LPA
+    are undirected or score-based; SCC answers cycle structure:
+    dependency condensation, link-farm collapse in web-graph
+    curation).  Edges: supplier→customer where the pair co-trades ≥2
+    lineitems; customer→supplier where their total quantity is even —
+    two overlapping-but-asymmetric relations, so 2-cycles, longer
+    mutual cycles through shared partners, and one-way tails all
+    occur.
+
+    The operator (operators/graph.strongly_connected_components) runs
+    trim + forward-coloring + backward-sweep, every step the
+    one-shuffle-per-round frontier discipline; the oracle computes the
+    ground truth from FIRST PRINCIPLES — full transitive closure and
+    mutual-reachability minima, a genuinely independent O(n·E)
+    formulation the distributed algorithm must reproduce exactly.
+    Per-size rows pin count AND the summed component ids of every
+    member, so a single misassigned node flips the hash.
+    [extension] — the reference has no graph surface.
+    """
+    from another_map_reduce_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    p = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("l_suppkey").alias("s"),
+            (F.lit(_PR_OFF) + F.col("o_custkey")).alias("c"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("q"),
+        )
+    )
+    edges = (
+        p.where(F.col("n") >= 2)
+        .select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        .unionByName(
+            p.where(F.col("q") % 2 == 0).select(
+                F.col("c").alias("src"), F.col("s").alias("dst")
+            )
+        )
+    )
+    scc = strongly_connected_components(edges)
+    sizes = scc.groupBy("scc").agg(F.count("*").alias("size"))
+    return (
+        scc.join(sizes, "scc")
+        .groupBy("size")
+        .agg(
+            F.countDistinct("scc").cast("long").alias("n_sccs"),
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("scc").cast("long").alias("sum_scc"),
+        )
+        .orderBy("size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random-walk corpus (DeepWalk sampling)
+# ---------------------------------------------------------------------------
+
+_WALK_STEPS = 4
+
+
+def _walk_step_sql(t: int) -> str:
+    return f"""s{t} AS (
+  SELECT walk, dst AS node FROM (
+    SELECT w.walk, e.dst,
+           ROW_NUMBER() OVER (
+             PARTITION BY w.walk
+             ORDER BY md5(CAST(w.walk AS VARCHAR) || ':{t}:'
+                          || CAST(e.dst AS VARCHAR)), e.dst
+           ) AS rn
+    FROM s{t - 1} w JOIN edges e ON e.src = w.node
+  ) WHERE rn = 1
+)"""
+
+
+_WALK_SQL = f"""
+WITH e0 AS (
+  SELECT DISTINCT l_suppkey AS src, {_PR_OFF} + o_custkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+), s0 AS (
+  SELECT s_suppkey AS walk, CAST(s_suppkey AS BIGINT) AS node FROM supplier
+), {", ".join(_walk_step_sql(t) for t in range(1, _WALK_STEPS + 1))}
+SELECT CAST(walk AS BIGINT) AS walk, CAST(step AS BIGINT) AS step,
+       CAST(node AS BIGINT) AS node
+FROM (
+  {" UNION ALL ".join(
+      f"SELECT walk, {t} AS step, node FROM s{t}"
+      for t in range(_WALK_STEPS + 1)
+  )}
+)
+ORDER BY walk, step
+"""
+
+
+@register("graph_random_walks", oracle=_WALK_SQL)
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk sampling over the symmetrized trade
+    graph: one {_WALK_STEPS}-hop walk per supplier, each hop the
+    md5-argmin neighbour pick — the walk-corpus generator feeding
+    graph-embedding training (skip-gram windows over these traces are
+    the node2vec/DeepWalk training pairs; Perozzi et al. 2014), here
+    made a pure function of the graph so the FULL trace, not a
+    statistic of it, is the driver-checked result.
+
+    The oracle replays every hop as an unrolled per-step
+    ROW_NUMBER-over-md5 pick — engine-exact because the hash, the
+    tie-break, and the integer node ids all canonicalise identically.
+    See operators/graph.random_walks for the per-hop shuffle shape and
+    the stored-adjacency swap-in at web scale.  [extension].
+    """
+    from another_map_reduce_spark.operators.graph import random_walks
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.lit(_PR_OFF) + F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    starts = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("node")
+    )
+    return random_walks(edges, starts, steps=_WALK_STEPS).orderBy(
+        "walk", "step"
+    )
+
+
 # Registry-order repair: if THIS module was the user's first import, the
 # circular import through queries._load() saw it partially initialized
 # and ordered the registry without its entries (they append afterwards).

@@ -90,6 +90,8 @@ _ORDER_FRONT = [
     "timeseries_resample_ohlc",
     "compaction_bin_packing",
     "domain_temperature_sample",
+    "graph_scc_condensation",
+    "graph_random_walks",
 ]
 # The 40 oldest-row queries staged by the r9 rotation (r6-cohort
 # remainder + r7 cohort) — positions 7-46 of the r10 window.

@@ -1391,3 +1391,94 @@ def test_ohlc_bars_bound_and_pick_the_edge_rows(spark, sf_dir):
     for r in bars.sample(n=min(50, len(bars)), random_state=0).itertuples():
         assert r.open == first[(r.event_type, r.hr)]
         assert r.close == last[(r.event_type, r.hr)]
+
+
+def test_scc_two_cycles_one_way_bridge(spark):
+    from another_map_reduce_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    # 1→2→3→1 and 10→11→12→10, bridged one-way 3→10: two SCCs, no merge
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10), (3, 10)],
+        ["src", "dst"],
+    )
+    got = {
+        r.node: r.scc
+        for r in strongly_connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_scc_dag_is_all_singletons(spark):
+    from another_map_reduce_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (2, 4)], ["src", "dst"]
+    )
+    got = {
+        r.node: r.scc
+        for r in strongly_connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_scc_second_round_reaches_shadowed_component(spark):
+    from another_map_reduce_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    # cycle {1,2,3} colors the downstream cycle {4,5} with 1 (1 reaches
+    # both), so round 1 sweeps only {1,2,3}; {4,5} must be found by the
+    # SECOND outer round — the multi-round path of the decomposition.
+    # 6 is a pure sink (trim), 7→7 a self-loop SCC.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 4), (4, 5), (5, 4), (5, 6), (7, 7)],
+        ["src", "dst"],
+    )
+    got = {
+        r.node: r.scc
+        for r in strongly_connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 7}
+
+
+def test_random_walks_replay_python_oracle(spark):
+    import hashlib
+
+    from another_map_reduce_spark.operators.graph import random_walks
+
+    edge_list = [
+        (1, 2), (1, 3), (2, 1), (2, 3), (3, 1), (3, 4), (4, 4), (5, 6),
+    ]
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    starts = spark.createDataFrame([(1,), (5,), (9,)], ["node"])
+    got = sorted(
+        (r.walk, r.step, r.node)
+        for r in random_walks(edges, starts, steps=3).collect()
+    )
+
+    adj: dict[int, list[int]] = {}
+    for s, d in edge_list:
+        adj.setdefault(s, []).append(d)
+    expect = []
+    for w in (1, 5, 9):
+        cur = w
+        expect.append((w, 0, w))
+        for t in range(1, 4):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            cur = min(
+                nbrs,
+                key=lambda d: (
+                    hashlib.md5(f"{w}:{t}:{d}".encode()).hexdigest(),
+                    d,
+                ),
+            )
+            expect.append((w, t, cur))
+    assert got == sorted(expect)
+    # walk 9 has no edges at all: step-0 row only
+    assert [r for r in got if r[0] == 9] == [(9, 0, 9)]
