@@ -4683,6 +4683,206 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Kneser–Ney smoothed bigram LM (absolute discounting + continuation)
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75  # the standard absolute discount
+
+
+@register(
+    "kn_bigram_lm",
+    oracle=f"""
+WITH t AS (
+  SELECT {_TOKENS} AS w FROM documents
+), b AS (
+  SELECT w[i] AS w1, w[i+1] AS w2
+  FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+        FROM t WHERE len(w) >= 2)
+), c AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM b GROUP BY w1, w2
+), m AS (
+  SELECT w1, w2, c12,
+         CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+         CAST(COUNT(*) OVER (PARTITION BY w1) AS BIGINT) AS n1p_fwd,
+         CAST(COUNT(*) OVER (PARTITION BY w2) AS BIGINT) AS n1p_bwd,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_bigram_types
+  FROM c
+)
+SELECT w1, w2, c12, c1, n1p_fwd, n1p_bwd,
+       round((c12 - {_KN_D}) / c1
+             + ({_KN_D} * n1p_fwd / c1)
+               * (CAST(n1p_bwd AS DOUBLE) / n_bigram_types), 6) AS p_kn
+FROM m
+ORDER BY c12 DESC, w1, w2
+LIMIT 100
+""",
+)
+def kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram probabilities for the 100 most
+    frequent bigrams — the smoothing that made n-gram LMs work (Kneser
+    & Ney 1995; Chen & Goodman 1999's winner), and the LM a pipeline
+    actually ships where bigram_lm_topk's raw MLE table is the
+    unsmoothed input: P_KN(w2|w1) = (c12 − D)/c1 + λ(w1)·P_cont(w2)
+    with D = {_KN_D}, λ(w1) = D·N1+(w1·)/c1, and the continuation
+    probability P_cont(w2) = N1+(·w2)/|bigram types| — "how many
+    contexts has w2 followed", the quantity that fixes the
+    high-frequency-but-single-context artifacts MLE overrates.
+
+    All inputs are exact integer counts; the probability is a FIXED
+    expression tree of IEEE-exact double ops written identically in
+    both engines (each +,×,/ is correctly rounded, so identical shape
+    ⇒ identical bits), rounded to 6 dp.  c12 ≥ 1 > D keeps the
+    discounted term positive — no max(·,0) branch to disagree on.
+
+    Scale shape: identical to bigram_lm_topk — ONE corpus shuffle for
+    the bigram count, then vocab-bounded windows over the aggregated
+    table (N1+ counts are COUNT(*) windows on the SAME partitions the
+    sum windows already use); the grand bigram-type total joins in as
+    a broadcast scalar (the collocation_pmi discipline).  [extension].
+    """
+    from pyspark.sql.window import Window
+
+    from another_map_reduce_spark.operators.text_analysis import _ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _ws_tokens(F.col("text"))
+    bigrams = F.when(
+        F.size(toks) < 2,
+        F.array().cast("array<struct<w1:string,w2:string>>"),
+    ).otherwise(
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+    )
+    counts = (
+        docs.select(F.explode(bigrams).alias("bg"))
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    types_total = counts.agg(F.count("*").alias("n_bigram_types"))
+    w1w = Window.partitionBy("w1")
+    w2w = Window.partitionBy("w2")
+    p_kn = F.round(
+        (F.col("c12") - F.lit(_KN_D)) / F.col("c1")
+        + (F.lit(_KN_D) * F.col("n1p_fwd") / F.col("c1"))
+        * (
+            F.col("n1p_bwd").cast("double")
+            / F.col("n_bigram_types")
+        ),
+        6,
+    )
+    return (
+        counts.withColumn("c1", F.sum("c12").over(w1w))
+        .withColumn("n1p_fwd", F.count("*").over(w1w))
+        .withColumn("n1p_bwd", F.count("*").over(w2w))
+        .crossJoin(F.broadcast(types_total))
+        .select(
+            "w1", "w2", "c12", "c1", "n1p_fwd", "n1p_bwd",
+            p_kn.alias("p_kn"),
+        )
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth curve (new types per corpus decile)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vocab_growth_curve",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, {_TOKENS} AS w,
+         NTILE(10) OVER (ORDER BY doc_id) AS decile
+  FROM documents
+), tok AS (
+  SELECT decile, unnest(w) AS word FROM d
+), first_seen AS (
+  SELECT word, MIN(decile) AS first_decile FROM tok GROUP BY word
+), per_decile AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tok
+  GROUP BY decile
+), new_types AS (
+  SELECT first_decile AS decile, CAST(COUNT(*) AS BIGINT) AS new_types
+  FROM first_seen GROUP BY first_decile
+)
+SELECT p.decile, p.n_tokens,
+       CAST(SUM(p.n_tokens) OVER (ORDER BY p.decile) AS BIGINT)
+           AS cum_tokens,
+       CAST(COALESCE(n.new_types, 0) AS BIGINT) AS new_types,
+       CAST(SUM(COALESCE(n.new_types, 0)) OVER (ORDER BY p.decile)
+            AS BIGINT) AS cum_vocab
+FROM per_decile p LEFT JOIN new_types n ON p.decile = n.decile
+ORDER BY p.decile
+""",
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: reading the corpus in doc_id order,
+    how many NEW word types does each tenth of the token stream
+    contribute — the V(N) ≈ K·N^β curve (Heaps 1978) a corpus team
+    reads to judge dedup effectiveness (a flattening curve means the
+    tail is copies), crawl saturation, and tokenizer vocab sizing.
+    Reported as exact integers per decile: token occurrences,
+    cumulative tokens, first-seen types, cumulative vocabulary.
+
+    The only cross-engine subtlety is NTILE over the global doc order
+    — both engines implement the SQL-standard even-split-with-
+    remainder-forward rule, and doc_id is unique, so decile
+    assignment is exact.  A token's contribution decile is its MIN
+    decile, one grouped aggregate over the exploded stream.
+
+    Scale shape: the global NTILE sorts only the (doc_id) projection
+    (at 100 TB the same split is 10 doc_id range thresholds from an
+    aggregate — no sort); the heavy work is one (word → min decile)
+    shuffle with map-side combine, and the curve itself is 10 rows.
+    [extension].
+    """
+    from pyspark.sql.window import Window
+
+    from another_map_reduce_spark.operators.text_analysis import _ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        _ws_tokens(F.col("text")).alias("w"),
+        F.ntile(10).over(Window.orderBy("doc_id")).alias("decile"),
+    )
+    tok = docs.select("decile", F.explode("w").alias("word"))
+    per_decile = tok.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_tokens")
+    )
+    new_types = (
+        tok.groupBy("word")
+        .agg(F.min("decile").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count("*").cast("long").alias("new_types"))
+    )
+    cw = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per_decile.join(new_types, "decile", "left")
+        .select(
+            "decile",
+            "n_tokens",
+            F.sum("n_tokens").over(cw).cast("long").alias("cum_tokens"),
+            F.coalesce("new_types", F.lit(0))
+            .cast("long")
+            .alias("new_types"),
+            F.sum(F.coalesce("new_types", F.lit(0)))
+            .over(cw)
+            .cast("long")
+            .alias("cum_vocab"),
+        )
+        .orderBy("decile")
+    )
+
+
 # Late registrations (after the module's first registry-order repair):
 # repeat the idempotent reorder so these entries land in their
 # _ORDER_NEXT slots under any import order.

@@ -92,6 +92,8 @@ _ORDER_FRONT = [
     "domain_temperature_sample",
     "graph_scc_condensation",
     "graph_random_walks",
+    "kn_bigram_lm",
+    "vocab_growth_curve",
 ]
 # The 40 oldest-row queries staged by the r9 rotation (r6-cohort
 # remainder + r7 cohort) — positions 7-46 of the r10 window.

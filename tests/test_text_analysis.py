@@ -336,3 +336,44 @@ def test_collocation_pmi_lift_is_internally_consistent(spark, sf_dir):
     # every row (up to the 6-dp rounding of lift)
     ns = [r.lift * r.c1 * r.c2 / r.c12 for r in rows]
     assert max(ns) / min(ns) < 1.001
+
+
+def test_kn_bigram_probabilities_are_valid_and_consistent(spark, sf_dir):
+    from another_map_reduce_spark.plans.pipeline import _KN_D, kn_bigram_lm
+
+    rows = kn_bigram_lm(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.p_kn <= 1.0
+        assert 1 <= r.n1p_fwd <= r.c1 and r.c12 <= r.c1
+    # every row reconstructs the SAME bigram-type total N from
+    # p_kn = (c12-D)/c1 + (D*fwd/c1)*(bwd/N)
+    ns = [
+        (_KN_D * r.n1p_fwd / r.c1) * r.n1p_bwd
+        / (r.p_kn - (r.c12 - _KN_D) / r.c1)
+        for r in rows
+    ]
+    assert max(ns) / min(ns) < 1.01
+
+
+def test_vocab_growth_curve_totals_and_monotonicity(spark, sf_dir):
+    from another_map_reduce_spark.operators.text_analysis import _ws_tokens
+    from another_map_reduce_spark.plans.pipeline import vocab_growth_curve
+
+    rows = vocab_growth_curve(spark, sf_dir).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    # cumulative columns really are prefix sums
+    ct = cv = 0
+    for r in rows:
+        ct += r.n_tokens
+        cv += r.new_types
+        assert r.cum_tokens == ct and r.cum_vocab == cv
+    # final cumulative = global corpus totals
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select(
+        __import__("pyspark.sql.functions", fromlist=["explode"]).explode(
+            _ws_tokens(docs.text)
+        ).alias("w")
+    )
+    assert rows[-1].cum_tokens == tok.count()
+    assert rows[-1].cum_vocab == tok.distinct().count()

@@ -67,6 +67,13 @@ QUERIES = [
     "cms_word_frequency",
     "priority_sample_docs",
     "mmr_diversified_topk",
+    # round-10 third wave: PMI collocations (one (w1,w2) exchange —
+    # the bigram_lm shape — plus vocab-bounded marginal windows) and
+    # temperature mixture sampling (one count shuffle + one per-domain
+    # rank window; the window sort is the scale-watch item — the
+    # documented threshold form removes it)
+    "collocation_pmi",
+    "domain_temperature_sample",
 ]
 
 SCALES = [
@@ -123,6 +130,15 @@ REL_QUERIES = [
     # score-table-vs-cached-edges shuffle_hash joins — the pagerank
     # per-round shape, so expect the same flat-ish curve)
     "hits_hubs_authorities",
+    # round-10 third wave: SCC (disjoint replicas ⇒ the coloring
+    # frontier and every sweep grow linearly while round counts stay
+    # fixed at the base graph's condensation depth), random walks
+    # (per-hop candidate volume = frontier out-degree, linear in
+    # replicas; fixed 4 hops), and the compaction planner (one
+    # manifest-sized aggregate + window — should be scan-flat)
+    "graph_scc_condensation",
+    "graph_random_walks",
+    "compaction_bin_packing",
 ]
 
 REL_SCALES = [
@@ -170,6 +186,10 @@ EVENT_QUERIES = [
     # stream join (state linear in each side's open window)
     "attribution_last_touch",
     "stream_join_full_outer",
+    # round-10 third wave: OHLC bars — one (type, hour) hash aggregate
+    # with map-side min_by/max_by combine; state is bucket-bounded, so
+    # the curve should track the scan
+    "timeseries_resample_ohlc",
 ]
 
 EVENT_SCALES = [
