@@ -4217,6 +4217,190 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# EWMA (halving decay, integer-exact) + CUSUM changepoint detection
+# ---------------------------------------------------------------------------
+
+_EWMA_LAGS = 12  # truncation depth; weights 2^-(k+1), k = 0.._EWMA_LAGS-1
+
+
+@register(
+    "timeseries_ewma_halving",
+    oracle=f"""
+WITH h AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS hr,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) * 1000000 AS BIGINT)
+              AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT event_type, hr, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) AS rn,
+         {" + ".join(
+             f"COALESCE(LAG(x, {k}) OVER (PARTITION BY event_type "
+             f"ORDER BY hr), 0) * {1 << (_EWMA_LAGS - 1 - k)}"
+             for k in range(_EWMA_LAGS)
+         )} AS wsum
+  FROM h
+)
+SELECT event_type, hr,
+       round(CAST(x AS DOUBLE) / 1000000.0, 6) AS hourly_sum,
+       round(CAST(wsum AS DOUBLE) / {(1 << _EWMA_LAGS) * 1_000_000}.0, 6)
+           AS ewma
+FROM lagged WHERE rn >= {_EWMA_LAGS}
+ORDER BY event_type, hr
+""",
+)
+def timeseries_ewma_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of the hourly value stream
+    (alpha = 1/2, truncated at {_EWMA_LAGS} lags) — the smoothing every
+    monitoring/trading system runs over its counters, made ENGINE-
+    EXACT by integer arithmetic: the hourly series is decimal-summed
+    then scaled to integer micro-units, the halving weights
+    2^-(k+1) are the INTEGER numerators 2^(L-1-k) over the common
+    denominator 2^L, so the weighted window sum is pure bigint; one
+    double division at the very end, rounded to 6 dp.  (Float-weight
+    EWMA would hash-split on summation order and on pow() ulps; this
+    formulation has no float op until the final division.)
+
+    Rows with fewer than {_EWMA_LAGS} predecessors are withheld (the
+    truncated window would silently under-weight them); weights sum to
+    1 − 2^-{_EWMA_LAGS}, the documented truncation bias (< 0.025%).
+
+    Scale shape: one (type, hour) aggregate — bucket-bounded state —
+    then per-type windows over the AGGREGATED series (rows = types ×
+    hours, metadata scale).  The {_EWMA_LAGS} LAG calls share one
+    window sort per type.  [extension].
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(38,6)")) * 1_000_000)
+        .cast("long")
+        .alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    wsum = None
+    for k in range(_EWMA_LAGS):
+        term = F.coalesce(F.lag("x", k).over(w), F.lit(0)) * F.lit(
+            1 << (_EWMA_LAGS - 1 - k)
+        )
+        wsum = term if wsum is None else wsum + term
+    denom = float((1 << _EWMA_LAGS) * 1_000_000)
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .withColumn("wsum", wsum)
+        .where(F.col("rn") >= _EWMA_LAGS)
+        .select(
+            "event_type",
+            "hr",
+            F.round(F.col("x").cast("double") / 1_000_000.0, 6).alias(
+                "hourly_sum"
+            ),
+            F.round(F.col("wsum").cast("double") / denom, 6).alias(
+                "ewma"
+            ),
+        )
+        .orderBy("event_type", "hr")
+    )
+
+
+@register(
+    "timeseries_cusum_changepoint",
+    oracle="""
+WITH h AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS hr,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) * 1000000 AS BIGINT)
+              AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, hr, x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr)
+              AS BIGINT) AS t,
+         CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY hr)
+              AS BIGINT) AS prefix,
+         CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM h
+), dev AS (
+  SELECT event_type, hr, n,
+         n * prefix - t * s AS cusum,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ABS(n * prefix - t * s) DESC, hr)
+             AS rk
+  FROM tot
+)
+SELECT event_type, n AS n_hours, hr AS change_hour,
+       CAST(cusum AS BIGINT) AS cusum_scaled
+FROM dev WHERE rk = 1 ORDER BY event_type
+""",
+)
+def timeseries_cusum_changepoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CUSUM changepoint detection (Page 1954): for each event type,
+    the hour where the cumulative deviation of the hourly series from
+    its own mean peaks — the standard level-shift locator (the argmax
+    of |Σ_{i≤t}(x_i − x̄)|, which is where a mean step-change
+    happened if one did).
+
+    Mean-free integer form: Σ_{i≤t}(x_i − S/n) scaled by n is
+    n·prefix_t − t·S — pure bigint over micro-unit hourly sums, so the
+    argmax (and its deterministic (|dev| DESC, hour) tie-break) is
+    engine-exact with NO division or float anywhere.  The scaled peak
+    deviation is reported as-is; callers normalise by n·10^6 only for
+    display.
+
+    Scale shape: one bucket-bounded (type, hour) aggregate, then three
+    windows sharing the per-type sort of the aggregated series.
+    [extension] — completes the time-series suite: zscore (outliers),
+    LOCF (gaps), OHLC (bars), EWMA (smoothing), CUSUM (shifts).
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(38,6)")) * 1_000_000)
+        .cast("long")
+        .alias("x")
+    )
+    wo = Window.partitionBy("event_type").orderBy("hr")
+    wa = Window.partitionBy("event_type")
+    tot = h.select(
+        "event_type",
+        "hr",
+        F.row_number().over(wo).cast("long").alias("t"),
+        F.sum("x").over(wo).cast("long").alias("prefix"),
+        F.sum("x").over(wa).cast("long").alias("s"),
+        F.count("*").over(wa).cast("long").alias("n"),
+    )
+    cusum = (F.col("n") * F.col("prefix") - F.col("t") * F.col("s")).alias(
+        "cusum"
+    )
+    dev = tot.select("event_type", "hr", "n", cusum).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.abs(F.col("cusum")).desc(), "hr"
+            )
+        ),
+    )
+    return (
+        dev.where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_hours"),
+            F.col("hr").alias("change_hour"),
+            F.col("cusum").cast("long").alias("cusum_scaled"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # Registry-order repair: if THIS module was the user's first import, the
 # circular import through queries._load() saw it partially initialized
 # and ordered the registry without its entries (they append afterwards).

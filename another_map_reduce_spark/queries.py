@@ -94,6 +94,8 @@ _ORDER_FRONT = [
     "graph_random_walks",
     "kn_bigram_lm",
     "vocab_growth_curve",
+    "timeseries_ewma_halving",
+    "timeseries_cusum_changepoint",
 ]
 # The 40 oldest-row queries staged by the r9 rotation (r6-cohort
 # remainder + r7 cohort) — positions 7-46 of the r10 window.

@@ -1482,3 +1482,62 @@ def test_random_walks_replay_python_oracle(spark):
     assert got == sorted(expect)
     # walk 9 has no edges at all: step-0 row only
     assert [r for r in got if r[0] == 9] == [(9, 0, 9)]
+
+
+def test_ewma_halving_matches_pandas_ewm_shape(spark, sf_dir):
+    from another_map_reduce_spark.plans.analytics import (
+        _EWMA_LAGS,
+        timeseries_ewma_halving,
+    )
+
+    rows = timeseries_ewma_halving(spark, sf_dir).toPandas()
+    assert len(rows)
+    # the truncated EWMA is a convex-ish combination: it lies within
+    # the running min/max of the last L hourly sums (weights positive,
+    # summing to 1 - 2^-L < 1, so it can undershoot the min by at most
+    # that bias on positive series — assert against 0..max instead)
+    g = rows.groupby("event_type")
+    for _, grp in g:
+        win = grp.hourly_sum.rolling(_EWMA_LAGS, min_periods=_EWMA_LAGS)
+        hi = win.max().dropna()
+        # compare only where the rolling stats exist
+        mask = win.count() == _EWMA_LAGS
+        assert (grp.ewma[mask] <= hi + 1e-6).all()
+        assert (grp.ewma[mask] >= 0).all()
+    # exact replay of one series in Python integers
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    et = rows.event_type.iloc[0]
+    s = (
+        ev[ev.event_type == et]
+        .assign(hr=lambda d: d.ts.dt.floor("h"))
+        .groupby("hr")
+        .value.apply(lambda v: int(round(v.sum() * 1e6)))
+        .sort_index()
+    )
+    xs = s.tolist()
+    L = _EWMA_LAGS
+    expect = []
+    for i in range(L - 1, len(xs)):
+        ws = sum(xs[i - k] * (1 << (L - 1 - k)) for k in range(L))
+        expect.append(round(ws / ((1 << L) * 1e6), 6))
+    got = rows[rows.event_type == et].ewma.tolist()
+    assert got == expect
+
+
+def test_cusum_flags_a_planted_level_shift(spark):
+    from pyspark.sql import Row
+
+    from another_map_reduce_spark.operators import datapipe  # noqa: F401
+
+    # direct check of the mean-free integer identity on a planted
+    # shift: flat 10s then flat 20s — the peak |n*prefix - t*S| must
+    # land exactly at the boundary
+    xs = [10] * 6 + [20] * 6
+    n, S = len(xs), sum(xs)
+    best = max(
+        range(1, n + 1),
+        key=lambda t: (abs(n * sum(xs[:t]) - t * S), -t),
+    )
+    assert best == 6

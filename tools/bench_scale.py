@@ -74,6 +74,11 @@ QUERIES = [
     # documented threshold form removes it)
     "collocation_pmi",
     "domain_temperature_sample",
+    # KN shares collocation's exchange profile (one bigram count +
+    # vocab-bounded windows); vocab growth is one word→min-decile
+    # shuffle plus a 10-row curve
+    "kn_bigram_lm",
+    "vocab_growth_curve",
 ]
 
 SCALES = [
@@ -188,8 +193,12 @@ EVENT_QUERIES = [
     "stream_join_full_outer",
     # round-10 third wave: OHLC bars — one (type, hour) hash aggregate
     # with map-side min_by/max_by combine; state is bucket-bounded, so
-    # the curve should track the scan
+    # the curve should track the scan — and EWMA/CUSUM, whose windows
+    # run over the type×hour AGGREGATED series (bounded), so both
+    # should be aggregate-bound like OHLC
     "timeseries_resample_ohlc",
+    "timeseries_ewma_halving",
+    "timeseries_cusum_changepoint",
 ]
 
 EVENT_SCALES = [
