@@ -4401,6 +4401,130 @@ def timeseries_cusum_changepoint(
     )
 
 
+# ---------------------------------------------------------------------------
+# Partition evolution (per-epoch partition specs, per-spec pruning)
+# ---------------------------------------------------------------------------
+
+_PARTEVO_SPLIT = "1997-01-01"  # spec change-over: month dirs → day dirs
+
+
+def _partevo_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Build (overwrite-in-place, one per sf_dir — the zorder residue
+    contract) the evolved-layout orders table: rows before
+    _PARTEVO_SPLIT live under ``spec=1`` partitioned by MONTH, rows
+    from the split on under ``spec=2`` partitioned by DAY — the
+    Iceberg partition-evolution shape, where a spec change applies to
+    NEW data only and old files are never rewritten (spec history
+    lives in metadata; here, in the two spec roots)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"amrs_partevo_{tag}")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    split = F.lit(_PARTEVO_SPLIT).cast("date")
+    (
+        o.where(F.col("o_orderdate") < split)
+        .withColumn(
+            "o_month", F.date_format("o_orderdate", "yyyy-MM")
+        )
+        .repartition("o_month")
+        .write.mode("overwrite")
+        .partitionBy("o_month")
+        .parquet(f"{path}/spec=1")
+    )
+    (
+        o.where(F.col("o_orderdate") >= split)
+        .withColumn("o_day", F.col("o_orderdate"))
+        .repartition("o_day")
+        .write.mode("overwrite")
+        .partitionBy("o_day")
+        .parquet(f"{path}/spec=2")
+    )
+    return path
+
+
+def _partevo_scans(
+    spark: SparkSession, path: str, lo: str, hi: str
+) -> tuple[DataFrame, DataFrame]:
+    """The two spec scans for a date-range predicate, each filtered on
+    ITS OWN partition column so directory pruning applies per spec:
+    spec 1 prunes at month granularity (the range's month hull), spec
+    2 at day granularity; the exact o_orderdate bounds re-apply on
+    both (month pruning alone would admit stray days of the hull's
+    edge months)."""
+    s1 = (
+        spark.read.parquet(f"{path}/spec=1")
+        .where(
+            (F.col("o_month") >= lo[:7]) & (F.col("o_month") <= hi[:7])
+        )
+        .where(F.col("o_orderdate").between(lo, hi))
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
+    s2 = (
+        spark.read.parquet(f"{path}/spec=2")
+        .where(
+            F.col("o_day").between(
+                F.lit(lo).cast("date"), F.lit(hi).cast("date")
+            )
+        )
+        .where(F.col("o_orderdate").between(lo, hi))
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
+    return s1, s2
+
+
+@register(
+    "partition_evolution_read",
+    oracle="""
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           AS revenue
+FROM orders
+WHERE o_orderdate BETWEEN DATE '1996-07-01' AND DATE '1997-06-30'
+GROUP BY month ORDER BY month
+""",
+)
+def partition_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION EVOLUTION: a table whose partition spec changed
+    mid-life (month directories before {split}, day directories after
+    — the Iceberg/Delta "spec applies to new data only" contract, so
+    historical files are NEVER rewritten at a spec change), read back
+    through a date-range query that straddles the change-over.  Each
+    epoch scans with the predicate mapped to ITS spec's partition
+    column, so BOTH scans directory-prune (PLANS.md pins the
+    PartitionFilters; the unit test pins pruned inputFiles counts),
+    then the union aggregates monthly revenue — which must hash-match
+    an oracle computed on the ORIGINAL un-evolved table: evolution is
+    a layout property, invisible to results.
+
+    Scale shape: this is the operation that lets a 100 TB events
+    table move from coarse to fine partitioning as volume grows
+    without a petabyte rewrite; query cost is two pruned scans + one
+    union + one bucket-bounded aggregate.  [extension].
+    """
+    lo, hi = "1996-07-01", "1997-06-30"
+    path = _partevo_layout(spark, sf_dir)
+    s1, s2 = _partevo_scans(spark, path, lo, hi)
+    both = s1.unionByName(s2)
+    return (
+        both.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("month")
+    )
+
+
 # Registry-order repair: if THIS module was the user's first import, the
 # circular import through queries._load() saw it partially initialized
 # and ordered the registry without its entries (they append afterwards).

@@ -96,6 +96,7 @@ _ORDER_FRONT = [
     "vocab_growth_curve",
     "timeseries_ewma_halving",
     "timeseries_cusum_changepoint",
+    "partition_evolution_read",
 ]
 # The 40 oldest-row queries staged by the r9 rotation (r6-cohort
 # remainder + r7 cohort) — positions 7-46 of the r10 window.

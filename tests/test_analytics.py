@@ -1541,3 +1541,44 @@ def test_cusum_flags_a_planted_level_shift(spark):
         key=lambda t: (abs(n * sum(xs[:t]) - t * S), -t),
     )
     assert best == 6
+
+
+def test_partition_evolution_prunes_both_specs(spark, sf_dir):
+    from another_map_reduce_spark.plans.analytics import (
+        _partevo_layout,
+        _partevo_scans,
+    )
+
+    path = _partevo_layout(spark, sf_dir)
+    lo, hi = "1996-10-01", "1997-02-28"
+    s1, s2 = _partevo_scans(spark, path, lo, hi)
+    # per-spec directory pruning, pinned in the physical plan: each
+    # epoch's FileScan must carry a PartitionFilter on ITS OWN spec
+    # column (plan captured BEFORE collect, metadata truncation raised
+    # -- the ivf_pq precedent's gotchas)
+    meta_key = "spark.sql.maxMetadataStringLength"
+    prev = spark.conf.get(meta_key, None)
+    spark.conf.set(meta_key, "1000")
+    try:
+        plan1 = s1._jdf.queryExecution().executedPlan().toString()
+        plan2 = s2._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if prev is None:
+            spark.conf.unset(meta_key)
+        else:
+            spark.conf.set(meta_key, prev)
+    scan1 = [ln for ln in plan1.split("\n") if "FileScan" in ln]
+    scan2 = [ln for ln in plan2.split("\n") if "FileScan" in ln]
+    assert any(
+        "PartitionFilters" in ln and "o_month" in ln for ln in scan1
+    ), plan1[:2000]
+    assert any(
+        "PartitionFilters" in ln and "o_day" in ln for ln in scan2
+    ), plan2[:2000]
+    # evolution is invisible to results: the union equals the plain
+    # table filtered the same way
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    import pyspark.sql.functions as SF
+
+    expect = o.where(SF.col("o_orderdate").between(lo, hi)).count()
+    assert s1.count() + s2.count() == expect
