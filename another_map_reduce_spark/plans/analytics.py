@@ -4525,6 +4525,200 @@ def partition_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Polymorphic UDTF with TABLE argument (partitioned-ordered sessionize)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udtf_sessionize_table_arg",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess_no
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS sess_start, MAX(ts) AS sess_last,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM numbered
+GROUP BY user_id, sess_no
+ORDER BY user_id, sess_start
+""",
+)
+def udtf_sessionize_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via a POLYMORPHIC Python UDTF taking a TABLE
+    argument with PARTITION BY / ORDER BY — the Spark-4 API surface
+    udtf_wordcount's scalar-LATERAL form can't reach: the engine
+    feeds each user's events to one UDTF instance IN TIMESTAMP ORDER
+    (fresh instance per partition key, ``terminate`` flushing the open
+    session), which is the general template for any order-dependent
+    per-key Python algorithm the built-in operators lack.
+
+    Same 30-minute-gap semantics and the SAME gaps-and-islands oracle
+    as session_windows_batch (new session iff gap ≥ 30 min) — the
+    session set must be identical across the declarative
+    session_window, the SQL window cascade, and this imperative
+    per-partition stream, and sessions are order-invariant aggregates
+    of their events, so equal-timestamp tie order can't split the
+    hash.
+
+    Row-at-a-time Python is the SLOW path (the production form stays
+    session_window / the TWS streaming twin); what scales is the
+    SHAPE: one shuffle on the partition key, per-key ordered streams,
+    O(1) state per open session.  [extension].
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "user_id bigint, sess_start timestamp, "
+            "sess_last timestamp, n_events bigint"
+        )
+    )
+    class Sessionize:
+        def __init__(self) -> None:
+            self.uid = None
+            self.start = None
+            self.last = None
+            self.n = 0
+
+        def eval(self, row):  # noqa: D401 — UDTF contract method
+            ts = row.ts
+            if (
+                self.last is not None
+                and (ts - self.last).total_seconds() < 1800
+            ):
+                self.last = ts
+                self.n += 1
+            else:
+                if self.n:
+                    yield (self.uid, self.start, self.last, self.n)
+                self.uid, self.start, self.last, self.n = (
+                    row.user_id,
+                    ts,
+                    ts,
+                    1,
+                )
+
+        def terminate(self):
+            if self.n:
+                yield (self.uid, self.start, self.last, self.n)
+
+    spark.udtf.register("amrs_sessionize", Sessionize)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    ev.createOrReplaceTempView("_amrs_udtf_sessions_in")
+    return spark.sql(
+        """
+        SELECT user_id, sess_start, sess_last, n_events
+        FROM amrs_sessionize(TABLE(_amrs_udtf_sessions_in)
+                             PARTITION BY user_id ORDER BY ts)
+        ORDER BY user_id, sess_start
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stacked IVM: join + aggregate maintained as |groups|-sized state
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_join_agg_stacked",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1 ORDER BY 1
+""",
+)
+def incremental_join_agg_stacked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STACKED materialized-view maintenance — the composition the two
+    single-operator IVM rows stop short of: V = γ(A ⋈ B) maintained as
+    an |groups|-sized AGGREGATE STATE, absorbing two-sided deltas by
+    aggregating only the three delta-join quadrants and monoid-merging
+    the result into the stored states:
+
+        V' = V ⊕ γ(ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB)
+
+    incremental_join_maintenance keeps the ROW-LEVEL join view and
+    re-aggregates everything each time; the stacked form is what a
+    view engine (DBSP/Materialize, and Delta's MV preview) actually
+    stores — per-group (count, decimal-sum) states, so maintenance is
+    O(Δ-join + |groups| merge) and the stored object is tiny no matter
+    how large A ⋈ B grows.  Decimal partial sums keep ⊕ associative
+    (base⊕delta bit-equals the one-shot fold); the one-shot join+agg
+    oracle makes the hash match the incremental ≡ recompute proof.
+    Same quadrant splits as the join row (date × linenumber, all four
+    quadrants non-empty), so a dropped term flips the hash here too.
+    [extension].
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    cut = F.lit(_MV_CUTOFF).cast("timestamp")
+    ob = o.where(F.col("o_orderdate") < cut)
+    od = o.where(F.col("o_orderdate") >= cut)
+    lb = li.where(F.col("l_linenumber") < 4)
+    ld = li.where(F.col("l_linenumber") >= 4)
+
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+
+    def state(rows: DataFrame) -> DataFrame:
+        """γ as mergeable per-group state: (count, exact-decimal sum)."""
+        return rows.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(rev).alias("s")
+        )
+
+    def j(a: DataFrame, b: DataFrame) -> DataFrame:
+        return a.join(b, a.o_orderkey == b.l_orderkey).select(
+            "o_orderpriority", "l_extendedprice", "l_discount"
+        )
+
+    stored = state(j(ob, lb))  # the persisted MV state γ(A ⋈ B)
+    delta = state(
+        j(od, lb).unionByName(j(ob, ld)).unionByName(j(od, ld))
+    )
+    zero = F.lit(0).cast("decimal(38,6)")
+    return (
+        stored.alias("v")
+        .join(delta.alias("d"), "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            (
+                F.coalesce(F.col("v.n"), F.lit(0))
+                + F.coalesce(F.col("d.n"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_lines"),
+            (
+                F.coalesce(F.col("v.s"), zero)
+                + F.coalesce(F.col("d.s"), zero)
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # Registry-order repair: if THIS module was the user's first import, the
 # circular import through queries._load() saw it partially initialized
 # and ordered the registry without its entries (they append afterwards).

@@ -97,6 +97,8 @@ _ORDER_FRONT = [
     "timeseries_ewma_halving",
     "timeseries_cusum_changepoint",
     "partition_evolution_read",
+    "udtf_sessionize_table_arg",
+    "incremental_join_agg_stacked",
 ]
 # The 40 oldest-row queries staged by the r9 rotation (r6-cohort
 # remainder + r7 cohort) — positions 7-46 of the r10 window.

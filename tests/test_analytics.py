@@ -1582,3 +1582,68 @@ def test_partition_evolution_prunes_both_specs(spark, sf_dir):
 
     expect = o.where(SF.col("o_orderdate").between(lo, hi)).count()
     assert s1.count() + s2.count() == expect
+
+
+def test_udtf_sessionize_matches_declarative_twin(spark, sf_dir):
+    from another_map_reduce_spark.plans.analytics import (
+        udtf_sessionize_table_arg,
+    )
+    from another_map_reduce_spark.plans.relational import (
+        session_windows_batch,
+    )
+
+    a = sorted(
+        map(tuple, udtf_sessionize_table_arg(spark, sf_dir).collect())
+    )
+    b = sorted(map(tuple, session_windows_batch(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_stacked_ivm_quadrants_all_contribute(spark, sf_dir):
+    import pyspark.sql.functions as SF
+
+    from another_map_reduce_spark.plans.analytics import (
+        _MV_CUTOFF,
+        incremental_join_agg_stacked,
+    )
+
+    # the split must keep all four quadrants non-empty at smoke SF,
+    # else the composition proof degenerates
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cut = SF.lit(_MV_CUTOFF).cast("timestamp")
+    for osub in (
+        o.where(SF.col("o_orderdate") < cut),
+        o.where(SF.col("o_orderdate") >= cut),
+    ):
+        for lsub in (
+            li.where(SF.col("l_linenumber") < 4),
+            li.where(SF.col("l_linenumber") >= 4),
+        ):
+            assert (
+                osub.join(
+                    lsub, osub.o_orderkey == lsub.l_orderkey
+                ).limit(1).count()
+                == 1
+            )
+    # and the merged state equals the one-shot recompute
+    got = {
+        r.o_orderpriority: (r.n_lines, round(r.revenue, 2))
+        for r in incremental_join_agg_stacked(spark, sf_dir).collect()
+    }
+    oneshot = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            SF.count("*").alias("n"),
+            SF.sum(
+                (
+                    SF.col("l_extendedprice") * (1 - SF.col("l_discount"))
+                ).cast("decimal(38,6)")
+            ).cast("double").alias("rev"),
+        )
+        .collect()
+    )
+    assert got == {
+        r.o_orderpriority: (r.n, round(r.rev, 2)) for r in oneshot
+    }
