@@ -99,6 +99,7 @@ _ORDER_FRONT = [
     "partition_evolution_read",
     "udtf_sessionize_table_arg",
     "incremental_join_agg_stacked",
+    "cf_item_neighbors",
 ]
 # The 40 oldest-row queries staged by the r9 rotation (r6-cohort
 # remainder + r7 cohort) — positions 7-46 of the r10 window.

