@@ -4870,6 +4870,94 @@ def cf_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Exact weighted median (grouped, tie-free by value-level pre-aggregation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weighted_median_price",
+    oracle="""
+WITH lv AS (
+  SELECT l_returnflag, l_linestatus, l_extendedprice AS price,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2, 3
+), cum AS (
+  SELECT l_returnflag, l_linestatus, price, w,
+         CAST(SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus
+                           ORDER BY price) AS BIGINT) AS cw,
+         CAST(SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus)
+              AS BIGINT) AS tw
+  FROM lv
+), hit AS (
+  SELECT l_returnflag, l_linestatus, price, tw,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+                            ORDER BY price) AS rk
+  FROM cum WHERE 2 * cw >= tw
+)
+SELECT l_returnflag, l_linestatus,
+       price AS weighted_median, tw AS total_qty
+FROM hit WHERE rk = 1
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-WEIGHTED median price per (returnflag,
+    linestatus) — the weighted completion of the quantile family
+    (udaf_median = unweighted exact, percentiles_by_priority = rank
+    picks, histogram_quantile_rollup = mergeable approximate): the
+    smallest price at which the cumulative shipped quantity reaches
+    half the group's total, i.e. the price that splits the VOLUME in
+    half rather than the row count — the form pricing/inventory
+    analytics actually want.
+
+    Tie-freedom by construction: quantities are first aggregated PER
+    DISTINCT PRICE, so the cumulative sum is over unique ordered
+    price levels and no within-tie ordering exists for engines to
+    disagree on; all arithmetic is bigint, the median is a row PICK
+    (never an interpolation), hence hash-exact.
+
+    Scale shape: one (group, price) aggregate with map-side combine
+    collapses the corpus to price-level rows; the cumsum window runs
+    over THAT bounded table.  A pathologically fine-grained value
+    domain would make the window sort corpus-sized — then the same
+    answer comes from the distributed-prefix-sum decomposition
+    (pps_systematic_sample's shape) or a two-pass count-then-probe.
+    [extension].
+    """
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice", "l_quantity"
+    )
+    lv = li.groupBy(
+        "l_returnflag", "l_linestatus", F.col("l_extendedprice").alias("price")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    grp = ["l_returnflag", "l_linestatus"]
+    cum = lv.select(
+        *grp,
+        "price",
+        F.sum("w")
+        .over(Window.partitionBy(*grp).orderBy("price"))
+        .cast("long")
+        .alias("cw"),
+        F.sum("w").over(Window.partitionBy(*grp)).cast("long").alias("tw"),
+    )
+    hit = cum.where(2 * F.col("cw") >= F.col("tw")).withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy(*grp).orderBy("price")),
+    )
+    return (
+        hit.where(F.col("rk") == 1)
+        .select(
+            *grp,
+            F.col("price").alias("weighted_median"),
+            F.col("tw").alias("total_qty"),
+        )
+        .orderBy(*grp)
+    )
+
+
 # Registry-order repair: if THIS module was the user's first import, the
 # circular import through queries._load() saw it partially initialized
 # and ordered the registry without its entries (they append afterwards).

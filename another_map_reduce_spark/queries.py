@@ -100,6 +100,7 @@ _ORDER_FRONT = [
     "udtf_sessionize_table_arg",
     "incremental_join_agg_stacked",
     "cf_item_neighbors",
+    "weighted_median_price",
 ]
 # The 40 oldest-row queries staged by the r9 rotation (r6-cohort
 # remainder + r7 cohort) — positions 7-46 of the r10 window.

