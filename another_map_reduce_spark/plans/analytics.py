@@ -4958,6 +4958,106 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Gini concentration of customer revenue (per nation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gini_revenue_concentration",
+    oracle="""
+WITH cr AS (
+  SELECT c.c_nationkey, c.c_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT c_nationkey, rev,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                 ORDER BY rev, c_custkey) AS BIGINT) AS i,
+         CAST(COUNT(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS n
+  FROM cr
+)
+SELECT c_nationkey AS nationkey, CAST(MAX(n) AS BIGINT) AS n_customers,
+       CAST(SUM(rev) AS DOUBLE) AS total_rev,
+       round((2.0 * CAST(SUM(i * rev) AS DOUBLE)
+              - (MAX(n) + 1) * CAST(SUM(rev) AS DOUBLE))
+             / (MAX(n) * CAST(SUM(rev) AS DOUBLE)), 6) AS gini
+FROM ranked GROUP BY c_nationkey ORDER BY nationkey
+""",
+)
+def gini_revenue_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gini coefficient of per-customer revenue within each nation —
+    the concentration diagnostic (0 = revenue spread evenly, →1 = one
+    customer is the whole market) a curation/analytics team reads the
+    same way domain_mix_report reads corpus balance; computed by the
+    rank formula G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over customers
+    sorted ascending by revenue.
+
+    Float discipline: revenues and the rank-weighted sum Σ i·x_(i)
+    stay in DECIMAL(38,6) (integer rank × decimal is exact, decimal
+    addition associative), so both Σ terms are bit-exact; the formula
+    then applies a FIXED tree of double ops, rounded to 6 dp.  The
+    rank order (rev, custkey) is total, so equal revenues can't
+    reorder the weighted sum across engines.
+
+    Scale shape: one (nation, customer) aggregate collapses orders;
+    the rank window runs per nation over CUSTOMER-level rows.  A
+    single giant group would make that sort the bottleneck — the
+    distributed form buckets by revenue range and seeds per-bucket
+    rank offsets (the pps prefix-sum shape), documented not needed at
+    star-schema group sizes.  [extension].
+    """
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cr = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev")
+        )
+    )
+    ranked = cr.select(
+        "c_nationkey",
+        "rev",
+        F.row_number()
+        .over(
+            Window.partitionBy("c_nationkey").orderBy("rev", "c_custkey")
+        )
+        .cast("long")
+        .alias("i"),
+        F.count("*")
+        .over(Window.partitionBy("c_nationkey"))
+        .cast("long")
+        .alias("n"),
+    )
+    gini = F.round(
+        (
+            F.lit(2.0) * F.sum(F.col("i") * F.col("rev")).cast("double")
+            - (F.max("n") + 1) * F.sum("rev").cast("double")
+        )
+        / (F.max("n") * F.sum("rev").cast("double")),
+        6,
+    )
+    return (
+        ranked.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.max("n").cast("long").alias("n_customers"),
+            F.sum("rev").cast("double").alias("total_rev"),
+            gini.alias("gini"),
+        )
+        .orderBy("nationkey")
+    )
+
+
 # Registry-order repair: if THIS module was the user's first import, the
 # circular import through queries._load() saw it partially initialized
 # and ordered the registry without its entries (they append afterwards).

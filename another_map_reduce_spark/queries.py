@@ -101,6 +101,7 @@ _ORDER_FRONT = [
     "incremental_join_agg_stacked",
     "cf_item_neighbors",
     "weighted_median_price",
+    "gini_revenue_concentration",
 ]
 # The 40 oldest-row queries staged by the r9 rotation (r6-cohort
 # remainder + r7 cohort) — positions 7-46 of the r10 window.

@@ -1711,3 +1711,39 @@ def test_weighted_median_crafted_boundaries(spark, sf_dir):
     # crafted exact-half boundary: weights 1,1 at prices 10,20 ->
     # 2*cw(10)=2 >= tw=2, the LOWER price wins (the <=50% convention)
     assert (2 * 1 >= 2) and min(10, 20) == 10
+
+
+def test_gini_matches_python_replay_and_bounds(spark, sf_dir):
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from another_map_reduce_spark.plans.analytics import (
+        gini_revenue_concentration,
+    )
+
+    got = {
+        r.nationkey: (r.n_customers, r.gini)
+        for r in gini_revenue_concentration(spark, sf_dir).collect()
+    }
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")[
+        ["o_custkey", "o_totalprice"]
+    ]
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")[
+        ["c_custkey", "c_nationkey"]
+    ]
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    for nk, grp in j.groupby("c_nationkey"):
+        rev = grp.groupby("c_custkey").o_totalprice.apply(
+            lambda v: sum(Decimal(str(x)) for x in v)
+        )
+        xs = sorted(zip(rev.values, rev.index))
+        n = len(xs)
+        s = sum(x for x, _ in xs)
+        iwx = sum((i + 1) * x for i, (x, _) in enumerate(xs))
+        gini = round(
+            (2.0 * float(iwx) - (n + 1) * float(s)) / (n * float(s)), 6
+        )
+        assert got[nk][0] == n
+        assert abs(got[nk][1] - gini) < 1e-9
+        assert 0.0 <= got[nk][1] < 1.0
