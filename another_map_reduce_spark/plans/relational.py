@@ -1028,6 +1028,88 @@ def stream_events_hourly_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_ohlc_hourly",
+    oracle="""
+WITH wm AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM events),
+v AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS hr, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('hour', ts)
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type, DATE_TRUNC('hour', ts)) AS n
+  FROM events
+)
+SELECT event_type, hr,
+       CAST(MAX(n) AS BIGINT) AS n,
+       MAX(CASE WHEN rn = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn = n THEN value END) AS close,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS vol
+FROM v GROUP BY event_type, hr
+HAVING hr + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+ORDER BY event_type, hr
+""",
+)
+def stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars computed BY THE STREAM — the real-time form of
+    timeseries_resample_ohlc (a live tick→bars pipeline is the
+    canonical streaming workload): append mode + 30-min watermark, so
+    each (type, hour) bar is emitted exactly ONCE when the watermark
+    closes it, carrying open/close picked by min_by/max_by over the
+    unique (ts, event_id) struct INSIDE the streaming aggregate state
+    — proving the ordered-pick aggregates work incrementally (state
+    merges across micro-batches must preserve the argmin/argmax),
+    not just in one batch pass.
+
+    Oracle = the batch OHLC twin restricted to closed windows via the
+    append-twin eviction predicate (hour + 1h ≤ max(ts) − 30min, the
+    ≤ boundary pinned by stream_events_hourly_append's synthetic
+    test).  Volume sums in decimal, the order-free discipline —
+    micro-batch boundaries can't reorder it.
+    """
+    raw = _events_readstream(spark, sf_dir).withWatermark(
+        "ts", "30 minutes"
+    )
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    windowed = raw.groupBy(
+        F.window("ts", "1 hour").alias("w"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min_by("value", ordk).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", ordk).alias("close"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("vol"),
+    )
+    qname = _fresh_sink_name("stream_ohlc_hourly")
+    with _stream_shuffle_partitions(spark):
+        q = (
+            windowed.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(qname)
+        .select(
+            "event_type",
+            F.col("w.start").alias("hr"),
+            "n",
+            "open",
+            "high",
+            "low",
+            "close",
+            "vol",
+        )
+        .orderBy("event_type", "hr")
+    )
+
+
+@register(
     "cohort_retention",
     oracle="""
 WITH first AS (

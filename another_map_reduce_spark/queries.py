@@ -102,6 +102,7 @@ _ORDER_FRONT = [
     "cf_item_neighbors",
     "weighted_median_price",
     "gini_revenue_concentration",
+    "stream_ohlc_hourly",
 ]
 # The 40 oldest-row queries staged by the r9 rotation (r6-cohort
 # remainder + r7 cohort) — positions 7-46 of the r10 window.

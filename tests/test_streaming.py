@@ -1322,3 +1322,68 @@ def test_checkpoint_restart_reads_only_new_files(spark, tmp_path):
     # crucially hour 10 was emitted ONCE with its full count even
     # though it was open state at the restart boundary
     assert not os.path.exists(os.path.join(sink, "_SUCCESS"))
+
+
+def test_stream_ohlc_minby_state_merges_across_microbatches(spark, tmp_path):
+    """The ordered-pick aggregates (min_by/max_by) must merge streaming
+    state correctly ACROSS micro-batches: batch 2 delivers an earlier
+    tick than batch 1's open and a later tick than its close — the
+    final bar must adopt both.  maxFilesPerTrigger=1 forces the
+    two-file source into separate micro-batches."""
+    src = tmp_path / "ohlc_src"
+    src.mkdir()
+    cols = "ts string, event_id long, value double"
+    batch1 = [
+        ("2024-01-01 00:20:00", 2, 50.0),   # open candidate (batch 1)
+        ("2024-01-01 00:40:00", 3, 70.0),   # close candidate (batch 1)
+        ("2024-01-01 03:00:00", 9, 1.0),    # watermark driver
+    ]
+    batch2 = [
+        ("2024-01-01 00:10:00", 1, 20.0),   # EARLIER -> true open
+        ("2024-01-01 00:50:00", 4, 30.0),   # LATER   -> true close
+        ("2024-01-01 06:00:00", 10, 1.0),   # advance wm past the bar
+    ]
+    for i, rows in enumerate((batch1, batch2)):
+        (
+            spark.createDataFrame(rows, cols)
+            .select(
+                F.col("ts").cast("timestamp").alias("ts"),
+                "event_id",
+                "value",
+            )
+            .coalesce(1)
+            .write.parquet(str(src / f"b{i}"))
+        )
+    schema = spark.read.parquet(str(src / "b0")).schema
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    windowed = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min_by("value", ordk).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordk).alias("close"),
+        )
+    )
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("ohlc_merge")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    bars = {
+        r.s.strftime("%H:%M"): (r.n, r.open, r.high, r.low, r.close)
+        for r in spark.table("ohlc_merge")
+        .select(F.col("w.start").alias("s"), "n", "open", "high", "low", "close")
+        .collect()
+    }
+    # the 00:00 bar saw 2 ticks in each batch; open/close must come
+    # from batch 2's edge ticks, high from batch 1, low from batch 2
+    assert bars["00:00"] == (4, 20.0, 70.0, 20.0, 30.0)
