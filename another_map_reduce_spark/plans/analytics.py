@@ -4027,15 +4027,17 @@ def timeseries_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Strongly connected components (directed trade graph condensation)
 # ---------------------------------------------------------------------------
 
+_SCC_MOD = 32  # co-residue shard: bounds the oracle closure at Σ|class|²
+
 _SCC_SQL = f"""
 WITH RECURSIVE p AS (
   SELECT l_suppkey AS s, {_PR_OFF} + o_custkey AS c,
-         CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_suppkey % {_SCC_MOD} = o_custkey % {_SCC_MOD}
   GROUP BY 1, 2
 ), e AS (
-  SELECT s AS src, c AS dst FROM p WHERE n >= 2
+  SELECT s AS src, c AS dst FROM p
   UNION ALL
   SELECT c AS src, s AS dst FROM p WHERE q % 2 = 0
 ), reach(a, b) AS (
@@ -4072,18 +4074,24 @@ def graph_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
     directed completion of the graph suite (CC/BFS/SSSP/PageRank/LPA
     are undirected or score-based; SCC answers cycle structure:
     dependency condensation, link-farm collapse in web-graph
-    curation).  Edges: supplier→customer where the pair co-trades ≥2
-    lineitems; customer→supplier where their total quantity is even —
-    two overlapping-but-asymmetric relations, so 2-cycles, longer
-    mutual cycles through shared partners, and one-way tails all
-    occur.
+    curation).  The graph is the SHARDED trade graph — only co-residue
+    (supplier mod 32 = customer mod 32) pairs relate: supplier→customer
+    for every such co-trading pair, customer→supplier where their
+    total quantity is even — so each shard holds a dense mutual core
+    plus one-way tails and singletons (sizes span 1 to hundreds at
+    sf0.1).  The shard bound exists for the ORACLE, not the operator:
+    a full transitive closure costs Σ|component|² pairs, which on the
+    unsharded giant-SCC trade graph is quadratic in the corpus
+    (measured >9 min at sf0.1) — co-residue sharding caps it at
+    Σ|class|² (sub-second at sf0.1) while the graph, and the
+    operator's work, still scale linearly with data.
 
     The operator (operators/graph.strongly_connected_components) runs
     trim + forward-coloring + backward-sweep, every step the
     one-shuffle-per-round frontier discipline; the oracle computes the
     ground truth from FIRST PRINCIPLES — full transitive closure and
-    mutual-reachability minima, a genuinely independent O(n·E)
-    formulation the distributed algorithm must reproduce exactly.
+    mutual-reachability minima, a genuinely independent formulation
+    the distributed algorithm must reproduce exactly.
     Per-size rows pin count AND the summed component ids of every
     member, so a single misassigned node flips the hash.
     [extension] — the reference has no graph surface.
@@ -4100,22 +4108,20 @@ def graph_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(
+            F.col("l_suppkey") % _SCC_MOD == F.col("o_custkey") % _SCC_MOD
+        )
         .groupBy(
             F.col("l_suppkey").alias("s"),
             (F.lit(_PR_OFF) + F.col("o_custkey")).alias("c"),
         )
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("l_quantity").cast("long")).alias("q"),
-        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
     )
-    edges = (
-        p.where(F.col("n") >= 2)
-        .select(F.col("s").alias("src"), F.col("c").alias("dst"))
-        .unionByName(
-            p.where(F.col("q") % 2 == 0).select(
-                F.col("c").alias("src"), F.col("s").alias("dst")
-            )
+    edges = p.select(
+        F.col("s").alias("src"), F.col("c").alias("dst")
+    ).unionByName(
+        p.where(F.col("q") % 2 == 0).select(
+            F.col("c").alias("src"), F.col("s").alias("dst")
         )
     )
     scc = strongly_connected_components(edges)

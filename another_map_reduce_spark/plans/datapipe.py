@@ -1395,7 +1395,9 @@ def domain_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("sampled_chars"),
     )
     return (
-        quotas.join(agg, "source", "left")
+        # both sides are domain-cardinality aggregates; broadcast the
+        # picked-side so the final merge never sort-merges
+        quotas.join(F.broadcast(agg), "source", "left")
         .select(
             "source",
             "n_docs",

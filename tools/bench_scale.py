@@ -144,6 +144,19 @@ REL_QUERIES = [
     "graph_scc_condensation",
     "graph_random_walks",
     "compaction_bin_packing",
+    # round-10 fourth wave: weighted median (one (group, price)
+    # combine then a price-level window — near-flat expected), Gini
+    # (customer-level rank windows per nation — linear rows, bounded
+    # groups), stacked IVM (the delta-quadrant joins replicate
+    # disjointly), CF neighbours (basket HOF — the Σ|basket|² term
+    # grows linearly under disjoint replica customers), and partition
+    # evolution (cold layout write dominates; the pruned read is the
+    # flat part)
+    "weighted_median_price",
+    "gini_revenue_concentration",
+    "incremental_join_agg_stacked",
+    "cf_item_neighbors",
+    "partition_evolution_read",
 ]
 
 REL_SCALES = [
@@ -199,6 +212,12 @@ EVENT_QUERIES = [
     "timeseries_resample_ohlc",
     "timeseries_ewma_halving",
     "timeseries_cusum_changepoint",
+    # round-10 fourth wave: the table-arg UDTF (one user-keyed
+    # exchange + per-key Python streams — Python row cost dominates,
+    # linear in events) and streaming OHLC (micro-batch constants +
+    # bucket-bounded state, the stream_events_hourly_append shape)
+    "udtf_sessionize_table_arg",
+    "stream_ohlc_hourly",
 ]
 
 EVENT_SCALES = [
