@@ -798,7 +798,11 @@ def strongly_connected_components(
         .localCheckpoint(eager=True)
     )
     e = e_all.localCheckpoint(eager=True)
-    done: DataFrame | None = None
+    # Seed with an empty frame so an edgeless input returns an empty
+    # (node, scc) result instead of crashing on done=None.
+    done: DataFrame | None = alive.where(F.lit(False)).select(
+        "node", F.col("node").alias("scc")
+    )
 
     def _add(part: DataFrame) -> DataFrame:
         nonlocal done
@@ -950,10 +954,17 @@ def random_walks(
         .repartition("src")
         .localCheckpoint(eager=False)
     )
-    cur = starts.select(
-        F.col(node).cast("long").alias("walk"),
-        F.col(node).cast("long").alias("node"),
-    ).localCheckpoint(eager=True)
+    cur = (
+        starts.select(
+            F.col(node).cast("long").alias("walk"),
+            F.col(node).cast("long").alias("node"),
+        )
+        # one walk per distinct start: duplicate start rows would
+        # duplicate every step-0 trace row (later steps dedup through
+        # the per-walk aggregate, making the output inconsistent)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     out = cur.withColumn("step", F.lit(0).cast("long"))
     for t in range(1, steps + 1):
         h = F.md5(

@@ -1747,3 +1747,18 @@ def test_gini_matches_python_replay_and_bounds(spark, sf_dir):
         assert got[nk][0] == n
         assert abs(got[nk][1] - gini) < 1e-9
         assert 0.0 <= got[nk][1] < 1.0
+
+
+def test_scc_empty_edges_and_walk_duplicate_starts(spark):
+    from another_map_reduce_spark.operators.graph import (
+        random_walks,
+        strongly_connected_components,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert strongly_connected_components(empty).collect() == []
+    # duplicate start rows collapse to ONE walk (no duplicated traces)
+    edges = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    starts = spark.createDataFrame([(1,), (1,), (1,)], ["node"])
+    rows = random_walks(edges, starts, steps=2).collect()
+    assert len(rows) == 3  # steps 0..2, exactly once each
