@@ -4796,18 +4796,23 @@ def cf_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     single ops, so the 6-dp score and the per-item top-k cut (rounded
     score DESC, neighbour id) are engine-exact.
 
-    Scale shape: ONE shuffle to distinct (user, item), then an
-    EQUI-self-join on the user key for pair generation — deliberately
-    NOT market_basket_pairs' basket HOF: that inline transform² wins
-    on order baskets (≤7 items — tiny arrays, no extra exchange) but
-    loses on customer baskets (~40 items), where one task materialises
-    |b|² structs per row while the shuffle join vectorises across
-    cores (measured at sf0.1: 5.4 s join vs 9.3 s HOF for the same
-    413k pairs — basket size decides the regime).  Pair counts
-    map-side-combine; support enrichment broadcasts; the window runs
-    over the AGGREGATED pair table (bounded by co-pair cardinality).
-    Heavy users fatten the Σ|basket|² term either way — the documented
-    basket cap / skew_diagnosis remedy applies.  [extension].
+    Scale shape — every piece MEASURED at 1×/10×/30× replicas before
+    this form was chosen: (1) pair generation is a user-keyed
+    equi-self-join of the checkpointed distinct (user, item) frame —
+    8.2/26.8/69.5 s end-to-end vs 20.7/56/123.6 s for
+    market_basket_pairs' basket-HOF alternative (the HOF wins on ≤7-
+    item ORDER baskets, where its inline transform² avoids a join
+    exchange; on ~40-item CUSTOMER baskets the JVM struct explosion
+    costs more than the vectorised join); (2) the support joins carry
+    NO broadcast hint — item support is catalogue-sized, and a forced
+    broadcast measured 287 s at 30× (a 6M-row table shipped to every
+    task twice) where AQE's own runtime choice broadcasts it at small
+    SF and shuffles it at large; (3) the pair table is checkpointed
+    before the symmetrizing union so the count pipeline runs once.
+    The window runs over the AGGREGATED pair table (bounded by co-pair
+    cardinality).  Heavy users fatten the Σ|basket|² term — the
+    documented basket cap / skew_diagnosis remedy applies.
+    [extension].
     """
     from pyspark.sql.window import Window
 
@@ -4821,8 +4826,8 @@ def cf_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
         .distinct()
-        # both the pair join and the support count consume this; a
-        # lazy frame would re-run the corpus join + distinct for each
+        # the pair join reads this twice and the support count once;
+        # a lazy frame would re-run the corpus join + distinct for each
         .localCheckpoint(eager=True)
     )
     co = (
@@ -4835,6 +4840,10 @@ def cf_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.i").alias("ia"), F.col("b.i").alias("ib"))
         .agg(F.count("*").alias("co"))
         .where(F.col("co") >= _CF_MIN_CO)
+        # consumed twice by the symmetrizing union — without a
+        # checkpoint the whole join+count pipeline executes once per
+        # union branch
+        .localCheckpoint(eager=False)
     )
     sup = ui.groupBy("i").agg(F.count("*").alias("n"))
     sym = co.select(
@@ -4844,15 +4853,18 @@ def cf_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ib").alias("item"), F.col("ia").alias("neighbor"), "co"
         )
     )
+    # No broadcast hint on the support joins: item support is
+    # vocab-sized (fine to broadcast at test SF, where AQE broadcasts
+    # it unhinted anyway) but grows with the catalogue — a FORCED
+    # broadcast measured 287 s at 30× replicas (6M-row table shipped
+    # to every task twice) vs AQE's own choice.
     scored = (
         sym.join(
-            F.broadcast(sup.withColumnsRenamed({"i": "item", "n": "ni"})),
+            sup.withColumnsRenamed({"i": "item", "n": "ni"}),
             "item",
         )
         .join(
-            F.broadcast(
-                sup.withColumnsRenamed({"i": "neighbor", "n": "nn"})
-            ),
+            sup.withColumnsRenamed({"i": "neighbor", "n": "nn"}),
             "neighbor",
         )
         .select(
