@@ -5081,6 +5081,198 @@ def gini_revenue_concentration(
     )
 
 
+# ---------------------------------------------------------------------------
+# Top user journeys (session event-type paths) + inter-arrival cadence
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_session_paths",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess_no
+  FROM flagged
+), paths AS (
+  SELECT user_id, sess_no,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+         CAST(COUNT(*) AS BIGINT) AS path_len
+  FROM numbered GROUP BY user_id, sess_no
+)
+SELECT path, MAX(path_len) AS path_len,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 25
+""",
+)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user JOURNEYS: the 25 most common within-session event-type
+    paths (30-min gap sessions, events ordered by (ts, event_id)) —
+    the product-analytics view funnels can't give (funnels test ONE
+    hypothesised path; this surfaces the paths that actually happen,
+    the input to funnel design and to Markov/path models).
+
+    Path strings are exact: the session derivation is the proven
+    gaps-and-islands cascade, and the path is the '>'-joined
+    event-type sequence under the total (ts, event_id) order — Spark
+    builds it by sorting each session's (ts, event_id, type) structs
+    with array_sort (JVM-side, no UDF) and joining; DuckDB with an
+    ordered string_agg.  All counts integer; limit-25 cut totally
+    ordered by (n_sessions DESC, path).
+
+    Scale shape: one user-keyed window cascade (shared sort), one
+    (user, session) aggregate whose collect_list state is bounded by
+    session length, one (path) count with map-side combine — path
+    cardinality, not event volume, reaches the final exchange.
+    Pathological sessions (bots) fatten the list state — the session
+    CAP remedy documented at udtf_sessionize applies.  [extension].
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap: cast-to-long truncates timestamps to whole
+    # seconds, which can flip a 1799.9 s gap across the 30-min boundary
+    # against the oracle's exact INTERVAL comparison
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(
+        gap.isNull() | (gap >= 1800 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    numbered = ev.withColumn(
+        "sess_no",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    paths = (
+        numbered.groupBy("user_id", "sess_no")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("ts", "event_id", "event_type")
+                )
+            ).alias("evs")
+        )
+        .select(
+            "user_id",
+            F.array_join(
+                F.transform(F.col("evs"), lambda s: s.event_type), ">"
+            ).alias("path"),
+            F.size("evs").cast("long").alias("path_len"),
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.max("path_len").alias("path_len"),
+            F.count("*").cast("long").alias("n_sessions"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(25)
+    )
+
+
+# log2-style inter-arrival buckets: [0,1), [1,2), [2,4), ... seconds,
+# expressed in exact integer MICROSECONDS (both engines compare the
+# same bigint gap — no epoch()-double or cast-truncation divergence).
+_IAT_EDGES = [0] + [(1 << k) * 1_000_000 for k in range(17)]  # 0..65536 s
+
+
+def _iat_bucket_sql(col: str) -> str:
+    cases = " ".join(
+        f"WHEN {col} < {hi} THEN {i}"
+        for i, hi in enumerate(_IAT_EDGES[1:])
+    )
+    return f"CASE {cases} ELSE {len(_IAT_EDGES) - 1} END"
+
+
+@register(
+    "interarrival_histogram",
+    oracle=f"""
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (
+           PARTITION BY event_type, user_id ORDER BY ts, event_id
+         )) AS gap_us
+  FROM events
+), bucketed AS (
+  SELECT event_type, {_iat_bucket_sql('gap_us')} AS bucket, gap_us
+  FROM gaps WHERE gap_us IS NOT NULL
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_us) AS BIGINT) AS total_gap_us
+FROM bucketed GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+""",
+)
+def interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival cadence: per event type, the histogram of gaps
+    between a user's consecutive events of that type, in power-of-two
+    second buckets ([0,1), [1,2), [2,4), … — the log-scale view that
+    separates bursts, sessions, and daily returns in one table).  The
+    telemetry-cadence primitive behind bot detection (sub-second
+    buckets), session-gap calibration (where is the knee that
+    justifies the 30-min rule), and retention cadence.
+
+    Exact arithmetic only: gaps are integer MICROSECOND differences
+    (unix_micros / epoch_us — second-truncating casts and double
+    epoch() both shift boundary gaps), and the log2 bucket is a
+    generated CASE ladder over the SAME Python edge list in both
+    engines — no log() call to disagree on.  Per-bucket total gap
+    micros pins the distribution beyond counts.
+
+    Scale shape: one (type, user)-keyed window (the lag), then a
+    (type, bucket) aggregate — at most types × {len(_IAT_EDGES)} rows
+    reach the final exchange with map-side combine.  [extension].
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "ts", "event_id"
+    )
+    w = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    gap = (
+        F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    ).alias("gap_us")
+    bucket = None
+    for i, hi in enumerate(_IAT_EDGES[1:]):
+        cond = F.col("gap_us") < hi
+        bucket = (
+            F.when(cond, F.lit(i))
+            if bucket is None
+            else bucket.when(cond, F.lit(i))
+        )
+    bucket = bucket.otherwise(F.lit(len(_IAT_EDGES) - 1))
+    return (
+        ev.select("event_type", gap)
+        .where(F.col("gap_us").isNotNull())
+        .select("event_type", bucket.cast("long").alias("bucket"), "gap_us")
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.sum("gap_us").cast("long").alias("total_gap_us"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
 # Registry-order repair: if THIS module was the user's first import, the
 # circular import through queries._load() saw it partially initialized
 # and ordered the registry without its entries (they append afterwards).

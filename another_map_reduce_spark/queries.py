@@ -103,6 +103,8 @@ _ORDER_FRONT = [
     "weighted_median_price",
     "gini_revenue_concentration",
     "stream_ohlc_hourly",
+    "top_session_paths",
+    "interarrival_histogram",
 ]
 # The 40 oldest-row queries staged by the r9 rotation (r6-cohort
 # remainder + r7 cohort) — positions 7-46 of the r10 window.

@@ -1762,3 +1762,77 @@ def test_scc_empty_edges_and_walk_duplicate_starts(spark):
     starts = spark.createDataFrame([(1,), (1,), (1,)], ["node"])
     rows = random_walks(edges, starts, steps=2).collect()
     assert len(rows) == 3  # steps 0..2, exactly once each
+
+
+def test_top_paths_sessions_reconcile_with_sessionizer(spark, sf_dir):
+    import pyspark.sql.functions as SF
+
+    from another_map_reduce_spark.plans.analytics import (
+        top_session_paths,
+        udtf_sessionize_table_arg,
+    )
+
+    rows = top_session_paths(spark, sf_dir).collect()
+    assert rows and all(r.n_users <= r.n_sessions for r in rows)
+    # every path's segment count equals its recorded length
+    for r in rows:
+        assert r.path_len == r.path.count(">") + 1
+    # total sessions across ALL paths == the sessionizer's count
+    # (same 30-min gap rule)
+    from another_map_reduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    n_sessions = udtf_sessionize_table_arg(spark, sf_dir).count()
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = SF.unix_micros("ts") - SF.lag(SF.unix_micros("ts")).over(w)
+    total_paths = (
+        ev.select(
+            SF.when(gap.isNull() | (gap >= 1800 * 1_000_000), 1)
+            .otherwise(0)
+            .alias("ns")
+        )
+        .agg(SF.sum("ns"))
+        .collect()[0][0]
+    )
+    assert total_paths == n_sessions
+
+
+def test_interarrival_buckets_are_log2_exact(spark, sf_dir):
+    import pandas as pd
+
+    from another_map_reduce_spark.plans.analytics import (
+        _IAT_EDGES,
+        interarrival_histogram,
+    )
+
+    got = interarrival_histogram(spark, sf_dir).toPandas()
+    # python replay on one event type
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    et = got.event_type.iloc[0]
+    sub = ev[ev.event_type == et].sort_values(["ts", "event_id"])
+    gaps = []
+    for _, grp in sub.groupby("user_id"):
+        # pin the unit explicitly: pandas may surface the
+        # TIMESTAMP(NANOS) parquet column as datetime64[us] OR [ns]
+        us = grp.ts.dt.as_unit("us").astype("int64").tolist()
+        gaps += [b - a for a, b in zip(us, us[1:])]
+
+    def bucket(g):
+        for i, hi in enumerate(_IAT_EDGES[1:]):
+            if g < hi:
+                return i
+        return len(_IAT_EDGES) - 1
+
+    import collections
+
+    exp_n = collections.Counter(bucket(g) for g in gaps)
+    exp_tot = collections.defaultdict(int)
+    for g in gaps:
+        exp_tot[bucket(g)] += g
+    mine = got[got.event_type == et]
+    assert {r.bucket: r.n_gaps for r in mine.itertuples()} == dict(exp_n)
+    assert {r.bucket: r.total_gap_us for r in mine.itertuples()} == dict(
+        exp_tot
+    )
