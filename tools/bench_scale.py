@@ -218,6 +218,11 @@ EVENT_QUERIES = [
     # bucket-bounded state, the stream_events_hourly_append shape)
     "udtf_sessionize_table_arg",
     "stream_ohlc_hourly",
+    # r10 fifth wave: path mining (one user-window cascade + a
+    # path-cardinality-bounded count) and the inter-arrival histogram
+    # (one (type,user) lag window + a types×18-row aggregate)
+    "top_session_paths",
+    "interarrival_histogram",
 ]
 
 EVENT_SCALES = [
