@@ -799,15 +799,14 @@ def strongly_connected_components(
     )
     e = e_all.localCheckpoint(eager=True)
     # Seed with an empty frame so an edgeless input returns an empty
-    # (node, scc) result instead of crashing on done=None.
-    done: DataFrame | None = alive.where(F.lit(False)).select(
+    # (node, scc) result.
+    done: DataFrame = alive.where(F.lit(False)).select(
         "node", F.col("node").alias("scc")
     )
 
     def _add(part: DataFrame) -> DataFrame:
         nonlocal done
-        done = part if done is None else done.unionByName(part)
-        done = done.localCheckpoint(eager=True)
+        done = done.unionByName(part).localCheckpoint(eager=True)
         return done
 
     for _ in range(max_outer):
@@ -833,7 +832,6 @@ def strongly_connected_components(
         colors = alive.select(
             "node", F.col("node").alias("color")
         ).localCheckpoint(eager=True)
-        prev_sum = None
         for _ in range(max_inner):
             pushed = (
                 e.join(
@@ -845,20 +843,26 @@ def strongly_connected_components(
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.min("color").alias("inc"))
             )
-            colors = (
+            # Convergence is detected by counting rows whose color shrank
+            # this round (overflow-free, unlike comparing SUM(color) across
+            # rounds, which could silently wrap on huge id domains).
+            stepped = (
                 colors.join(pushed, "node", "left")
                 .select(
                     "node",
                     F.least(
                         "color", F.coalesce("inc", F.col("color"))
                     ).alias("color"),
+                    (F.col("inc") < F.col("color"))
+                    .cast("long")
+                    .alias("chg"),
                 )
                 .localCheckpoint(eager=False)
             )
-            cur = colors.agg(F.sum("color")).collect()[0][0]
-            if cur == prev_sum:
+            changed = stepped.agg(F.sum("chg")).collect()[0][0] or 0
+            colors = stepped.drop("chg")
+            if changed == 0:
                 break
-            prev_sum = cur
         else:
             raise RuntimeError(
                 f"SCC coloring did not converge in {max_inner} rounds"

@@ -1279,7 +1279,7 @@ def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         offs.groupBy(
-            F.floor(F.col("off") / _COMPACT_TARGET_ROWS)
+            F.expr(f"off div {_COMPACT_TARGET_ROWS}")
             .cast("long")
             .alias("bin")
         )

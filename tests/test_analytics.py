@@ -1599,6 +1599,23 @@ def test_udtf_sessionize_matches_declarative_twin(spark, sf_dir):
     assert a == b
 
 
+def test_udtf_sessionize_arrow_matches_row_path(spark, sf_dir):
+    # The Arrow-transport registration must produce the IDENTICAL
+    # session set as the pickled row-path twin — transport is not
+    # allowed to perturb partition order, timestamps, or counts.
+    from another_map_reduce_spark.plans.analytics import (
+        udtf_sessionize_arrow,
+        udtf_sessionize_table_arg,
+    )
+
+    a = sorted(map(tuple, udtf_sessionize_arrow(spark, sf_dir).collect()))
+    b = sorted(
+        map(tuple, udtf_sessionize_table_arg(spark, sf_dir).collect())
+    )
+    assert a == b
+    assert len(a) > 0
+
+
 def test_stacked_ivm_quadrants_all_contribute(spark, sf_dir):
     import pyspark.sql.functions as SF
 
