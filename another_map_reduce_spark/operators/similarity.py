@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from another_map_reduce_spark.storeops import (
+    read_member,
     read_table,
     reset_table,
     resolve_table,
@@ -1012,6 +1013,10 @@ def build_ivf_pq_index(
     )
     spark = corpus.sparkSession
     reset_table(f"{path}/pqcodes")
+    # A rebuild resets every member to the legacy (gen-0) layout, so a
+    # delta root surviving from a previous index's appends would become
+    # APPLICABLE again — drop it with the rest of the old state.
+    shutil.rmtree(f"{path}/deltas", ignore_errors=True)
     postings = read_table(spark, f"{path}/postings", id_col="cid")
     codes = postings.select(
         "cell",
@@ -1041,31 +1046,47 @@ def ivf_pq_append_vectors(
     touched cell per table.  Codebook drift under a growing corpus is
     the same policy knob as centroid drift (see ivf_append_vectors).
 
-    CRASH WINDOW: the two layouts are written by two INDEPENDENT
-    appends (postings first via ivf_append_vectors, then pqcodes); a
-    crash between them leaves postings rows with no PQ code, and
-    ``ivf_pq_probe_topk`` ranks from pqcodes only — an orphaned
-    candidate is silently dropped even in the lossless
-    nprobe=num_cells / rerank=None regime.  Run
-    ``ivf_pq_check_consistency`` after a suspicious interruption (or
-    before relying on the lossless regime); re-running the same
-    append does NOT repair (mode="append" would duplicate the
-    postings) — repair by re-encoding exactly the missing ids against
-    the stored codebooks.  On an object store the manifest-commit
-    remediation documented at ivf_pq_compact applies here too.
+    ATOMIC PAIR COMMIT (closes the round-10 crash window): both
+    layouts' delta rows are staged under ONE hidden delta directory
+    and made visible with a single ``os.rename``
+    (``storeops.commit_delta`` — the delta-group mechanism), so there
+    is NO kill point at which probes see a posting without its PQ
+    code or vice versa; ``ivf_pq_check_consistency`` is a no-op
+    assertion at every crash point (kill-point pytest-pinned in
+    test_storeops).  A crash mid-staging leaves only an invisible
+    ``.tmp`` dir, GC'd by the next compact, and the crashed append
+    can simply be RE-RUN (nothing of it became visible — unlike the
+    old in-place double append, where a rerun duplicated postings).
+    On an object store the single rename translates to one
+    conditional PUT of the delta's manifest key.
     """
-    ivf_append_vectors(spark, path, delta, id_col=id_col, vec_col=vec_col)
+    from another_map_reduce_spark.storeops import commit_delta
+
     cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     cents = [[float(x) for x in r.centroid] for r in cent_rows]
     cbs = read_pq_codebooks(spark, path)
+    rows = delta.select(
+        F.element_at(top_cells(F.col(vec_col), cents, 1), 1).alias("cell"),
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+    )
     codes = delta.select(
         F.element_at(top_cells(F.col(vec_col), cents, 1), 1).alias("cell"),
         F.col(id_col).alias("cid"),
         pq_encode(F.col(vec_col), cbs).alias("codes"),
     )
-    codes.repartition("cell").write.mode("append").partitionBy(
-        "cell"
-    ).parquet(resolve_table(f"{path}/pqcodes"))
+
+    def _write(df: DataFrame):
+        return lambda dest: (
+            df.repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(dest)
+        )
+
+    commit_delta(
+        path, {"postings": _write(rows), "pqcodes": _write(codes)}
+    )
 
 
 def ivf_pq_delete_vectors(
@@ -1103,10 +1124,10 @@ def ivf_pq_check_consistency(spark: SparkSession, path: str) -> DataFrame:
     missing ids against the stored codebooks, or compact from the
     postings truth).
     """
-    p = read_table(spark, f"{path}/postings", id_col="cid").select(
+    p = read_member(spark, path, "postings", id_col="cid").select(
         "cell", "cid", F.lit(1).alias("_p")
     )
-    c = read_table(spark, f"{path}/pqcodes", id_col="cid").select(
+    c = read_member(spark, path, "pqcodes", id_col="cid").select(
         "cell", "cid", F.lit(1).alias("_c")
     )
     return (
@@ -1131,10 +1152,18 @@ def ivf_pq_compact(spark: SparkSession, path: str) -> None:
     tombstoned vectors are excised from both tables, each table's
     pointer flips atomically, and no crash point leaves a reader
     without a complete table (kill-point pytest-pinned; probe parity
-    before/after pinned)."""
-    from another_map_reduce_spark.storeops import compact_table
-
-    ivf_compact_cells(spark, path)
+    before/after pinned).  Since r11 the tables form a DELTA GROUP
+    (atomic paired appends — see ivf_pq_append_vectors): each
+    member's compaction folds its applicable deltas into the new
+    generation, and the SAME pointer flip that publishes the folded
+    rows expires those deltas for that member, so even between the
+    two members' flips every reader sees each row exactly once;
+    fully-consumed delta dirs (and any crashed append's hidden
+    staging dir) are GC'd at the end."""
+    from another_map_reduce_spark.storeops import (
+        compact_member,
+        gc_consumed_deltas,
+    )
 
     def _write(df: DataFrame, dest: str) -> None:
         (
@@ -1144,7 +1173,9 @@ def ivf_pq_compact(spark: SparkSession, path: str) -> None:
             .parquet(dest)
         )
 
-    compact_table(spark, f"{path}/pqcodes", id_col="cid", write_fn=_write)
+    compact_member(spark, path, "postings", id_col="cid", write_fn=_write)
+    compact_member(spark, path, "pqcodes", id_col="cid", write_fn=_write)
+    gc_consumed_deltas(path, ["postings", "pqcodes"])
 
 
 def read_pq_codebooks(
@@ -1233,7 +1264,7 @@ def ivf_pq_probe_topk(
         lut.alias("lut"),
         F.explode(top_cells(F.col(vec_col), cents, nprobe)).alias("cell"),
     )
-    codes = read_table(spark, f"{path}/pqcodes", id_col="cid")
+    codes = read_member(spark, path, "pqcodes", id_col="cid")
     adc = (
         codes.join(F.broadcast(q), "cell")
         .where(F.col("cid") != F.col("qid"))
@@ -1260,7 +1291,7 @@ def ivf_pq_probe_topk(
         adc = adc.withColumn("arank", F.row_number().over(w_adc)).where(
             F.col("arank") <= rerank
         )
-    postings = read_table(spark, f"{path}/postings", id_col="cid").select(
+    postings = read_member(spark, path, "postings", id_col="cid").select(
         "cell", "cid", "cvec"
     )
     exact = adc.join(postings, ["cell", "cid"]).select(

@@ -1071,6 +1071,122 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "schema_evolution_widen",
+    oracle="""
+SELECT strftime(o_orderdate, '%Y') AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS sum_key,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           AS total_usd
+FROM orders
+GROUP BY yr ORDER BY yr
+""",
+)
+def schema_evolution_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION, parts 2+3 (r11) — the two lakehouse
+    realities schema_evolution_merge's add-column row leaves out:
+
+    * TYPE WIDENING: generation 1 materialized ``o_orderkey`` as a
+      32-bit INT; the table schema later widened it to BIGINT and
+      generation 2 writes longs.  Old files are NEVER rewritten — the
+      read hands the PARQUET SCAN the unified (wider) schema
+      (``spark.read.schema(...)``, the Spark-4 vectorized-reader type
+      widening of SPARK-40876) so int pages upcast inside the scan,
+      not in a per-row cast stage.  ``mergeSchema`` alone refuses
+      int|long conflicts (CANNOT_MERGE_SCHEMAS — probed, pinned in
+      tests), which is exactly why real tables carry an authoritative
+      table schema and treat file schemas as possibly-narrower.
+    * COLUMN RENAME: generation 1 called the price column
+      ``price_usd``; the table renamed it to ``total_usd``.  Plain
+      parquet has no Iceberg field-ids, so the rename resolves by
+      NAME MAPPING (Iceberg's ``schema.name-mapping.default``
+      fallback): each generation's physical name is read as-is and
+      mapped to the logical name before the unionByName — no data
+      rewrite, old files keep their old header.
+
+    The oracle replays both semantics from the ORIGINAL un-evolved
+    table: the hash proves widened keys are value-exact (sum_key over
+    BIGINT), renamed prices lose nothing, and row counts survive.  At
+    100 TB both evolutions cost zero data movement; query cost is the
+    same two scans a homogeneous table would need.  [extension].
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from another_map_reduce_spark.artifacts import (
+        ensure_artifact,
+        source_fingerprint,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit(_MV_CUTOFF).cast("timestamp")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"amrs_schema_widen_{tag}")
+
+    def _write_generations() -> None:
+        (
+            o.where(F.col("o_orderdate") < cut)
+            .select(
+                F.col("o_orderkey").cast("int").alias("o_orderkey"),
+                F.col("o_totalprice").alias("price_usd"),
+                "o_orderdate",
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "gen1"))
+        )
+        (
+            o.where(F.col("o_orderdate") >= cut)
+            .select(
+                F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                F.col("o_totalprice").alias("total_usd"),
+                "o_orderdate",
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "gen2"))
+        )
+
+    ensure_artifact(
+        path,
+        source_fingerprint(
+            sf_dir, "orders", op="schema_widen", cutoff=_MV_CUTOFF
+        ),
+        _write_generations,
+    )
+    # per-generation name mapping (physical → logical), the metadata a
+    # catalog would hold; the read schema is the UNIFIED (post-widen)
+    # type for every column, under each generation's physical names
+    mapping = {"gen1": {"price_usd": "total_usd"}, "gen2": {}}
+    parts = []
+    for gen, renames in mapping.items():
+        logical = {v: k for k, v in renames.items()}
+        phys = ", ".join(
+            f"{logical.get(c, c)} {t}"
+            for c, t in (
+                ("o_orderkey", "BIGINT"),
+                ("total_usd", "DOUBLE"),
+                ("o_orderdate", "TIMESTAMP"),
+            )
+        )
+        df = spark.read.schema(phys).parquet(os.path.join(path, gen))
+        for old, new in renames.items():
+            df = df.withColumnRenamed(old, new)
+        parts.append(df)
+    merged = parts[0].unionByName(parts[1])
+    return (
+        merged.groupBy(
+            F.date_format("o_orderdate", "yyyy").alias("yr")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            dsum("total_usd", "total_usd"),
+        )
+        .orderBy("yr")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Z-order (Morton) multi-dimensional data layout
 # ---------------------------------------------------------------------------

@@ -1271,3 +1271,141 @@ def stream_session_close_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 from another_map_reduce_spark.queries import _reorder as _amrs_reorder  # noqa: E402
 
 _amrs_reorder()
+
+
+# ---------------------------------------------------------------------------
+# Steady-state soak: unbounded rate source, flat state under eviction
+# ---------------------------------------------------------------------------
+
+_SOAK_START_S = 1_704_067_200  # 2024-01-01T00:00:00Z
+_SOAK_ROWS_PER_BATCH = 40
+_SOAK_ADVANCE_S = 10  # event time per micro-batch == one window
+_SOAK_WINDOWS = 12  # deterministic prefix the query returns
+_SOAK_SQL = f"""
+WITH vals AS (
+  SELECT unnest(generate_series(
+    0, {_SOAK_ROWS_PER_BATCH * _SOAK_WINDOWS} - 1)) AS v
+)
+SELECT CAST({_SOAK_START_S}
+            + (v // {_SOAK_ROWS_PER_BATCH}) * {_SOAK_ADVANCE_S}
+       AS BIGINT) AS win_start_s,
+       CAST(v % 4 AS BIGINT) AS key,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS BIGINT) AS sum_v
+FROM vals
+GROUP BY win_start_s, key
+ORDER BY win_start_s, key
+"""
+
+
+def _run_rate_soak(
+    spark: SparkSession, min_batches: int, timeout_s: float = 180.0
+):
+    """Drive the deterministic rate-micro-batch windowed aggregation
+    for at least ``min_batches`` micro-batches under a real
+    processing-time trigger (NOT availableNow — this is the
+    steady-state cadence every other streaming row's finite drain
+    skips), then stop.  Returns (memory-sink view name, sorted
+    (batchId, state numRowsTotal) samples collected while polling)."""
+    import time
+
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", _SOAK_ROWS_PER_BATCH)
+        .option("numPartitions", 2)
+        .option("startTimestamp", _SOAK_START_S * 1000)
+        .option("advanceMillisPerBatch", _SOAK_ADVANCE_S * 1000)
+        .load()
+    )
+    agg = (
+        src.withWatermark("timestamp", "30 seconds")
+        .groupBy(
+            F.window("timestamp", f"{_SOAK_ADVANCE_S} seconds"),
+            (F.col("value") % 4).alias("key"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_v"),
+        )
+    )
+    qname = _fresh_sink_name("stream_rate_soak")
+    # state samples are collected DURING the poll loop (recentProgress
+    # retains only the last ~100 updates — a multi-hundred-batch soak
+    # would lose its early plateau, exactly the half the flatness
+    # assertion compares against)
+    samples: dict[int, int] = {}
+    with _stream_shuffle_partitions(spark, 4):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = time.monotonic() + timeout_s
+            while True:
+                lp = q.lastProgress
+                if lp and lp.get("stateOperators"):
+                    samples[lp["batchId"]] = lp["stateOperators"][0][
+                        "numRowsTotal"
+                    ]
+                if lp and lp["batchId"] >= min_batches:
+                    break
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"rate soak did not reach batch {min_batches} "
+                        f"in {timeout_s}s (at "
+                        f"{lp['batchId'] if lp else None})"
+                    )
+                time.sleep(0.05)
+        finally:
+            q.stop()
+    return qname, sorted(samples.items())
+
+
+@register("stream_rate_soak_windows", oracle=_SOAK_SQL)
+def stream_rate_soak_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEADY-STATE STREAMING SOAK — the cadence gap every other
+    stream_* row shares: they drain finite file relays under
+    ``Trigger.AvailableNow``, so state-store behavior under a
+    LONG-RUNNING micro-batch schedule (hundreds of batches, watermark
+    continuously advancing, eviction keeping state FLAT) is never
+    observed.  This row runs Spark's deterministic ``rate-micro-batch``
+    source (batch b = rows [b·R, (b+1)·R) all stamped start + b·Δ —
+    the determinism is the whole reason this is oracle-checkable)
+    through a watermarked tumbling-window aggregation under a real
+    ``processingTime`` trigger until the deterministic prefix's
+    windows have all closed, then returns those CLOSED windows.
+
+    The oracle replays the source contract in SQL (generate_series →
+    batch → window arithmetic), so the hash proves emitted windows
+    carry exactly the rows the source contract says they must —
+    independent of how many extra batches ran before stop().
+
+    The SOAK assertion itself — state rows FLAT across hundreds of
+    batches once eviction kicks in (open windows × keys, a constant),
+    memory not monotone — lives in tests/test_streaming.py's
+    test_rate_soak_state_stays_flat, which fails if
+    ``numRowsTotal`` grows monotonically.  At 100 TB this is the
+    property that separates a pipeline that runs for a year from one
+    that OOMs in week two; ``sf_dir`` is unused — the source is the
+    engine's own generator.  [extension].
+    """
+    del sf_dir  # the rate source IS the input — no table involved
+    # window w closes once watermark (= max event − 30 s) passes its
+    # end: batch b's max event is start + 10b, so w needs b ≥ w + 4;
+    # +2 margin over the returned prefix
+    qname, _ = _run_rate_soak(spark, min_batches=_SOAK_WINDOWS + 6)
+    cut = _SOAK_START_S + _SOAK_WINDOWS * _SOAK_ADVANCE_S
+    return (
+        spark.table(qname)
+        .select(
+            F.col("window.start").cast("long").alias("win_start_s"),
+            F.col("key").cast("long").alias("key"),
+            F.col("n").cast("long").alias("n"),
+            F.col("sum_v").cast("long").alias("sum_v"),
+        )
+        .where(F.col("win_start_s") < cut)
+        .orderBy("win_start_s", "key")
+    )

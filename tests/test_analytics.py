@@ -1853,3 +1853,34 @@ def test_interarrival_buckets_are_log2_exact(spark, sf_dir):
     assert {r.bucket: r.total_gap_us for r in mine.itertuples()} == dict(
         exp_tot
     )
+
+
+def test_schema_evolution_widen_and_rename_mechanics(spark, sf_dir):
+    """The widen row's premises, pinned: gen1 physically holds INT
+    keys under the OLD column name, mergeSchema refuses the int|long
+    conflict (the reason the unified read schema exists), and the
+    name-mapped widened read loses no rows vs the original table."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pytest as _pytest
+
+    from another_map_reduce_spark.plans.analytics import (
+        schema_evolution_widen,
+    )
+
+    out = schema_evolution_widen(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"amrs_schema_widen_{tag}")
+    g1 = spark.read.parquet(os.path.join(path, "gen1"))
+    assert dict(g1.dtypes)["o_orderkey"] == "int"
+    assert "price_usd" in g1.columns and "total_usd" not in g1.columns
+    g2 = spark.read.parquet(os.path.join(path, "gen2"))
+    assert dict(g2.dtypes)["o_orderkey"] == "bigint"
+    with _pytest.raises(Exception, match="MERGE|merge"):
+        spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(path, "gen1"), os.path.join(path, "gen2")
+        )
+    total = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert out.agg(F.sum("n_orders")).collect()[0][0] == total

@@ -733,9 +733,13 @@ def test_ivf_pq_append_equals_rebuild_and_compact_parity(spark, emb, tmp_path):
     cent_rows = spark.read.parquet(f"{apath}/centroids").orderBy("cell").collect()
     cents = [[float(x) for x in r.centroid] for r in cent_rows]
     cbs = read_pq_codebooks(spark, apath)
+    # read through the delta-group reader: appended rows live in the
+    # atomically-committed delta dir until compaction folds them in
+    from another_map_reduce_spark.storeops import read_member
+
     got = {
         (r.cell, r.cid, tuple(r.codes))
-        for r in spark.read.parquet(f"{apath}/pqcodes").collect()
+        for r in read_member(spark, apath, "pqcodes").collect()
     }
     want = {
         (r.cell, r.cid, tuple(r.codes))
@@ -754,14 +758,25 @@ def test_ivf_pq_append_equals_rebuild_and_compact_parity(spark, emb, tmp_path):
         ).collect()
     ]
 
-    from another_map_reduce_spark.storeops import resolve_table
+    from another_map_reduce_spark.storeops import (
+        live_delta_dirs,
+        resolve_table,
+    )
 
     def files_per_cell(sub):
-        # the live generation moves on compaction (pointer commit)
-        return {
-            d: len(glob.glob(f"{d}/*.parquet"))
-            for d in glob.glob(f"{resolve_table(f'{apath}/{sub}')}/cell=*")
-        }
+        # the live generation moves on compaction (pointer commit);
+        # un-compacted appends add files under the delta-group dirs
+        roots = [resolve_table(f"{apath}/{sub}")] + live_delta_dirs(
+            apath, sub
+        )
+        counts: dict[str, int] = {}
+        for root in roots:
+            for d in glob.glob(f"{root}/cell=*"):
+                cell = d.rsplit("/", 1)[-1]
+                counts[cell] = counts.get(cell, 0) + len(
+                    glob.glob(f"{d}/*.parquet")
+                )
+        return counts
 
     assert max(files_per_cell("pqcodes").values()) > 1  # fragmented
     ivf_pq_compact(spark, apath)

@@ -575,3 +575,144 @@ def test_model_based_random_lifecycle(spark, tmp_path):
     assert {
         r.k for r in spark.read.parquet(resolve_table(table)).collect()
     } == model
+
+
+def test_ivf_pq_append_killpoints_atomic_pair(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The r11 delta-group append: at EVERY kill point of the paired
+    postings+pqcodes append, the lossless probe answer is unchanged
+    and ivf_pq_check_consistency is EMPTY (a no-op assertion — the
+    r10 crash window where postings rows had no PQ code is closed);
+    a crashed append can simply be re-run."""
+    from another_map_reduce_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_append_vectors,
+        ivf_pq_check_consistency,
+        ivf_pq_compact,
+        ivf_pq_probe_topk,
+        pq_encode,
+        read_pq_codebooks,
+        top_cells,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("vec_id") < 300
+    )
+    hist = emb.where(F.col("vec_id") >= 50)
+    delta = emb.where(F.col("vec_id") < 50)
+    queries = emb.where(F.col("vec_id").between(100, 109))
+    path = str(tmp_path / "pq")
+    build_ivf_pq_index(hist, path, num_cells=4, m_sub=8, k_codes=8,
+                       train_iters=1)
+
+    def probe():
+        return [
+            (r.qid, r.rank, r.cid)
+            for r in ivf_pq_probe_topk(
+                spark, path, queries, k=5, nprobe=4, rerank=None
+            ).collect()
+        ]
+
+    def consistent():
+        return ivf_pq_check_consistency(spark, path).isEmpty()
+
+    base = probe()
+    assert consistent()
+
+    cents = [
+        [float(x) for x in r.centroid]
+        for r in spark.read.parquet(f"{path}/centroids")
+        .orderBy("cell")
+        .collect()
+    ]
+    cbs = read_pq_codebooks(spark, path)
+    rows = delta.select(
+        F.element_at(top_cells(F.col("embedding"), cents, 1), 1).alias(
+            "cell"
+        ),
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cvec"),
+    )
+    codes = rows.select(
+        "cell", "cid", pq_encode(F.col("cvec"), cbs).alias("codes")
+    )
+
+    def _w(df):
+        return lambda dest: (
+            df.repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(dest)
+        )
+
+    # kill point 1: crash BETWEEN the two member writes (second
+    # member's staging write dies) — nothing became visible
+    def _dying(dest):
+        raise RuntimeError("injected crash in second member write")
+
+    with pytest.raises(RuntimeError, match="injected"):
+        storeops.commit_delta(
+            path, {"postings": _w(rows), "pqcodes": _dying}
+        )
+    assert probe() == base
+    assert consistent()
+
+    # kill point 2: both members staged + APPLIES written, crash at
+    # the commit rename — nothing became visible
+    monkeypatch.setattr(
+        storeops.os,
+        "rename",
+        lambda *a, **k: (_ for _ in ()).throw(
+            OSError("injected crash at commit rename")
+        ),
+    )
+    with pytest.raises(OSError, match="injected"):
+        ivf_pq_append_vectors(spark, path, delta)
+    monkeypatch.undo()
+    assert probe() == base
+    assert consistent()
+
+    # recovery: RE-RUN the crashed append verbatim (nothing of it was
+    # visible, so no duplication) — both members appear atomically
+    ivf_pq_append_vectors(spark, path, delta)
+    appended = probe()
+    assert appended != base  # delta ids now probe-visible
+    assert {c for (_, _, c) in appended} & set(range(50))
+    assert consistent()
+
+    # kill point 3: crash BETWEEN the two member compactions —
+    # postings folded+flipped (its deltas expired), pqcodes still on
+    # base+delta; every reader sees each row exactly once
+    real_cm = storeops.compact_member
+    calls = {"n": 0}
+
+    def _dying_cm(sp, group, member, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash before second compact")
+        return real_cm(sp, group, member, **kw)
+
+    monkeypatch.setattr(storeops, "compact_member", _dying_cm)
+    import another_map_reduce_spark.operators.similarity as sim
+
+    monkeypatch.setattr(
+        sim, "compact_member", _dying_cm, raising=False
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        ivf_pq_compact(spark, path)
+    monkeypatch.undo()
+    assert probe() == appended
+    assert consistent()
+
+    # recovery compact: folds the remaining member, GCs consumed
+    # deltas and abandoned staging dirs
+    ivf_pq_compact(spark, path)
+    assert probe() == appended
+    assert consistent()
+    leftover = [
+        n
+        for n in os.listdir(os.path.join(path, "deltas"))
+        if n.startswith("delta_") or n.startswith(".tmp_delta_")
+    ] if os.path.isdir(os.path.join(path, "deltas")) else []
+    assert leftover == []

@@ -1387,3 +1387,33 @@ def test_stream_ohlc_minby_state_merges_across_microbatches(spark, tmp_path):
     # the 00:00 bar saw 2 ticks in each batch; open/close must come
     # from batch 2's edge ticks, high from batch 1, low from batch 2
     assert bars["00:00"] == (4, 20.0, 70.0, 20.0, 30.0)
+
+
+def test_rate_soak_state_stays_flat(spark):
+    """Steady-state soak (r11): ~150 micro-batches of the
+    deterministic rate source through a watermarked windowed
+    aggregation under a real processingTime cadence — state rows must
+    PLATEAU once watermark eviction kicks in (open windows x keys, a
+    constant) and the tail must never exceed the early plateau.  This
+    test FAILS if state grows monotonically — the week-two-OOM
+    failure mode the availableNow drains can't observe."""
+    from another_map_reduce_spark.plans.streaming_state import (
+        _run_rate_soak,
+    )
+
+    _, samples = _run_rate_soak(spark, min_batches=150, timeout_s=420)
+    # warm-up ends once eviction is active (watermark = 30 s = 3
+    # batches behind; give it 10)
+    post = [(b, n) for b, n in samples if b >= 10]
+    assert len(post) >= 60, f"too few sampled batches: {len(post)}"
+    split = max(b for b, _ in post) // 2
+    early = [n for b, n in post if b <= split]
+    tail = [n for b, n in post if b > split]
+    plateau = max(early)
+    assert max(tail) <= plateau, (
+        f"state grew past the early plateau: {max(tail)} > {plateau} "
+        f"(samples {samples[-10:]})"
+    )
+    # absolute bound: open windows (window + watermark + 1 batch in
+    # flight = ~5) x 4 keys, generously doubled
+    assert plateau <= 40, f"state plateau {plateau} rows is not bounded"
