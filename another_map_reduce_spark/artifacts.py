@@ -79,6 +79,32 @@ def ensure_artifact(
     return True
 
 
+_PID_LAYOUTS: set[str] = set()
+
+
+def register_pid_layout(path: str) -> str:
+    """Track one of THIS process's pid-keyed temp layouts for atexit
+    removal — the complement of ``sweep_stale_pid_siblings``: siblings
+    clean up after dead processes, atexit cleans up after ORDERLY
+    exits, so a long-lived host only ever carries layouts of live or
+    crashed-this-instant processes.  Idempotent; returns ``path`` so
+    call sites can wrap their os.path.join in place."""
+    import atexit
+
+    if not _PID_LAYOUTS:
+        atexit.register(_cleanup_pid_layouts)
+    _PID_LAYOUTS.add(path)
+    return path
+
+
+def _cleanup_pid_layouts() -> None:
+    import shutil
+
+    for p in list(_PID_LAYOUTS):
+        shutil.rmtree(p, ignore_errors=True)
+    _PID_LAYOUTS.clear()
+
+
 def sweep_stale_pid_siblings(prefix: str) -> None:
     """Remove tempdir layouts left by DEAD sibling processes.
 

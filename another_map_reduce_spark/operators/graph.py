@@ -43,6 +43,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _sever_stats(df: DataFrame) -> DataFrame:
+    """Re-root ``df`` on its (materialized) RDD with FRESH default
+    statistics.  ``localCheckpoint`` truncates lineage but COPIES the
+    origin plan's estimated statistics onto the LogicalRDD
+    (``rewriteStatsAndConstraints``); under an iterative SELF-JOIN
+    loop those estimates compound multiplicatively (a join's
+    sizeInBytes is the product of its children's), so after ~a dozen
+    rounds the stats are million-digit BigIntegers and PLANNING time
+    — not execution — dominates every round (measured: the r11
+    pointer-doubling loop froze with jstack showing 300+ s inside
+    BigInteger.multiply under SizeInBytesOnlyStatsPlanVisitor).  The
+    JVM-side ``createDataFrame(JavaRDD, schema)`` wrap keeps the
+    materialized blocks and schema but drops the poisoned stats.
+    Loops that only join the iterate against a FIXED frame grow stats
+    linearly and don't need this — only self-joining iterations do."""
+    jdf = df._jdf
+    fresh = df.sparkSession._jsparkSession.createDataFrame(
+        jdf.javaRDD(), jdf.schema()
+    )
+    return DataFrame(fresh, df.sparkSession)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -749,6 +771,7 @@ def strongly_connected_components(
     dst: str = "dst",
     max_outer: int = 12,
     max_inner: int = 60,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Strongly connected components of a DIRECTED edge list via the
     trim + forward-coloring + backward-sweep decomposition (Orzan's
@@ -761,35 +784,88 @@ def strongly_connected_components(
     Returns (node, scc) where scc is the component's minimum node id —
     the CC determinism contract: engine- and partitioning-independent.
 
-    Per outer round:
-    1. TRIM — nodes with no in-edge or no out-edge in the live
+    Per outer round (all label work in BIT-REVERSED id space -- see
+    _id_mix -- with the min-ORIGINAL-id contract restored at the end):
+    1. TRIM -- nodes with no in-edge or no out-edge in the live
        subgraph are singleton SCCs; peel iteratively (kills DAG tails
        that would otherwise cost one coloring round EACH).
-    2. COLOR — propagate color(v) = min id that reaches v along the
-       edge direction to fixpoint (monotone-sum convergence, the CC
-       trick: labels only decrease, so SUM(color) stalls exactly at
-       the fixed point).
-    3. SWEEP — every root r (color(r) = r) backward-collects the nodes
-       of its color class that reach it: settled BFS over the
-       intra-class edge subset.  Any u on a u→…→r path with
-       color(u) = r has every intermediate w forced to color(w) = r
-       (r reaches w through u's prefix, and color(w) < r would pull
-       color(r) below r), so restricting the sweep to same-color edges
-       is complete, and each swept node's SCC id IS its color.
-    4. Remove swept nodes; repeat on the remainder.
+    2. COLOR -- propagate color(v) = min id that reaches v along the
+       edge direction to fixpoint, with POINTER DOUBLING
+       (color[v] <- color[color[v]], sound by transitivity) from
+       round 3 on; convergence detected by counting changed rows
+       (overflow-free).
+    3. BACKWARD COLOR -- the same doubling min-reach pass over the
+       REVERSED intra-class edges: rcolor(v) = min class-member id v
+       reaches.  Class ids are >= the class color c, so
+       rcolor(v) = c  <=>  v reaches node c  <=>  v in SCC(c) --
+       replacing the one-edge-per-round backward BFS sweep (r10)
+       whose driver-round count was O(SCC diameter).
+    4. Remove settled nodes; repeat on the remainder.
 
-    Scale shape: every step is the one-shuffle-per-round frontier
-    discipline of bfs_hops/sssp (joins against the live edge list,
-    distinct, anti-join vs settled; eager checkpoints keep lineage
-    O(1)); all loop conditions are 1-row driver probes.  Rounds are
-    bounded by the condensation depth after trimming — small for the
-    dense mutual-trade graphs this targets; the documented worst case
-    (a long pure cycle chain) exhausts ``max_outer`` and fails LOUDLY
-    rather than returning a partial labelling.
+    Scale shape: one-shuffle-per-round discipline, eager checkpoints
+    with stats severing (_sever_stats -- iterative self-joins
+    compound Catalyst's sizeInBytes estimates multiplicatively
+    otherwise), all loop conditions 1-row driver probes.  Inner
+    rounds are O(log diameter) EXPECTED under the bit-reversed
+    relabeling (doubling needs label order uncorrelated with edge
+    direction -- a raw anti-sorted giant cycle is the
+    one-hop-per-round worst case; measured post-mix: a 512-cycle
+    needs 18 rounds in EITHER orientation, pytest-pinned), with a
+    |V|+2-round guaranteed-convergence cap behind the doubling
+    budget.  Outer rounds are bounded by the condensation depth
+    after trimming; ``max_outer`` exhaustion fails LOUDLY rather
+    than returning a partial labelling.
     """
+    def _id_mix(c):
+        """64-bit BIT REVERSAL: a bijection on ids built from
+        overflow-free mask/shift ops (ANSI-safe).  Min-label pointer
+        doubling is O(log d) only when label order is UNCORRELATED
+        with edge direction — an anti-sorted giant cycle degrades it
+        to one-hop-per-round (simulated: 512-cycle converges in 11
+        rounds forward, 512 reversed).  Bit-reversing the ids
+        scrambles any such ordering (consecutive ids become a van der
+        Corput sequence; xorshift was tried and stays near-monotone
+        on small ints — 417 rounds); simulated post-mix: 14/18/24
+        rounds at n=128/512/4096, BOTH directions.  The output
+        contract (scc = component's min ORIGINAL id) is restored by
+        _finish below."""
+        for m, sh in (
+            (0x5555555555555555, 1),
+            (0x3333333333333333, 2),
+            (0x0F0F0F0F0F0F0F0F, 4),
+            (0x00FF00FF00FF00FF, 8),
+            (0x0000FFFF0000FFFF, 16),
+            (0x00000000FFFFFFFF, 32),
+        ):
+            c = (
+                F.shiftrightunsigned(c, sh).bitwiseAND(F.lit(m))
+            ).bitwiseOR(F.shiftleft(c.bitwiseAND(F.lit(m)), sh))
+        return c
+
+    raw_nodes = (
+        edges.select(F.col(src).cast("long").alias("orig"))
+        .unionByName(edges.select(F.col(dst).cast("long").alias("orig")))
+        .distinct()
+    )
+    idmap = raw_nodes.select(
+        "orig", _id_mix(F.col("orig")).alias("node")
+    ).localCheckpoint(eager=True)
+
+    def _finish(d: DataFrame) -> DataFrame:
+        """Map mixed-space (node, scc) labels back to original ids,
+        re-electing each component's representative as the min
+        ORIGINAL member id (the engine-independent contract)."""
+        dd = d.join(idmap, "node").select(
+            F.col("orig").alias("o"), "scc"
+        )
+        rep = dd.groupBy("scc").agg(F.min("o").alias("rep"))
+        return dd.join(rep, "scc").select(
+            F.col("o").alias("node"), F.col("rep").alias("scc")
+        )
+
     e_all = edges.select(
-        F.col(src).cast("long").alias("src"),
-        F.col(dst).cast("long").alias("dst"),
+        _id_mix(F.col(src).cast("long")).alias("src"),
+        _id_mix(F.col(dst).cast("long")).alias("dst"),
     ).distinct()
     alive = (
         e_all.select(F.col("src").alias("node"))
@@ -827,47 +903,109 @@ def strongly_connected_components(
                 .localCheckpoint(eager=True)
             )
         if alive.isEmpty():
-            return done.select("node", "scc")
-        # --- 2. forward min-color propagation to fixpoint ---
-        colors = alive.select(
-            "node", F.col("node").alias("color")
-        ).localCheckpoint(eager=True)
-        for _ in range(max_inner):
-            pushed = (
-                e.join(
-                    colors.withColumnRenamed("node", "src").hint(
-                        "shuffle_hash"
-                    ),
-                    "src",
+            return _finish(done.select("node", "scc"))
+
+        def _min_color(e_sd: DataFrame, nodes: DataFrame) -> DataFrame:
+            """Min-label propagation to fixpoint along ``e_sd``
+            (src→dst), with POINTER DOUBLING each round
+            (color[v] ← color[color[v]], sound because "reaches" is
+            transitive), so rounds are O(log diameter) instead of
+            O(diameter) — the guard against the giant-single-SCC
+            quadratic regime (a pure n-cycle converges in ~log2 n
+            rounds, pytest-pinned).  Convergence is detected by
+            counting rows whose color shrank (overflow-free, unlike
+            comparing SUM(color) across rounds, which could silently
+            wrap on huge id domains)."""
+            colors = nodes.select(
+                "node", F.col("node").alias("color")
+            ).localCheckpoint(eager=True)
+            # |V|+2 relaxation rounds GUARANTEE convergence (round k
+            # spreads the min to everything within k hops; the longest
+            # shortest path is < |V|); max_inner is the budget we
+            # EXPECT doubling to meet, not a correctness bound.
+            cap = max(max_inner, nodes.count() + 2)
+            for rnd in range(cap):
+                pushed = (
+                    e_sd.join(
+                        colors.withColumnRenamed("node", "src").hint(
+                            "shuffle_hash"
+                        ),
+                        "src",
+                    )
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.min("color").alias("inc"))
                 )
-                .groupBy(F.col("dst").alias("node"))
-                .agg(F.min("color").alias("inc"))
-            )
-            # Convergence is detected by counting rows whose color shrank
-            # this round (overflow-free, unlike comparing SUM(color) across
-            # rounds, which could silently wrap on huge id domains).
-            stepped = (
-                colors.join(pushed, "node", "left")
-                .select(
-                    "node",
-                    F.least(
-                        "color", F.coalesce("inc", F.col("color"))
-                    ).alias("color"),
-                    (F.col("inc") < F.col("color"))
-                    .cast("long")
-                    .alias("chg"),
-                )
-                .localCheckpoint(eager=False)
-            )
-            changed = stepped.agg(F.sum("chg")).collect()[0][0] or 0
-            colors = stepped.drop("chg")
-            if changed == 0:
-                break
-        else:
+                # The jump join costs a self-join per round, so it
+                # engages only once plain relaxation has NOT converged
+                # in 2 rounds — shallow graphs (the common case) pay
+                # nothing, deep ones switch to O(log d) doubling.
+                if rnd >= 2:
+                    jump = colors.select(
+                        "node", F.col("color").alias("c1")
+                    ).join(
+                        colors.select(
+                            F.col("node").alias("c1"),
+                            F.col("color").alias("jmp"),
+                        ),
+                        "c1",
+                    ).select("node", "jmp")
+                    stepped = (
+                        colors.join(pushed, "node", "left")
+                        .join(jump, "node")
+                        .select(
+                            "node",
+                            F.least(
+                                "color",
+                                F.coalesce("inc", F.col("color")),
+                                "jmp",
+                            ).alias("color"),
+                            (
+                                (F.col("inc") < F.col("color"))
+                                | (F.col("jmp") < F.col("color"))
+                            )
+                            .cast("long")
+                            .alias("chg"),
+                        )
+                        .localCheckpoint(eager=True)
+                    )
+                    stepped = _sever_stats(stepped)
+                else:
+                    stepped = (
+                        colors.join(pushed, "node", "left")
+                        .select(
+                            "node",
+                            F.least(
+                                "color", F.coalesce("inc", F.col("color"))
+                            ).alias("color"),
+                            (F.col("inc") < F.col("color"))
+                            .cast("long")
+                            .alias("chg"),
+                        )
+                        .localCheckpoint(eager=True)
+                    )
+                    stepped = _sever_stats(stepped)
+                changed = stepped.agg(F.sum("chg")).collect()[0][0] or 0
+                colors = stepped.drop("chg")
+                if changed == 0:
+                    if stats is not None:
+                        stats.setdefault("inner_rounds", []).append(
+                            rnd + 1
+                        )
+                    return colors
             raise RuntimeError(
-                f"SCC coloring did not converge in {max_inner} rounds"
+                f"SCC coloring did not converge in {cap} rounds "
+                "(invariant violation: min-relaxation must fix within "
+                "|V| rounds)"
             )
-        # --- 3. backward sweep from roots over intra-class edges ---
+
+        # --- 2. forward min-color propagation to fixpoint ---
+        colors = _min_color(e, alive)
+        # --- 3. backward doubling-coloring over intra-class edges:
+        # rcolor(v) = min class-member id v reaches; class ids are
+        # ≥ the class color c, so rcolor(v) == c  ⇔  v reaches node c
+        # ⇔ v ∈ SCC(c).  Replaces the one-edge-per-round backward BFS
+        # sweep (O(SCC diameter) driver rounds — the other half of the
+        # giant-cycle quadratic regime) with the same O(log d) pass.
         csrc = colors.select(
             F.col("node").alias("src"), F.col("color").alias("c_src")
         )
@@ -881,33 +1019,27 @@ def strongly_connected_components(
             .select("src", "dst")
             .localCheckpoint(eager=True)
         )
+        rcolors = _min_color(
+            ecc.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            ),
+            alive,
+        )
         settled = (
-            colors.where(F.col("node") == F.col("color"))
-            .select("node")
+            colors.join(
+                rcolors.withColumnRenamed("color", "rcolor"), "node"
+            )
+            .where(F.col("color") == F.col("rcolor"))
+            .select("node", F.col("color").alias("scc"))
             .localCheckpoint(eager=True)
         )
-        frontier = settled
-        while not frontier.isEmpty():
-            nxt = (
-                ecc.join(frontier.withColumnRenamed("node", "dst"), "dst")
-                .select(F.col("src").alias("node"))
-                .distinct()
-                .join(settled, "node", "left_anti")
-                .localCheckpoint(eager=True)
-            )
-            settled = settled.unionByName(nxt).localCheckpoint(eager=True)
-            frontier = nxt
-        _add(
-            settled.join(colors, "node").select(
-                "node", F.col("color").alias("scc")
-            )
-        )
+        _add(settled)
         # --- 4. shrink the live graph and go again ---
         alive = alive.join(settled, "node", "left_anti").localCheckpoint(
             eager=True
         )
         if alive.isEmpty():
-            return done.select("node", "scc")
+            return _finish(done.select("node", "scc"))
         e = (
             e.join(alive.withColumnRenamed("node", "src"), "src")
             .join(alive.withColumnRenamed("node", "dst"), "dst")

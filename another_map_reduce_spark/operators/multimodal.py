@@ -827,3 +827,257 @@ def phash_candidate_stats(hashed: DataFrame) -> DataFrame:
         )
         .orderBy("doc")
     )
+
+
+# ---------------------------------------------------------------------------
+# Video rung: ISO-BMFF (MP4) box walk — keyframe enumeration (r11)
+# ---------------------------------------------------------------------------
+#
+# The container-format analogue of decode_jpeg_headers: a STRUCTURAL
+# stdlib parse of the MP4 box tree down to the sample tables
+# (moov/trak/mdia/minf/stbl), computing each SYNC SAMPLE's (index,
+# file offset, byte size, decode timestamp) from stts/stss/stsz/
+# stsc/stco — the demux half of keyframe extraction, which is all a
+# curation pipeline needs to SEEK and slice keyframes; the entropy
+# decode of the slices stays the PIL-or-stub rung like JPEG.  The
+# parser handles the general tables (multi-chunk stsc runs, multi-run
+# stts, 64-bit largesize boxes, absent stss = every sample a sync
+# sample); the writer below emits the minimal subset as planted test
+# fixtures.
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def mp4_boxes(b: bytes, start: int, end: int):
+    """Yield (type, header_end, box_end) for each box in [start, end);
+    stops (rather than raising) on malformed sizes."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", b[pos : pos + 4])
+        btype = b[pos + 4 : pos + 8]
+        hdr = pos + 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", b[pos + 8 : pos + 16])
+            hdr = pos + 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - pos
+        if size < hdr - pos or pos + size > end:
+            return
+        yield btype, hdr, pos + size
+        pos += size
+
+
+def _mp4_find(b: bytes, start: int, end: int, path: list[bytes]):
+    """Walk container boxes along ``path``; yield (hdr, end) of every
+    terminal box matching the last path element."""
+    if not path:
+        return
+    for btype, hdr, bend in mp4_boxes(b, start, end):
+        if btype != path[0]:
+            continue
+        if len(path) == 1:
+            yield hdr, bend
+        elif btype in _MP4_CONTAINERS:
+            yield from _mp4_find(b, hdr, bend, path[1:])
+
+
+def mp4_keyframe_index(
+    blob: bytes,
+) -> list[tuple[int, int, int, int]]:
+    """Enumerate the FIRST video track's sync samples from an MP4's
+    sample tables: returns [(sample_1based, file_offset, size, dts)].
+
+    Offsets come from the stsc/stco chunk mapping plus cumulative
+    stsz sizes within each chunk; dts from the stts run-length deltas;
+    sync samples from stss (absent stss ⇒ all samples are sync, per
+    ISO 14496-12 8.6.2).  Malformed or non-MP4 input returns [] —
+    the caller falls through like the JPEG/WAV rungs."""
+    import struct
+
+    b = bytes(blob)
+    for stbl_hdr, stbl_end in _mp4_find(
+        b, 0, len(b), [b"moov", b"trak", b"mdia", b"minf", b"stbl"]
+    ):
+        tables: dict[bytes, tuple[int, int]] = {}
+        for btype, hdr, bend in mp4_boxes(b, stbl_hdr, stbl_end):
+            tables[btype] = (hdr, bend)
+        try:
+            def u32s(box: bytes, skip: int, n: int) -> list[int]:
+                hdr, _ = tables[box]
+                off = hdr + 4 + skip  # version/flags then fixed fields
+                return list(
+                    struct.unpack(f">{n}I", b[off : off + 4 * n])
+                )
+
+            def entry_count(box: bytes) -> int:
+                hdr, _ = tables[box]
+                return struct.unpack(">I", b[hdr + 4 : hdr + 8])[0]
+
+            # sizes: stsz sample_size==0 → per-sample table
+            hdr, _ = tables[b"stsz"]
+            fixed, n_samples = struct.unpack(">II", b[hdr + 4 : hdr + 12])
+            sizes = (
+                [fixed] * n_samples
+                if fixed
+                else list(
+                    struct.unpack(
+                        f">{n_samples}I", b[hdr + 12 : hdr + 12 + 4 * n_samples]
+                    )
+                )
+            )
+            # chunk offsets
+            n_chunks = entry_count(b"stco")
+            chunk_offs = u32s(b"stco", 4, n_chunks)
+            # sample→chunk runs: (first_chunk, samples_per_chunk, _desc)
+            n_runs = entry_count(b"stsc")
+            stsc = u32s(b"stsc", 4, 3 * n_runs)
+            runs = [tuple(stsc[i * 3 : i * 3 + 3]) for i in range(n_runs)]
+            # per-sample file offsets
+            offsets: list[int] = []
+            for ci in range(n_chunks):
+                per = 0
+                for first, spc, _d in runs:
+                    if first <= ci + 1:
+                        per = spc
+                pos = chunk_offs[ci]
+                for _ in range(per):
+                    if len(offsets) >= n_samples:
+                        break
+                    offsets.append(pos)
+                    pos += sizes[len(offsets) - 1]
+            # decode timestamps from stts runs
+            n_tt = entry_count(b"stts")
+            tts = u32s(b"stts", 4, 2 * n_tt)
+            dts: list[int] = []
+            t = 0
+            for i in range(n_tt):
+                cnt, delta = tts[2 * i], tts[2 * i + 1]
+                for _ in range(cnt):
+                    if len(dts) >= n_samples:
+                        break
+                    dts.append(t)
+                    t += delta
+            # sync samples
+            if b"stss" in tables:
+                n_sync = entry_count(b"stss")
+                sync = u32s(b"stss", 4, n_sync)
+            else:
+                sync = list(range(1, n_samples + 1))
+            return [
+                (s, offsets[s - 1], sizes[s - 1], dts[s - 1])
+                for s in sync
+                if 1 <= s <= len(offsets) and s <= len(dts)
+            ]
+        except (KeyError, struct.error, IndexError):
+            return []
+    return []
+
+
+_MP4_FRAME = 96  # sample size of the planted fixture
+_MP4_SYNC_EVERY = 4  # every 4th sample is a keyframe
+_MP4_DELTA = 512  # stts delta per sample
+
+
+def build_mp4(payload: bytes) -> bytes:
+    """Planted-fixture MP4 writer: ftyp + mdat (payload chunked into
+    {_MP4_FRAME}-byte samples, last one short) + moov with real
+    stts/stss/stsz/stsc/stco tables (sync sample every
+    {_MP4_SYNC_EVERY}th, dts delta {_MP4_DELTA}).  The mdat lands at a
+    FIXED offset 16, so the oracle can replay every keyframe's offset
+    with pure arithmetic; the parser above does not rely on any of
+    this layout."""
+    import struct
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    def full(btype: bytes, body: bytes) -> bytes:
+        return box(btype, b"\x00\x00\x00\x00" + body)
+
+    p = bytes(payload)
+    n = max(1, -(-len(p) // _MP4_FRAME))
+    sizes = [
+        len(p[i * _MP4_FRAME : (i + 1) * _MP4_FRAME]) for i in range(n)
+    ]
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0))
+    assert len(ftyp) == 16
+    mdat = box(b"mdat", p)
+    sync = list(range(1, n + 1, _MP4_SYNC_EVERY))
+    stts = full(b"stts", struct.pack(">III", 1, n, _MP4_DELTA))
+    stss = full(
+        b"stss", struct.pack(f">I{len(sync)}I", len(sync), *sync)
+    )
+    stsz = full(
+        b"stsz", struct.pack(f">II{n}I", 0, n, *sizes)
+    )
+    stsc = full(b"stsc", struct.pack(">IIII", 1, 1, n, 1))
+    stco = full(b"stco", struct.pack(">II", 1, len(ftyp) + 8))
+    stbl = box(b"stbl", stts + stss + stsz + stsc + stco)
+    moov = box(
+        b"moov", box(b"trak", box(b"mdia", box(b"minf", stbl)))
+    )
+    return ftyp + mdat + moov
+
+
+KEYFRAME_SCHEMA = (
+    "doc_id long, sample long, offset long, frame_bytes long, "
+    "dts long, frame_fp string"
+)
+
+
+def extract_keyframe_index(
+    df: DataFrame, blob_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched keyframe enumeration over an MP4 binary column:
+    1 container row → one row per SYNC sample, carrying (sample,
+    offset, size, dts) from the box walk plus md5 over the keyframe
+    slice's uppercase hex (the byte-window fingerprint convention of
+    sample_frames — replayable by engines without blob slicing).
+    Raw container bytes never leave the Arrow stage."""
+    import hashlib as _hashlib
+
+    def _kf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "sample": [], "offset": [],
+                "frame_bytes": [], "dts": [], "frame_fp": [],
+            }
+            for doc_id, blob in zip(batch[id_col], batch[blob_col]):
+                b = bytes(blob)
+                for s, off, size, dts in mp4_keyframe_index(b):
+                    frame = b[off : off + size]
+                    out["doc_id"].append(doc_id)
+                    out["sample"].append(s)
+                    out["offset"].append(off)
+                    out["frame_bytes"].append(size)
+                    out["dts"].append(dts)
+                    out["frame_fp"].append(
+                        _hashlib.md5(
+                            frame.hex().upper().encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(
+        _kf, schema=KEYFRAME_SCHEMA
+    )
+
+
+def attach_mp4_payload(
+    df: DataFrame, text_col: str = "text", out_col: str = "payload"
+) -> DataFrame:
+    """Materialise a deterministic MP4 container per row (media bytes
+    = the row's utf-8 text — the corpus has no real video; production
+    reads real containers from object storage).  Pandas-UDF so the
+    writer runs Arrow-batched, like every other blob stage."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _mk(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: build_mp4(str(t).encode("utf-8")))
+
+    return df.withColumn(out_col, _mk(F.col(text_col)))

@@ -3340,9 +3340,11 @@ def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Dead siblings' layouts (same tag, different pid) are swept here
     # so pid-keying doesn't accumulate unbounded /tmp residue.
     sweep_stale_pid_siblings(f"amrs_dpp_fact_{tag}")
-    path = os.path.join(
+    from another_map_reduce_spark.artifacts import register_pid_layout
+
+    path = register_pid_layout(os.path.join(
         tempfile.gettempdir(), f"amrs_dpp_fact_{tag}_{os.getpid()}"
-    )
+    ))
     (
         li.withColumn("l_year", F.year("l_shipdate"))
         .write.mode("overwrite")
@@ -3432,6 +3434,10 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     # catalog entries died with their sessions (in-memory catalog).
     sweep_stale_pid_siblings("amrs_orders_bucketed")
     sweep_stale_pid_siblings("amrs_lineitem_bucketed")
+    from another_map_reduce_spark.artifacts import register_pid_layout
+
+    for tbl in (otbl, ltbl):
+        register_pid_layout(os.path.join(tempfile.gettempdir(), tbl))
     for tbl in (otbl, ltbl):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(

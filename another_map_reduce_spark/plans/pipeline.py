@@ -1914,6 +1914,57 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_video_index",
+    oracle="""
+WITH b AS (
+    SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS nb
+    FROM documents
+), kf AS (
+    SELECT doc_id, h, nb,
+           unnest(range(0, CAST(ceil(ceil(nb / 96.0) / 4.0) AS BIGINT)))
+               AS k
+    FROM b
+)
+SELECT doc_id,
+       CAST(1 + 4 * k AS BIGINT) AS sample,
+       CAST(24 + 4 * k * 96 AS BIGINT) AS "offset",
+       CAST(least(96, nb - 4 * k * 96) AS BIGINT) AS frame_bytes,
+       CAST(4 * k * 512 AS BIGINT) AS dts,
+       md5(substring(h, CAST(4 * k * 192 + 1 AS BIGINT), 192)) AS frame_fp
+FROM kf
+ORDER BY doc_id, sample
+""",
+)
+def multimodal_video_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO-CONTAINER keyframe enumeration (r11) — the rung above
+    multimodal_frames' raw byte windows: each doc carries a planted
+    MP4 container (ftyp + mdat of 96-byte samples + a real
+    moov/trak/mdia/minf/stbl tree), and the Arrow stage walks the BOX
+    TREE — stts/stss/stsz/stsc/stco — to enumerate sync samples with
+    their file offsets, sizes and decode timestamps
+    (operators.multimodal.mp4_keyframe_index; the general parser
+    handles multi-chunk stsc and multi-run stts, pinned in
+    tests/test_multimodal.py on layouts the fixture writer never
+    emits).  The oracle replays the fixture's box arithmetic (sample
+    k·4+1 at offset 24 + k·4·96, dts k·4·512) and the keyframe slice
+    fingerprint from the hex encoding — proving the parser extracts
+    exactly the bytes the container's tables point at.
+
+    At 100 TB this is the demux half of video curation: keyframe
+    SEEK+slice without decoding (or even shuffling) the media bytes —
+    only (id, sample, offset, size, dts, fp) rows leave the stage.
+    [extension].
+    """
+    from another_map_reduce_spark.operators.multimodal import (
+        attach_mp4_payload,
+        extract_keyframe_index,
+    )
+
+    docs = attach_mp4_payload(load_table(spark, sf_dir, "documents"))
+    return extract_keyframe_index(docs).orderBy("doc_id", "sample")
+
+
+@register(
     "doc_winnowing_stats",
     oracle=r"""
 WITH norm AS (

@@ -593,13 +593,16 @@ def stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ts") >= c2) | ((F.col("ts") < c1) & late)
         ),
     ]
-    from another_map_reduce_spark.artifacts import sweep_stale_pid_siblings
+    from another_map_reduce_spark.artifacts import (
+        register_pid_layout,
+        sweep_stale_pid_siblings,
+    )
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     sweep_stale_pid_siblings(f"amrs_late_{tag}")
-    root = os.path.join(
+    root = register_pid_layout(os.path.join(
         tempfile.gettempdir(), f"amrs_late_{tag}_{os.getpid()}"
-    )
+    ))
     shutil.rmtree(root, ignore_errors=True)
     src = os.path.join(root, "src")
     os.makedirs(src)
@@ -847,9 +850,11 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     prefix = f"amrs_ckpt_restart_{tag}"
     sweep_stale_pid_siblings(prefix)
-    root = os.path.join(
+    from another_map_reduce_spark.artifacts import register_pid_layout
+
+    root = register_pid_layout(os.path.join(
         tempfile.gettempdir(), f"{prefix}_{os.getpid()}"
-    )
+    ))
     shutil.rmtree(root, ignore_errors=True)
     src = os.path.join(root, "src")
     sink = os.path.join(root, "sink")
@@ -1185,9 +1190,11 @@ def stream_session_close_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     sweep_stale_pid_siblings(f"amrs_twsclose_{tag}")
-    root = os.path.join(
+    from another_map_reduce_spark.artifacts import register_pid_layout
+
+    root = register_pid_layout(os.path.join(
         tempfile.gettempdir(), f"amrs_twsclose_{tag}_{os.getpid()}"
-    )
+    ))
     shutil.rmtree(root, ignore_errors=True)
     src = os.path.join(root, "src")
     os.makedirs(src)

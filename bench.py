@@ -84,12 +84,17 @@ def _median(xs: list[float]) -> float:
 
 
 def _time_oracles(
-    sf_dir: str, passes: int
+    sf_dir: str, passes: int, names: list[str] | None = None
 ) -> tuple[dict[str, float], dict[str, list[float]]]:
     import duckdb
 
-    from another_map_reduce_spark.queries import ORACLES
+    from another_map_reduce_spark.queries import ORACLES as _ALL
 
+    ORACLES = (
+        {n: _ALL[n] for n in names if n in _ALL}
+        if names is not None
+        else _ALL
+    )
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem "
@@ -132,6 +137,17 @@ def main() -> None:
     from another_map_reduce_spark.queries import QUERIES
     from another_map_reduce_spark.session import get_spark
 
+    # Optional subset (comma-separated names): the sf1 headline run
+    # and ad-hoc re-measurements; default = full suite.
+    subset_env = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
+    queries = dict(QUERIES)
+    if subset_env.strip():
+        wanted = [q.strip() for q in subset_env.split(",") if q.strip()]
+        unknown = [q for q in wanted if q not in queries]
+        if unknown:
+            raise SystemExit(f"unknown bench queries: {unknown}")
+        queries = {q: QUERIES[q] for q in wanted}
+
     spark = get_spark(app_name="amrs-bench", master=f"local[{cpus}]")
 
     # N passes (default 3), MEDIAN per query: robust to the shared
@@ -140,7 +156,7 @@ def main() -> None:
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     samples: dict[str, list[float]] = {}
     for _pass in range(passes):
-        for name, fn in QUERIES.items():
+        for name, fn in queries.items():
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count() if name in UNBOUNDED else len(df.collect())
@@ -161,7 +177,11 @@ def main() -> None:
         "sf": sf_dir.rstrip("/").rsplit("/", 1)[-1],
     }
     if os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0":
-        oracle, osamples = _time_oracles(sf_dir, passes)
+        oracle, osamples = _time_oracles(
+            sf_dir,
+            passes,
+            names=list(queries) if subset_env.strip() else None,
+        )
         full["oracle_total_sec"] = oracle.pop("__total_distinct__", 0.0)
         full["oracle_queries"] = oracle
         full["oracle_samples"] = osamples
@@ -184,11 +204,14 @@ def main() -> None:
     # at any other SF (verify smoke at sf0.01, scale experiments) writes
     # an SF-suffixed sibling instead of clobbering the round artifact.
     sf_tag = full["sf"]
-    fname = (
-        "BENCH_FULL.json"
-        if sf_tag == "sf0.1"
-        else f"BENCH_FULL_{sf_tag}.json"
-    )
+    # A subset run must not clobber the committed full-suite artifact
+    # for its SF — it lands in a _subset sibling instead.
+    if subset_env.strip():
+        fname = f"BENCH_SUBSET_{sf_tag}.json"
+    elif sf_tag == "sf0.1":
+        fname = "BENCH_FULL.json"
+    else:
+        fname = f"BENCH_FULL_{sf_tag}.json"
     try:
         out = Path(__file__).resolve().parent / fname
         out.write_text(json.dumps(full, indent=1) + "\n")

@@ -1884,3 +1884,68 @@ def test_schema_evolution_widen_and_rename_mechanics(spark, sf_dir):
         )
     total = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
     assert out.agg(F.sum("n_orders")).collect()[0][0] == total
+
+
+def test_scc_giant_cycle_converges_in_log_rounds(spark):
+    """Adversarial single-giant-SCC graphs (the quadratic regime the
+    r10 fixture re-cut dodged): a pure 512-cycle has diameter 511, so
+    the pre-r11 one-edge-per-round coloring + BFS sweep needed ~511
+    driver rounds of EACH — in BOTH id orientations (ascending ids
+    are the worst case for the backward pass, descending for the
+    forward).  With bit-reversed relabeling + pointer doubling the
+    whole decomposition must run in O(log n) inner rounds per pass,
+    EITHER orientation — pinned via the stats hook (simulated and
+    measured: 18 rounds per pass at n=512)."""
+    import math
+
+    from another_map_reduce_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    n = 512
+    bound = 2 * int(math.log2(n)) + 12
+    for rev in (False, True):
+        base = [(i, (i + 1) % n) for i in range(n)]
+        if rev:
+            base = [(d, s) for s, d in base]
+        edges = spark.createDataFrame(base, ["src", "dst"])
+        st: dict = {}
+        got = {
+            r.node: r.scc
+            for r in strongly_connected_components(
+                edges, stats=st
+            ).collect()
+        }
+        assert got == {i: 0 for i in range(n)}
+        assert st["inner_rounds"], "stats hook recorded nothing"
+        assert all(r <= bound for r in st["inner_rounds"]), (
+            f"rev={rev}: inner rounds {st['inner_rounds']} exceed "
+            f"O(log n) bound {bound} — the giant-cycle quadratic "
+            "regime is back"
+        )
+
+
+def test_scc_giant_cycle_with_tail_and_second_scc(spark):
+    """Doubling + relabeling must not break the decomposition
+    structure: a 128-cycle feeding a one-way bridge into a 5-cycle
+    plus a trimmed DAG tail."""
+    from another_map_reduce_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    n = 128
+    cyc = [(i, (i + 1) % n) for i in range(n)]
+    second = [(1000 + i, 1000 + (i + 1) % 5) for i in range(5)]
+    bridge = [(7, 1000)]
+    tail = [(1002, 2000), (2000, 2001)]
+    edges = spark.createDataFrame(
+        cyc + second + bridge + tail, ["src", "dst"]
+    )
+    got = {
+        r.node: r.scc
+        for r in strongly_connected_components(edges).collect()
+    }
+    want = {i: 0 for i in range(n)}
+    want.update({1000 + i: 1000 for i in range(5)})
+    want.update({2000: 2000, 2001: 2001})
+    assert got == want

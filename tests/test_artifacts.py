@@ -62,3 +62,44 @@ def test_schema_rev_invalidates_fingerprints(tmp_path, monkeypatch):
     fp1 = A.source_fingerprint(str(tmp_path), "documents")
     monkeypatch.setattr(A, "ARTIFACT_SCHEMA_REV", A.ARTIFACT_SCHEMA_REV + 1)
     assert fp1 != A.source_fingerprint(str(tmp_path), "documents")
+
+
+def test_pid_layout_atexit_and_sibling_sweep(tmp_path):
+    """Residue lifecycle of pid-keyed /tmp layouts (r11): an orderly
+    exit removes the process's OWN registered layouts (atexit), and a
+    second process sweeps what a dead first process left behind."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    from another_map_reduce_spark.artifacts import (
+        sweep_stale_pid_siblings,
+    )
+
+    prefix = f"amrs_residue_test_{os.getpid()}"
+    # 1) orderly exit → atexit removes the registered layout
+    code = (
+        "import os, tempfile\n"
+        "from another_map_reduce_spark.artifacts import register_pid_layout\n"
+        f"p = register_pid_layout(os.path.join(tempfile.gettempdir(),"
+        f" '{prefix}_' + str(os.getpid())))\n"
+        "os.makedirs(p, exist_ok=True)\n"
+        "open(os.path.join(p, 'x'), 'w').write('1')\n"
+        "print(p)\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, check=True,
+        cwd="/root/repo",
+    )
+    made = out.stdout.strip()
+    assert not os.path.isdir(made), "atexit did not remove own layout"
+
+    # 2) a dead sibling's layout (simulated: a pid that no longer
+    # exists) is swept by the next process's setup call
+    dead = os.path.join(tempfile.gettempdir(), f"{prefix}_999999999")
+    os.makedirs(dead, exist_ok=True)
+    open(os.path.join(dead, "x"), "w").write("1")
+    sweep_stale_pid_siblings(prefix)
+    assert not os.path.isdir(dead), "sweep left a dead sibling's layout"

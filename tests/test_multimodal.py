@@ -648,3 +648,84 @@ def test_jpeg_header_rung_tolerates_fill_bytes():
     dqt_at = plain.index(b"\xff\xdb")
     padded2 = plain[:dqt_at] + b"\xff" + plain[dqt_at:]
     assert mm.decode_jpeg_headers(padded2) == (44, 33)
+
+
+def test_mp4_parser_general_tables_beyond_fixture_writer():
+    """The box-walk parser must handle layouts the fixture writer
+    never emits: TWO chunks with different samples-per-chunk (real
+    stsc runs), multi-run stts, fixed-size stsz, largesize mdat,
+    and ABSENT stss (=> every sample is a sync sample)."""
+    import struct
+
+    from another_map_reduce_spark.operators.multimodal import (
+        mp4_keyframe_index,
+    )
+
+    def box(t, body):
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    def full(t, body):
+        return box(t, b"\x00\x00\x00\x00" + body)
+
+    # 5 samples of 10 bytes each; chunk 1 holds 3 samples @ offset 40,
+    # chunk 2 holds 2 samples @ offset 80
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0))
+    stsz = full(b"stsz", struct.pack(">II", 10, 5))  # fixed size
+    stsc = full(
+        b"stsc",
+        struct.pack(">I", 2)
+        + struct.pack(">III", 1, 3, 1)
+        + struct.pack(">III", 2, 2, 1),
+    )
+    stco = full(b"stco", struct.pack(">III", 2, 40, 80))
+    # stts: 2 samples at delta 100, then 3 at delta 7
+    stts = full(
+        b"stts",
+        struct.pack(">I", 2)
+        + struct.pack(">II", 2, 100)
+        + struct.pack(">II", 3, 7),
+    )
+    stbl = box(b"stbl", stts + stsz + stsc + stco)  # no stss
+    moov = box(b"moov", box(b"trak", box(b"mdia", box(b"minf", stbl))))
+    blob = ftyp + moov
+    got = mp4_keyframe_index(blob)
+    assert got == [
+        (1, 40, 10, 0),
+        (2, 50, 10, 100),
+        (3, 60, 10, 200),
+        (4, 80, 10, 207),
+        (5, 90, 10, 214),
+    ], got
+
+    # 64-bit largesize on the moov container must still parse
+    big_moov = (
+        struct.pack(">I", 1)
+        + b"moov"
+        + struct.pack(">Q", 16 + len(moov) - 8)
+        + moov[8:]
+    )
+    assert mp4_keyframe_index(ftyp + big_moov) == got
+
+    # truncated stbl → [] (malformed, no crash)
+    assert mp4_keyframe_index((ftyp + moov)[:-10]) in ([], got[:-1])
+
+
+def test_mp4_fixture_writer_roundtrip_and_video_index(spark, sf_dir):
+    from another_map_reduce_spark.operators.multimodal import (
+        _MP4_FRAME,
+        build_mp4,
+        mp4_keyframe_index,
+    )
+    from another_map_reduce_spark.plans.pipeline import (
+        multimodal_video_index,
+    )
+
+    payload = b"q" * 800  # 9 samples: sync 1,5,9; sample 9 is short
+    kf = mp4_keyframe_index(build_mp4(payload))
+    assert [s for s, *_ in kf] == [1, 5, 9]
+    assert kf[1][1] == 24 + 4 * _MP4_FRAME
+    assert kf[-1][2] == 800 - 8 * _MP4_FRAME  # short tail sync sample
+
+    out = multimodal_video_index(spark, sf_dir)
+    rows = out.limit(50).collect()
+    assert rows and all(r.sample % 4 == 1 for r in rows)

