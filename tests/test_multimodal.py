@@ -729,3 +729,34 @@ def test_mp4_fixture_writer_roundtrip_and_video_index(spark, sf_dir):
     out = multimodal_video_index(spark, sf_dir)
     rows = out.limit(50).collect()
     assert rows and all(r.sample % 4 == 1 for r in rows)
+
+
+def test_mp4_roundtrip_property():
+    """Hypothesis roundtrip: for ANY payload size the fixture writer's
+    container parses back to exactly the sync samples, offsets, sizes
+    and dts the layout arithmetic predicts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from another_map_reduce_spark.operators.multimodal import (
+        _MP4_DELTA,
+        _MP4_FRAME,
+        _MP4_SYNC_EVERY,
+        build_mp4,
+        mp4_keyframe_index,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(min_value=0, max_value=5000))
+    def check(nbytes):
+        payload = bytes((i * 31 + 7) % 256 for i in range(nbytes))
+        got = mp4_keyframe_index(build_mp4(payload))
+        n = max(1, -(-nbytes // _MP4_FRAME))
+        want = []
+        for s in range(1, n + 1, _MP4_SYNC_EVERY):
+            off = 24 + (s - 1) * _MP4_FRAME
+            size = len(payload[(s - 1) * _MP4_FRAME: s * _MP4_FRAME])
+            want.append((s, off, size, (s - 1) * _MP4_DELTA))
+        assert got == want, (nbytes, got[:3], want[:3])
+
+    check()

@@ -79,6 +79,11 @@ QUERIES = [
     # shuffle plus a 10-row curve
     "kn_bigram_lm",
     "vocab_growth_curve",
+    # r11: MP4 keyframe demux — container build + box walk are pure
+    # Arrow-stage per-row work; output rows = keyframes ∝ corpus
+    # bytes, so expect a clean linear curve with near-zero shuffle
+    # (only the (id, sample, offset, size, dts, fp) rows move)
+    "multimodal_video_index",
 ]
 
 SCALES = [
@@ -157,6 +162,11 @@ REL_QUERIES = [
     "incremental_join_agg_stacked",
     "cf_item_neighbors",
     "partition_evolution_read",
+    # r11: widen+rename evolution (two scans under a unified read
+    # schema + one unionByName + a year-bucket aggregate — scan-bound
+    # like schema_evolution_merge; cold pass includes the layout
+    # write, amortized by the artifact contract)
+    "schema_evolution_widen",
 ]
 
 REL_SCALES = [
@@ -217,6 +227,10 @@ EVENT_QUERIES = [
     # linear in events) and streaming OHLC (micro-batch constants +
     # bucket-bounded state, the stream_events_hourly_append shape)
     "udtf_sessionize_table_arg",
+    # r11: the Arrow-transport twin — same user-keyed exchange and
+    # per-key Python streams; the curve DELTA vs the row-path twin is
+    # the Arrow-vs-pickle transfer cost, measured at every scale
+    "udtf_sessionize_arrow",
     "stream_ohlc_hourly",
     # r10 fifth wave: path mining (one user-window cascade + a
     # path-cardinality-bounded count) and the inter-arrival histogram
