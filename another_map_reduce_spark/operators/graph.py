@@ -935,11 +935,16 @@ def strongly_connected_components(
                     .groupBy(F.col("dst").alias("node"))
                     .agg(F.min("color").alias("inc"))
                 )
-                # The jump join costs a self-join per round, so it
-                # engages only once plain relaxation has NOT converged
-                # in 2 rounds — shallow graphs (the common case) pay
-                # nothing, deep ones switch to O(log d) doubling.
-                if rnd >= 2:
+                # Cost schedule (measured r11): every round is ONE job
+                # (lazy checkpoint materialised by the convergence
+                # aggregate — the r10 discipline).  The jump self-join
+                # engages at round 4 (shallow graphs converge before
+                # paying it); _sever_stats engages at round 6 — the
+                # copied-stats digits triple per round, so by round ~10
+                # unsevered they hit BigInteger territory, but at round
+                # 6 they are ~10^4 digits and severing once per round
+                # from there keeps them at the default forever.
+                if rnd >= 4:
                     jump = colors.select(
                         "node", F.col("color").alias("c1")
                     ).join(
@@ -966,9 +971,8 @@ def strongly_connected_components(
                             .cast("long")
                             .alias("chg"),
                         )
-                        .localCheckpoint(eager=True)
+                        .localCheckpoint(eager=False)
                     )
-                    stepped = _sever_stats(stepped)
                 else:
                     stepped = (
                         colors.join(pushed, "node", "left")
@@ -981,8 +985,9 @@ def strongly_connected_components(
                             .cast("long")
                             .alias("chg"),
                         )
-                        .localCheckpoint(eager=True)
+                        .localCheckpoint(eager=False)
                     )
+                if rnd >= 6:
                     stepped = _sever_stats(stepped)
                 changed = stepped.agg(F.sum("chg")).collect()[0][0] or 0
                 colors = stepped.drop("chg")
@@ -1019,20 +1024,58 @@ def strongly_connected_components(
             .select("src", "dst")
             .localCheckpoint(eager=True)
         )
-        rcolors = _min_color(
-            ecc.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            ),
-            alive,
-        )
-        settled = (
-            colors.join(
-                rcolors.withColumnRenamed("color", "rcolor"), "node"
-            )
-            .where(F.col("color") == F.col("rcolor"))
-            .select("node", F.col("color").alias("scc"))
+        # FAST PATH: the r10 frontier BFS from the roots, budgeted —
+        # dense dedup/trade SCCs have diameter ≤ a few, so the sweep
+        # usually empties in 2-4 cheap rounds (two jobs each, no jump
+        # joins, no severing).  Only if the frontier survives the
+        # budget (a deep SCC) do we pay for the doubling coloring.
+        sweep_nodes = (
+            colors.where(F.col("node") == F.col("color"))
+            .select("node")
             .localCheckpoint(eager=True)
         )
+        frontier = sweep_nodes
+        swept = False
+        for _ in range(8):
+            if frontier.isEmpty():
+                swept = True
+                break
+            nxt = (
+                ecc.join(frontier.withColumnRenamed("node", "dst"), "dst")
+                .select(F.col("src").alias("node"))
+                .distinct()
+                .join(sweep_nodes, "node", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            sweep_nodes = sweep_nodes.unionByName(nxt).localCheckpoint(
+                eager=True
+            )
+            frontier = nxt
+        else:
+            swept = frontier.isEmpty()
+        if swept:
+            settled = (
+                sweep_nodes.join(colors, "node")
+                .select("node", F.col("color").alias("scc"))
+                .localCheckpoint(eager=True)
+            )
+            if stats is not None:
+                stats.setdefault("inner_rounds", []).append(0)
+        else:
+            rcolors = _min_color(
+                ecc.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                ),
+                alive,
+            )
+            settled = (
+                colors.join(
+                    rcolors.withColumnRenamed("color", "rcolor"), "node"
+                )
+                .where(F.col("color") == F.col("rcolor"))
+                .select("node", F.col("color").alias("scc"))
+                .localCheckpoint(eager=True)
+            )
         _add(settled)
         # --- 4. shrink the live graph and go again ---
         alive = alive.join(settled, "node", "left_anti").localCheckpoint(

@@ -1610,7 +1610,9 @@ def test_udtf_sessionize_arrow_matches_row_path(spark, sf_dir):
 
     a = sorted(map(tuple, udtf_sessionize_arrow(spark, sf_dir).collect()))
     b = sorted(
-        map(tuple, udtf_sessionize_table_arg(spark, sf_dir).collect())
+        tuple(r)
+        for r in udtf_sessionize_table_arg(spark, sf_dir).collect()
+        if r.user_id % 10 == 0  # the Arrow row runs the bounded slice
     )
     assert a == b
     assert len(a) > 0
