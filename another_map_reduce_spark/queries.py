@@ -54,74 +54,25 @@ def _load() -> None:
 # All parked queries remain proven each round by the sf0.001
 # differential suite and the driver-faithful local gate at sf0.01.
 #
-# Round 10 rotation (same rolling policy as r4..r9): after r9 the
-# row-age census is 50×r9, 50×r8, 50×r7, 40×r6 (the r6 cohort's
-# remainder + the whole r7 cohort were pre-staged in r9's
-# _ORDER_NEXT) plus the 7 r10 additions with no row at all.  This
-# round's window: (1) the r10 additions, (2) the 40 staged
-# oldest-row queries in their staged order, (3) the head of the r7
-# cohort (next-oldest) in its r7 driver-check order — exactly 50.
+# Round 12 rotation (same rolling policy as r4..r10; r11 failed to
+# rotate — VERDICT r11 "What's wrong #1" — so its 50 rows re-checked
+# the r10 cohort).  Row-age census after r11: 50 at r11, 49 at r9,
+# 50 at r8, 50 at r7, 27 at r6, and the 4 r11 additions with no row
+# at all.  This round's window: (1) queries added or semantically
+# changed in r12 (no valid row), (2) the 4 r11 additions, (3) the
+# whole r6 cohort (oldest rows, r6 driver order), (4) the head of
+# the r7 cohort (r7 driver order) — exactly 50.
 _ORDER_FRONT = [
-    # round-10 additions (never had a driver row):
-    "dedup_lsh_delete",
-    "ann_ivf_delete",
-    "graph_label_propagation",
-    "incremental_join_maintenance",
-    "bpe_train_incremental_rounds",
-    "unicode_token_stats",
-    "schema_evolution_merge",
-    "dedup_cc_incremental",
-    "graph_community_modularity",
-    "ppr_seed_suppliers",
-    # r10 semantic change (minted-symbol selection now matches the
-    # production operator + oracle) — its r9 row pinned the OLD rule,
-    # so it re-fronts for a fresh driver row:
-    "bpe_train_batched_rounds",
-    # r10 second-wave additions (never had a driver row):
-    "cms_word_frequency",
-    "priority_sample_docs",
-    "hits_hubs_authorities",
-    "attribution_last_touch",
-    "stream_join_full_outer",
-    "mmr_diversified_topk",
-    "stream_checkpoint_restart",
-    # r10 third-wave additions (never had a driver row):
-    "collocation_pmi",
-    "timeseries_resample_ohlc",
-    "compaction_bin_packing",
-    "domain_temperature_sample",
-    "graph_scc_condensation",
-    "graph_random_walks",
-    "kn_bigram_lm",
-    "vocab_growth_curve",
-    "timeseries_ewma_halving",
-    "timeseries_cusum_changepoint",
-    "partition_evolution_read",
+    # r12 additions / semantic changes (no valid driver row):
+    "multimodal_video_phash",
+    "ann_ivf_incremental_approx",
     "udtf_sessionize_table_arg",
-    "incremental_join_agg_stacked",
-    "cf_item_neighbors",
-    "weighted_median_price",
-    "gini_revenue_concentration",
-    "stream_ohlc_hourly",
-    "top_session_paths",
-    "interarrival_histogram",
-]
-# The 40 oldest-row queries staged by the r9 rotation (r6-cohort
-# remainder + r7 cohort) — positions 7-46 of the r10 window.
-_ORDER_NEXT_R9 = [
-    "skew_join_aqe",
-    "pysource_stream_sink_roundtrip",
-    "dedup_incremental_minhash",
-    "graph_triangle_count",
-    "session_overlap_pairs",
-    "session_peak_concurrency",
-    "length_batching_report",
-    "stream_foreachbatch_upsert",
-    "udtf_wordcount",
-    "tfidf_top_terms",
-    "inverted_index",
-    "dedup_cc_clusters",
-    "ann_cosine_topk",
+    # r11 additions that the failed r11 rotation never fronted:
+    "udtf_sessionize_arrow",
+    "stream_rate_soak_windows",
+    "schema_evolution_widen",
+    "multimodal_video_index",
+    # r6 cohort (latest row r6 — the stalest in the registry):
     "ann_cosine_pairs",
     "ann_ivf_topk",
     "multimodal_meta",
@@ -148,16 +99,8 @@ _ORDER_NEXT_R9 = [
     "stream_funnel_stateful",
     "cdc_upsert_balances",
     "udaf_median_doclen",
-]
-# The r10 additions (11 first-wave + 7 second-wave + third-wave) + the
-# head of the staged oldest rows fill the window exactly
-# (len(_ORDER_FRONT) + head of _ORDER_NEXT_R9 = 50); staged queries
-# past that head roll to r11 with the rest of the r7 cohort.
-_ORDER_R7_HEAD: list[str] = []
-# The rest of the r7 cohort (r7 order) fronts the r11 window; then
-# the r8 cohort.
-_ORDER_NEXT_R10 = [
     "lm_novelty_score",
+    # r7 cohort head (next-oldest, r7 driver order) — fills to 50:
     "ann_ivf_incremental",
     "dedup_containment",
     "histogram_quantile_rollup",
@@ -174,6 +117,10 @@ _ORDER_NEXT_R10 = [
     "window_running_sum",
     "window_lag_lead",
     "topk_global",
+]
+# Staged for the r13 window: the rest of the r7 cohort (r7 driver
+# order), then the r8 cohort (r8 driver order).
+_ORDER_NEXT_R12 = [
     "distinct_pairs",
     "set_intersect",
     "set_except",
@@ -208,8 +155,7 @@ _ORDER_NEXT_R10 = [
     "q19_disjunctive_predicates",
     "q1_pricing_summary",
     "stream_dedup_counts",
-]
-_ORDER_R8_WINDOW = [
+    # r8 cohort head:
     "pipeline_ingest_delta",
     "stream_static_join_segments",
     "recursive_calendar_gaps",
@@ -226,57 +172,15 @@ _ORDER_R8_WINDOW = [
     "zorder_layout_skipping",
     "cumulative_unique_users",
     "event_transition_matrix",
-    "funnel_time_to_convert",
-    "graph_degree_distribution",
-    "join_multiway",
-    "agg_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_having",
-    "join_broadcast_agg",
-    "q22_dormant_customers",
-    "q17_small_qty_revenue",
-    "filter_project",
-    "join_full_outer",
-    "window_time_range_sum",
-    "stream_events_hourly",
-    "cohort_retention",
-    "funnel_conversion",
-    "approx_distinct_users",
-    "sink_roundtrip_partitioned",
-    "q2_min_price_part",
-    "q4_priority_exists",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q12_priority_linecount",
-    "q15_top_supplier",
-    "q18_large_volume_customer",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q16_parts_supplier",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
 ]
-_ORDER_HEAVY: list[str] = []
-_ORDER_TAIL: list[str] = []
 
 
 def _reorder() -> None:
     front = [
-        n
-        for n in _ORDER_FRONT + _ORDER_NEXT_R9 + _ORDER_R7_HEAD
-        + _ORDER_NEXT_R10
-        if n in QUERIES
+        n for n in _ORDER_FRONT + _ORDER_NEXT_R12 if n in QUERIES
     ]
-    late = _ORDER_HEAVY + _ORDER_TAIL + [
-        n for n in _ORDER_R8_WINDOW if n in QUERIES
-    ]
-    mid = [n for n in QUERIES if n not in front and n not in late]
-    names = front + mid + [n for n in late if n in QUERIES]
+    mid = [n for n in QUERIES if n not in front]
+    names = front + mid
     snapshot = dict(QUERIES)
     QUERIES.clear()
     QUERIES.update({n: snapshot[n] for n in names})
