@@ -46,7 +46,11 @@ from another_map_reduce_spark.storeops import (
     resolve_table,
 )
 
-from another_map_reduce_spark.functions.vectors import cosine_similarity
+from another_map_reduce_spark.functions.vectors import (
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+)
 
 
 def cosine_topk(
@@ -615,6 +619,13 @@ def build_ivf_index(
         F.element_at(top_cells(F.col(vec_col), cents, 1), 1).alias("cell"),
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("cvec"),
+        # Per-vector L2 norm, precomputed ONCE at index-build time so a
+        # probe's pair scoring is a single dot fold instead of three
+        # (dot + both norms): at sf1 the norm folds were 2/3 of the
+        # probe's work — 36 M pairs × 2 redundant 64-element folds
+        # (r11 verdict).  Bit-exact vs any sqrt(list_dot_product)
+        # oracle: same in-order fold, same IEEE sqrt.
+        l2_norm(F.col(vec_col)).alias("cnorm"),
     )
     # Cluster rows by cell before the partitioned write: one file per
     # cell directory instead of (input partitions × cells) shards —
@@ -625,6 +636,15 @@ def build_ivf_index(
     ).parquet(f"{path}/postings")
 
 
+# Per-cell preselection slack for the blocked-matmul scorer: the
+# numpy block scores differ from the exact in-order fold by ~1e-15
+# relative, so the exact global top-k is guaranteed to sit inside each
+# cell's approximate top-(k + slack) unless k+slack candidates are
+# packed within float-noise of the rank-k score — ties themselves are
+# safe because both the cut and the final rank break on ascending cid.
+_MATMUL_SLACK = 10
+
+
 def ivf_probe_topk(
     spark: SparkSession,
     path: str,
@@ -633,6 +653,7 @@ def ivf_probe_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scorer: str = "expr",
 ) -> DataFrame:
     """Top-k neighbors of NEW query vectors against a STORED IVF index
     (``build_ivf_index``) — no retraining, no corpus scan.
@@ -641,29 +662,128 @@ def ivf_probe_topk(
     model, not data), each query expression-side picks its ``nprobe``
     best cells, and the cell-partitioned postings are probed with a
     broadcast join whose ``cell`` equi-key prunes the postings scan to
-    the probed partitions.  Scoring is the same bit-reproducible
-    double cosine as the batch paths, so at nprobe = num_cells the
-    result is EXACTLY the brute-force top-k (every posting lives in
-    one cell) — the oracle-provable regime — while nprobe < num_cells
-    is the approximate daily-driver regime.
+    the probed partitions.  Final scoring is always the
+    bit-reproducible double cosine fold over the STORED per-vector
+    norms (``cnorm`` written at build/append time; computed on the fly
+    for pre-r12 indexes), so at nprobe = num_cells the result is
+    EXACTLY the brute-force top-k (every posting lives in one cell) —
+    the oracle-provable regime — while nprobe < num_cells is the
+    approximate daily-driver regime.
+
+    Two physical ``scorer`` strategies, one output:
+
+    * ``"expr"`` — each candidate pair scored with the JVM dot fold
+      divided by the stored norms.  One fold per pair (the r11 plan
+      paid three — both norms were re-folded per pair); right while
+      candidate pairs stay modest.
+    * ``"matmul"`` — the FAISS-IVF shape for large candidate sets:
+      postings and probes are COGROUPED by cell and each cell block
+      is scored as ONE Arrow-batched numpy matmul
+      ((queries×dim) @ (dim×postings), norms divided out), emitting
+      only each query's per-cell top-(k+slack) candidates — candidate
+      PAIRS never materialize in the plan, so the 36 M-pair sf1 probe
+      that took 264 s on the fold path becomes a ~10 MB Arrow
+      transfer.  Survivors are re-scored with the exact fold, so the
+      output is bit-identical to ``"expr"`` (the preselection margin
+      argument above; pytest-pinned equality at fixture scale and
+      hash-proven at sf0.01 by ann_ivf_incremental's driver row).
     """
     cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     cents = [[float(x) for x in r.centroid] for r in cent_rows]
     postings = read_table(spark, f"{path}/postings", id_col="cid")
+    if "cnorm" not in postings.columns:
+        postings = postings.withColumn("cnorm", l2_norm(F.col("cvec")))
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col)).alias("qnorm"),
         F.explode(top_cells(F.col(vec_col), cents, nprobe)).alias("cell"),
     )
-    scored = (
-        postings.join(F.broadcast(q), "cell")
-        .where(F.col("cid") != F.col("qid"))
-        .select(
-            "qid",
-            "cid",
-            cosine_similarity(F.col("qvec"), F.col("cvec")).alias("cos"),
+    exact_cos = (
+        dot_product(F.col("qvec"), F.col("cvec"))
+        / (F.col("qnorm") * F.col("cnorm"))
+    ).alias("cos")
+    if scorer == "matmul":
+        take = k + _MATMUL_SLACK
+
+        def _block(pdf_post: pd.DataFrame, pdf_q: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"qid": pd.Series([], dtype="int64"),
+                 "cid": pd.Series([], dtype="int64"),
+                 "cvec": pd.Series([], dtype=object),
+                 "cnorm": pd.Series([], dtype="float64")}
+            )
+            if pdf_post.empty or pdf_q.empty:
+                return empty
+            P = np.stack(pdf_post["cvec"].to_numpy()).astype(np.float64)
+            Q = np.stack(pdf_q["qvec"].to_numpy()).astype(np.float64)
+            # einsum(optimize=True) over the normalized blocks: on
+            # this host's OpenBLAS (MAX_THREADS=2 build) a plain
+            # `Qn @ Pn.T` runs ~10× slower than the einsum kernel,
+            # and with several Arrow workers calling BLAS at once the
+            # gap compounds — measured 14.5 s vs 0.05 s per 2000×2250
+            # block at sf1.
+            S = np.einsum(
+                "ik,jk->ij",
+                Q / pdf_q["qnorm"].to_numpy()[:, None],
+                P / pdf_post["cnorm"].to_numpy()[:, None],
+                optimize=True,
+            )
+            cids = pdf_post["cid"].to_numpy()
+            # deterministic cut: score desc, cid asc (stable two-key)
+            o_cid = np.argsort(cids, kind="stable")
+            S, cids_o = S[:, o_cid], cids[o_cid]
+            qids = pdf_q["qid"].to_numpy()
+            t = min(take, S.shape[1])
+            if t < S.shape[1]:
+                part = np.argpartition(-S, t - 1, axis=1)[:, :t]
+            else:
+                part = np.tile(np.arange(S.shape[1]), (S.shape[0], 1))
+            # vectorized (cid asc, then stable score desc) — index
+            # order IS cid order after the o_cid permutation
+            part = np.take_along_axis(part, np.argsort(part, 1), 1)
+            sc = np.take_along_axis(S, part, 1)
+            part = np.take_along_axis(
+                part, np.argsort(-sc, 1, kind="stable"), 1
+            )
+            qi = np.repeat(qids, t)
+            ii = part.ravel()
+            mask = cids_o[ii] != qi
+            qi, ii = qi[mask], ii[mask]
+            cv = P[o_cid]
+            return pd.DataFrame(
+                {
+                    "qid": qi.astype(np.int64),
+                    "cid": cids_o[ii].astype(np.int64),
+                    "cvec": list(cv[ii]),
+                    "cnorm": pdf_post["cnorm"]
+                    .to_numpy(np.float64)[o_cid][ii],
+                }
+            )
+
+        cand = (
+            postings.select("cell", "cid", "cvec", "cnorm")
+            .groupBy("cell")
+            .cogroup(q.groupBy("cell"))
+            .applyInPandas(
+                _block,
+                "qid long, cid long, cvec array<double>, cnorm double",
+            )
         )
-    )
+        qside = queries.select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qvec"),
+            l2_norm(F.col(vec_col)).alias("qnorm"),
+        )
+        scored = cand.join(F.broadcast(qside), "qid").select(
+            "qid", "cid", exact_cos
+        )
+    else:
+        scored = (
+            postings.join(F.broadcast(q), "cell")
+            .where(F.col("cid") != F.col("qid"))
+            .select("qid", "cid", exact_cos)
+        )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -706,6 +826,7 @@ def ivf_append_vectors(
         F.element_at(top_cells(F.col(vec_col), cents, 1), 1).alias("cell"),
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("cvec"),
+        l2_norm(F.col(vec_col)).alias("cnorm"),
     )
     rows.repartition("cell").write.mode("append").partitionBy("cell").parquet(
         resolve_table(f"{path}/postings")
