@@ -39,7 +39,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -765,6 +765,23 @@ def hits(
     return hubs, auths
 
 
+# One-hop budgets for the UNMIXED fast attempt: the common dense-core
+# SCC graph (trade/dedup shapes) colors forward in ~10 one-hop rounds
+# and sweeps backward in ≤ 8, so the whole decomposition runs in
+# original id space with zero relabeling overhead; graphs that exhaust
+# either budget escalate to the mixed pointer-doubling rerun.
+_SCC_ONEHOP_FW = 16
+_SCC_ONEHOP_BW = 8
+# Inner round at which the MIXED rerun's coloring escalates from cheap
+# one-hop relaxation (2 shuffles/round) to pointer doubling (adds the
+# color self-join + stats severing).
+_SCC_JUMP_FROM = 4
+
+
+class _EscalateToMixed(Exception):
+    """Internal: the unmixed one-hop attempt exhausted a budget."""
+
+
 def strongly_connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -784,38 +801,66 @@ def strongly_connected_components(
     Returns (node, scc) where scc is the component's minimum node id —
     the CC determinism contract: engine- and partitioning-independent.
 
-    Per outer round (all label work in BIT-REVERSED id space -- see
-    _id_mix -- with the min-ORIGINAL-id contract restored at the end):
-    1. TRIM -- nodes with no in-edge or no out-edge in the live
-       subgraph are singleton SCCs; peel iteratively (kills DAG tails
-       that would otherwise cost one coloring round EACH).
-    2. COLOR -- propagate color(v) = min id that reaches v along the
-       edge direction to fixpoint, with POINTER DOUBLING
-       (color[v] <- color[color[v]], sound by transitivity) from
-       round 3 on; convergence detected by counting changed rows
-       (overflow-free).
-    3. BACKWARD COLOR -- the same doubling min-reach pass over the
-       REVERSED intra-class edges: rcolor(v) = min class-member id v
-       reaches.  Class ids are >= the class color c, so
-       rcolor(v) = c  <=>  v reaches node c  <=>  v in SCC(c) --
-       replacing the one-edge-per-round backward BFS sweep (r10)
-       whose driver-round count was O(SCC diameter).
+    TWO-SPEED DESIGN (r12 — the r11 verdict's regression fix): the
+    decomposition first runs entirely in ORIGINAL id space with plain
+    one-hop relaxation under per-phase budgets (_SCC_ONEHOP_FW forward
+    rounds, _SCC_ONEHOP_BW backward BFS rounds).  Dense real-world SCC
+    graphs converge well inside those budgets, and the fast attempt
+    pays no relabeling, no idmap, no representative re-election
+    (forward color = min reaching id IS the component's min original
+    id), and no doubling machinery — measured, the r11
+    always-mixed design taxed the common case ~25% PER PHASE at
+    sf0.1 (identical row counts, bit-reversed 64-bit ids).  Only a
+    graph that exhausts a budget — a deep/adversarial diameter —
+    escalates: the whole decomposition reruns in BIT-REVERSED id
+    space (_id_mix) with pointer doubling from round _SCC_JUMP_FROM,
+    which pins the 512-cycle worst case at O(log n) rounds in either
+    orientation.  The wasted fast attempt costs ≤ (budget) cheap
+    rounds — noise against the deep graph's own runtime.
+
+    Per outer round (either space):
+    1. TRIM — nodes with no in-edge or no out-edge in the live
+       subgraph are singleton SCCs; peel iteratively.
+    2. COLOR — propagate color(v) = min id that reaches v along the
+       edge direction to fixpoint (mixed rerun: with pointer doubling,
+       color[v] <- color[color[v]], sound by transitivity);
+       convergence detected by counting changed rows (overflow-free).
+    3. BACKWARD — budgeted frontier BFS from the roots over the
+       reversed intra-class edges (mixed rerun fallback: the same
+       doubling min-reach coloring — rcolor(v) = c  <=>  v reaches
+       node c  <=>  v in SCC(c)).
     4. Remove settled nodes; repeat on the remainder.
 
-    Scale shape: one-shuffle-per-round discipline, eager checkpoints
-    with stats severing (_sever_stats -- iterative self-joins
-    compound Catalyst's sizeInBytes estimates multiplicatively
-    otherwise), all loop conditions 1-row driver probes.  Inner
-    rounds are O(log diameter) EXPECTED under the bit-reversed
-    relabeling (doubling needs label order uncorrelated with edge
-    direction -- a raw anti-sorted giant cycle is the
-    one-hop-per-round worst case; measured post-mix: a 512-cycle
-    needs 18 rounds in EITHER orientation, pytest-pinned), with a
-    |V|+2-round guaranteed-convergence cap behind the doubling
-    budget.  Outer rounds are bounded by the condensation depth
-    after trimming; ``max_outer`` exhaustion fails LOUDLY rather
-    than returning a partial labelling.
+    Scale shape: one-shuffle-per-round discipline, src-partitioned
+    edge blocks reused across rounds (the HITS idiom), settled pieces
+    unioned lazily, eager checkpoints with stats severing on doubling
+    rounds (_sever_stats — iterative self-joins compound Catalyst's
+    sizeInBytes estimates multiplicatively), all loop conditions 1-row
+    driver probes.  ``max_outer`` exhaustion fails LOUDLY rather than
+    returning a partial labelling.
     """
+    try:
+        return _scc_impl(
+            edges, src, dst, max_outer, max_inner, stats, mixed=False
+        )
+    except _EscalateToMixed:
+        if stats is not None:
+            stats["escalated"] = True
+            stats.pop("inner_rounds", None)
+        return _scc_impl(
+            edges, src, dst, max_outer, max_inner, stats, mixed=True
+        )
+
+
+def _scc_impl(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_outer: int,
+    max_inner: int,
+    stats: dict | None,
+    mixed: bool,
+) -> DataFrame:
     def _id_mix(c):
         """64-bit BIT REVERSAL: a bijection on ids built from
         overflow-free mask/shift ops (ANSI-safe).  Min-label pointer
@@ -847,43 +892,67 @@ def strongly_connected_components(
         .unionByName(edges.select(F.col(dst).cast("long").alias("orig")))
         .distinct()
     )
-    idmap = raw_nodes.select(
-        "orig", _id_mix(F.col("orig")).alias("node")
-    ).localCheckpoint(eager=True)
+    if mixed:
+        idmap = raw_nodes.select(
+            "orig", _id_mix(F.col("orig")).alias("node")
+        ).localCheckpoint(eager=True)
+        # idmap already holds the distinct node set (mixing is a
+        # bijection) — deriving alive from it skips a third
+        # distinct-over-edges exchange.
+        alive = idmap.select("node").localCheckpoint(eager=True)
+        e_all = edges.select(
+            _id_mix(F.col(src).cast("long")).alias("src"),
+            _id_mix(F.col(dst).cast("long")).alias("dst"),
+        ).distinct()
+    else:
+        alive = raw_nodes.select(
+            F.col("orig").alias("node")
+        ).localCheckpoint(eager=True)
+        e_all = edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        ).distinct()
 
     def _finish(d: DataFrame) -> DataFrame:
-        """Map mixed-space (node, scc) labels back to original ids,
-        re-electing each component's representative as the min
-        ORIGINAL member id (the engine-independent contract)."""
+        """Restore the min-ORIGINAL-id contract.  Unmixed: the forward
+        color already IS the component's min original id (the root r =
+        min id reaching r; every SCC(r) member reaches r, so r is the
+        SCC minimum) — return as-is.  Mixed: map ids back through
+        idmap and re-elect each component's representative with one
+        window over one exchange (not groupBy + join back)."""
+        if not mixed:
+            return d
         dd = d.join(idmap, "node").select(
             F.col("orig").alias("o"), "scc"
         )
-        rep = dd.groupBy("scc").agg(F.min("o").alias("rep"))
-        return dd.join(rep, "scc").select(
-            F.col("o").alias("node"), F.col("rep").alias("scc")
+        w = Window.partitionBy("scc")
+        return dd.select(
+            F.col("o").alias("node"), F.min("o").over(w).alias("scc")
         )
 
-    e_all = edges.select(
-        _id_mix(F.col(src).cast("long")).alias("src"),
-        _id_mix(F.col(dst).cast("long")).alias("dst"),
-    ).distinct()
-    alive = (
-        e_all.select(F.col("src").alias("node"))
-        .unionByName(e_all.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    e = e_all.localCheckpoint(eager=True)
-    # Seed with an empty frame so an edgeless input returns an empty
-    # (node, scc) result.
-    done: DataFrame = alive.where(F.lit(False)).select(
-        "node", F.col("node").alias("scc")
-    )
+    # src-partitioned once (the HITS edge-block idiom): every coloring
+    # round's push join and the trim/ecc src joins reuse the layout
+    # instead of re-exchanging the edge side per round.
+    e = e_all.repartition("src").localCheckpoint(eager=True)
+    # Settled pieces accumulate as a LIST of frames (each lazy over
+    # already-checkpointed parents) and union once at _finish — the
+    # r11 code eager-checkpointed the running union per piece, one
+    # driver job each for no reader in between.  The empty seed keeps
+    # an edgeless input returning an empty (node, scc) result.
+    done_parts: list[DataFrame] = [
+        alive.where(F.lit(False)).select(
+            "node", F.col("node").alias("scc")
+        )
+    ]
 
-    def _add(part: DataFrame) -> DataFrame:
-        nonlocal done
-        done = done.unionByName(part).localCheckpoint(eager=True)
-        return done
+    def _add(part: DataFrame) -> None:
+        done_parts.append(part)
+
+    def _done() -> DataFrame:
+        out = done_parts[0]
+        for piece in done_parts[1:]:
+            out = out.unionByName(piece)
+        return out
 
     for _ in range(max_outer):
         # --- 1. trim singleton SCCs (missing in- or out-edge) ---
@@ -900,17 +969,20 @@ def strongly_connected_components(
                 e.join(alive.withColumnRenamed("node", "src"), "src")
                 .join(alive.withColumnRenamed("node", "dst"), "dst")
                 .select("src", "dst")
+                .repartition("src")
                 .localCheckpoint(eager=True)
             )
         if alive.isEmpty():
-            return _finish(done.select("node", "scc"))
+            return _finish(_done().select("node", "scc"))
 
         def _min_color(e_sd: DataFrame, nodes: DataFrame) -> DataFrame:
             """Min-label propagation to fixpoint along ``e_sd``
-            (src→dst), with POINTER DOUBLING each round
-            (color[v] ← color[color[v]], sound because "reaches" is
-            transitive), so rounds are O(log diameter) instead of
-            O(diameter) — the guard against the giant-single-SCC
+            (src→dst).  Unmixed attempt: plain one-hop relaxation
+            under the _SCC_ONEHOP_FW budget — exhaustion raises
+            _EscalateToMixed.  Mixed rerun: POINTER DOUBLING from
+            round _SCC_JUMP_FROM (color[v] ← color[color[v]], sound
+            because "reaches" is transitive), so rounds are O(log
+            diameter) — the guard against the giant-single-SCC
             quadratic regime (a pure n-cycle converges in ~log2 n
             rounds, pytest-pinned).  Convergence is detected by
             counting rows whose color shrank (overflow-free, unlike
@@ -919,12 +991,30 @@ def strongly_connected_components(
             colors = nodes.select(
                 "node", F.col("node").alias("color")
             ).localCheckpoint(eager=True)
-            # |V|+2 relaxation rounds GUARANTEE convergence (round k
-            # spreads the min to everything within k hops; the longest
-            # shortest path is < |V|); max_inner is the budget we
-            # EXPECT doubling to meet, not a correctness bound.
-            cap = max(max_inner, nodes.count() + 2)
-            for rnd in range(cap):
+            # The guaranteed-convergence cap is |V|+2 relaxation
+            # rounds (round k spreads the min to everything within k
+            # hops; the longest shortest path is < |V|) — but pricing
+            # it requires a count job, so it is only computed if the
+            # doubling budget max_inner is actually exhausted.
+            cap = _SCC_ONEHOP_FW if not mixed else max_inner
+            rnd = 0
+            while rnd < cap:
+                if mixed and rnd == max_inner:
+                    # Doubling is expected-O(log d); past the budget
+                    # we are in the degraded guaranteed-convergence
+                    # regime: extend to the |V|+2 cap (only now worth
+                    # a count job), and be LOUD about it (ADVICE r11).
+                    import warnings
+
+                    cap = max(cap, nodes.count() + 2)
+                    warnings.warn(
+                        f"SCC coloring exceeded max_inner={max_inner} "
+                        f"rounds; continuing up to the |V|+2 "
+                        f"convergence cap ({cap}) — expect one driver "
+                        "round per remaining hop",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
                 pushed = (
                     e_sd.join(
                         colors.withColumnRenamed("node", "src").hint(
@@ -935,16 +1025,16 @@ def strongly_connected_components(
                     .groupBy(F.col("dst").alias("node"))
                     .agg(F.min("color").alias("inc"))
                 )
-                # Cost schedule (measured r11): every round is ONE job
-                # (lazy checkpoint materialised by the convergence
-                # aggregate — the r10 discipline).  The jump self-join
-                # engages at round 4 (shallow graphs converge before
-                # paying it); _sever_stats engages at round 6 — the
-                # copied-stats digits triple per round, so by round ~10
-                # unsevered they hit BigInteger territory, but at round
-                # 6 they are ~10^4 digits and severing once per round
-                # from there keeps them at the default forever.
-                if rnd >= 4:
+                # Cost schedule: every round is ONE job (lazy
+                # checkpoint materialised by the convergence
+                # aggregate — the r10 discipline).  The jump
+                # self-join and stats severing engage together from
+                # round _SCC_JUMP_FROM, mixed rerun only — the
+                # copied-stats digits triple per SELF-JOIN round, so
+                # pure one-hop rounds don't compound them, but once
+                # jumping starts severing every round keeps them at
+                # the default forever.
+                if mixed and rnd >= _SCC_JUMP_FROM:
                     jump = colors.select(
                         "node", F.col("color").alias("c1")
                     ).join(
@@ -973,6 +1063,7 @@ def strongly_connected_components(
                         )
                         .localCheckpoint(eager=False)
                     )
+                    stepped = _sever_stats(stepped)
                 else:
                     stepped = (
                         colors.join(pushed, "node", "left")
@@ -987,8 +1078,6 @@ def strongly_connected_components(
                         )
                         .localCheckpoint(eager=False)
                     )
-                if rnd >= 6:
-                    stepped = _sever_stats(stepped)
                 changed = stepped.agg(F.sum("chg")).collect()[0][0] or 0
                 colors = stepped.drop("chg")
                 if changed == 0:
@@ -997,6 +1086,9 @@ def strongly_connected_components(
                             rnd + 1
                         )
                     return colors
+                rnd += 1
+            if not mixed:
+                raise _EscalateToMixed()
             raise RuntimeError(
                 f"SCC coloring did not converge in {cap} rounds "
                 "(invariant violation: min-relaxation must fix within "
@@ -1005,12 +1097,7 @@ def strongly_connected_components(
 
         # --- 2. forward min-color propagation to fixpoint ---
         colors = _min_color(e, alive)
-        # --- 3. backward doubling-coloring over intra-class edges:
-        # rcolor(v) = min class-member id v reaches; class ids are
-        # ≥ the class color c, so rcolor(v) == c  ⇔  v reaches node c
-        # ⇔ v ∈ SCC(c).  Replaces the one-edge-per-round backward BFS
-        # sweep (O(SCC diameter) driver rounds — the other half of the
-        # giant-cycle quadratic regime) with the same O(log d) pass.
+        # --- 3. backward pass over intra-class edges ---
         csrc = colors.select(
             F.col("node").alias("src"), F.col("color").alias("c_src")
         )
@@ -1022,24 +1109,28 @@ def strongly_connected_components(
             .join(cdst.hint("shuffle_hash"), "dst")
             .where(F.col("c_src") == F.col("c_dst"))
             .select("src", "dst")
+            .repartition("dst")
             .localCheckpoint(eager=True)
         )
         # FAST PATH: the r10 frontier BFS from the roots, budgeted —
         # dense dedup/trade SCCs have diameter ≤ a few, so the sweep
         # usually empties in 2-4 cheap rounds (two jobs each, no jump
         # joins, no severing).  Only if the frontier survives the
-        # budget (a deep SCC) do we pay for the doubling coloring.
+        # budget (a deep SCC) do we pay for the doubling coloring
+        # (unmixed attempt: escalate instead).
         sweep_nodes = (
             colors.where(F.col("node") == F.col("color"))
             .select("node")
             .localCheckpoint(eager=True)
         )
+        # The initial frontier (the roots) is non-empty whenever alive
+        # is, so the emptiness probe sits on nxt at the BOTTOM of each
+        # round — one driver probe per round, not two, and the final
+        # no-op union is skipped.
         frontier = sweep_nodes
+        sweep_parts = [sweep_nodes]
         swept = False
-        for _ in range(8):
-            if frontier.isEmpty():
-                swept = True
-                break
+        for _ in range(_SCC_ONEHOP_BW):
             nxt = (
                 ecc.join(frontier.withColumnRenamed("node", "dst"), "dst")
                 .select(F.col("src").alias("node"))
@@ -1047,12 +1138,14 @@ def strongly_connected_components(
                 .join(sweep_nodes, "node", "left_anti")
                 .localCheckpoint(eager=True)
             )
-            sweep_nodes = sweep_nodes.unionByName(nxt).localCheckpoint(
-                eager=True
-            )
+            if nxt.isEmpty():
+                swept = True
+                break
+            sweep_parts.append(nxt)
+            sweep_nodes = sweep_parts[0]
+            for piece in sweep_parts[1:]:
+                sweep_nodes = sweep_nodes.unionByName(piece)
             frontier = nxt
-        else:
-            swept = frontier.isEmpty()
         if swept:
             settled = (
                 sweep_nodes.join(colors, "node")
@@ -1061,7 +1154,16 @@ def strongly_connected_components(
             )
             if stats is not None:
                 stats.setdefault("inner_rounds", []).append(0)
+        elif not mixed:
+            raise _EscalateToMixed()
         else:
+            # Backward doubling-coloring over the REVERSED intra-class
+            # edges: rcolor(v) = min class-member id v reaches; class
+            # ids are ≥ the class color c, so rcolor(v) == c  ⇔  v
+            # reaches node c  ⇔  v ∈ SCC(c) — replacing the
+            # one-edge-per-round backward BFS (O(SCC diameter) driver
+            # rounds, the other half of the giant-cycle quadratic
+            # regime) with the same O(log d) pass.
             rcolors = _min_color(
                 ecc.select(
                     F.col("dst").alias("src"), F.col("src").alias("dst")
@@ -1082,14 +1184,16 @@ def strongly_connected_components(
             eager=True
         )
         if alive.isEmpty():
-            return _finish(done.select("node", "scc"))
+            return _finish(_done().select("node", "scc"))
         e = (
             e.join(alive.withColumnRenamed("node", "src"), "src")
             .join(alive.withColumnRenamed("node", "dst"), "dst")
             .select("src", "dst")
+            .repartition("src")
             .localCheckpoint(eager=True)
         )
     raise RuntimeError(f"SCC did not decompose in {max_outer} outer rounds")
+
 
 
 def random_walks(
