@@ -1073,11 +1073,21 @@ def attach_mp4_payload(
     """Materialise a deterministic MP4 container per row (media bytes
     = the row's utf-8 text — the corpus has no real video; production
     reads real containers from object storage).  Pandas-UDF so the
-    writer runs Arrow-batched, like every other blob stage."""
+    writer runs Arrow-batched, like every other blob stage.
+
+    NULL/empty-text rows are FILTERED, not containerised (ADVICE
+    r11): str(None) would silently build a container around the text
+    "None", and an empty payload pads to a one-sample container that
+    emits a keyframe row the byte-length oracles (which see zero
+    bytes) do not — a document with no media bytes has no container.
+    """
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("binary")
     def _mk(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: build_mp4(str(t).encode("utf-8")))
 
-    return df.withColumn(out_col, _mk(F.col(text_col)))
+    keep = df.where(
+        F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+    )
+    return keep.withColumn(out_col, _mk(F.col(text_col)))

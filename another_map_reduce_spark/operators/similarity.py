@@ -1190,6 +1190,7 @@ def ivf_pq_append_vectors(
         F.element_at(top_cells(F.col(vec_col), cents, 1), 1).alias("cell"),
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("cvec"),
+        l2_norm(F.col(vec_col)).alias("cnorm"),
     )
     codes = delta.select(
         F.element_at(top_cells(F.col(vec_col), cents, 1), 1).alias("cell"),

@@ -54,6 +54,7 @@ from __future__ import annotations
 import os
 import re
 import shutil
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -360,7 +361,13 @@ def commit_delta(group: str, writes: dict[str, Callable[[str], None]]) -> str:
     staging dir that readers never list, and the commit is a single
     ``os.rename`` (atomic on POSIX; the object-store translation is
     one conditional PUT of the delta's manifest key).  Returns the
-    committed delta directory."""
+    committed delta directory.
+
+    SINGLE-WRITER contract (see gc_consumed_deltas): the APPLIES
+    generations recorded here are read non-atomically vs a concurrent
+    compact_member's read→flip window, so writers (commit_delta,
+    compact_member, gc_consumed_deltas) must not run concurrently
+    with each other — readers are always safe."""
     root = _delta_root(group)
     os.makedirs(root, exist_ok=True)
     taken = [
@@ -457,11 +464,26 @@ def compact_member(
     shutil.rmtree(tombstone_path(table), ignore_errors=True)
 
 
+# A .tmp_delta_* staging dir younger than this is treated as an
+# IN-FLIGHT commit_delta and left alone by GC; older ones are wreckage
+# from a crashed append.  Generous vs any plausible staging write.
+_TMP_DELTA_GC_AGE_SEC = 3600.0
+
+
 def gc_consumed_deltas(group: str, members: list[str]) -> None:
     """Remove delta directories no longer applicable to ANY member
     (every member's compaction has folded them in), plus abandoned
-    hidden staging dirs from crashed appends.  Safe to run any time —
-    never touches a delta some member still reads."""
+    hidden staging dirs from crashed appends.
+
+    CONCURRENCY CONTRACT (ADVICE r11): the delta-group store is
+    SINGLE-WRITER — one process runs commit_delta / compact_member /
+    this GC at a time (readers are unrestricted; the pointer flip
+    keeps them consistent).  Under that contract GC never touches a
+    delta some member still reads.  As defence-in-depth for a GC
+    racing an in-flight append from a DIFFERENT process, staging dirs
+    are only collected once older than _TMP_DELTA_GC_AGE_SEC — a live
+    commit_delta stages and renames within seconds, so an hour-old
+    .tmp_delta_* is always wreckage."""
     root = _delta_root(group)
     try:
         names = os.listdir(root)
@@ -470,10 +492,16 @@ def gc_consumed_deltas(group: str, members: list[str]) -> None:
     gens = {
         m: current_generation(_member_table(group, m)) for m in members
     }
+    now = time.time()
     for name in names:
         d = os.path.join(root, name)
         if name.startswith(".tmp_delta_"):
-            shutil.rmtree(d, ignore_errors=True)
+            try:
+                age = now - os.path.getmtime(d)
+            except OSError:
+                continue  # vanished mid-scan: the rename won the race
+            if age > _TMP_DELTA_GC_AGE_SEC:
+                shutil.rmtree(d, ignore_errors=True)
             continue
         if not _DELTA_RE.match(name):
             continue

@@ -104,9 +104,10 @@ def _time_oracles(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     by_sql: dict[str, list[float]] = {}
+    failed: set[str] = set()
     for _pass in range(passes):
         for sql in dict.fromkeys(ORACLES.values()):
-            if len(by_sql.get(sql, [])) > _pass:
+            if sql in failed:
                 continue  # failed on an earlier pass — skip
             try:
                 t0 = time.perf_counter()
@@ -116,6 +117,7 @@ def _time_oracles(
                 )
             except Exception as exc:  # keep the bench line intact
                 print(f"# oracle failed: {exc}", file=sys.stderr)
+                failed.add(sql)
                 by_sql.setdefault(sql, [])
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}

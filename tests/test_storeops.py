@@ -627,12 +627,17 @@ def test_ivf_pq_append_killpoints_atomic_pair(
         .collect()
     ]
     cbs = read_pq_codebooks(spark, path)
+    from another_map_reduce_spark.functions.vectors import l2_norm
+
     rows = delta.select(
         F.element_at(top_cells(F.col("embedding"), cents, 1), 1).alias(
             "cell"
         ),
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("cvec"),
+        # base postings carry stored norms (r12) — the hand-staged
+        # delta must match the member schema for read_member's union
+        l2_norm(F.col("embedding")).alias("cnorm"),
     )
     codes = rows.select(
         "cell", "cid", pq_encode(F.col("cvec"), cbs).alias("codes")
@@ -706,7 +711,18 @@ def test_ivf_pq_append_killpoints_atomic_pair(
     assert consistent()
 
     # recovery compact: folds the remaining member, GCs consumed
-    # deltas and abandoned staging dirs
+    # deltas and abandoned staging dirs.  The crashed kill-point
+    # appends left fresh .tmp_delta_* wreckage, which GC's age gate
+    # (defence-in-depth for a cross-process GC-vs-append race, ADVICE
+    # r11) deliberately protects — backdate it past the gate so this
+    # test exercises the wreckage collection itself.
+    import time as _time
+
+    droot = os.path.join(path, "deltas")
+    for n in os.listdir(droot):
+        if n.startswith(".tmp_delta_"):
+            old = _time.time() - 2 * storeops._TMP_DELTA_GC_AGE_SEC
+            os.utime(os.path.join(droot, n), (old, old))
     ivf_pq_compact(spark, path)
     assert probe() == appended
     assert consistent()

@@ -128,8 +128,11 @@ def _ulp_close(spdf: pd.DataFrame, odf: pd.DataFrame) -> bool:
     int128→double→÷10^scale — two roundings; Spark's BigDecimal cast
     rounds once), so str()-equality breaks by 1 ULP even though both
     engines computed the identical exact decimal.  This comparator
-    re-checks float columns with rtol 1e-12 (≈ 4 ULPs) and everything
-    else exactly.  NOT driver semantics — sf1 evidence only."""
+    re-checks float columns with rtol 1e-12 (~4500 ULPs — a double
+    ULP is ~2.2e-16 relative; the loose bound absorbs the double
+    rounding plus downstream divisions of the twice-rounded sums)
+    and everything else exactly.  NOT driver semantics — sf1
+    evidence only."""
     import numpy as np
 
     a, b = _canon(spdf), _canon(odf)
