@@ -1067,6 +1067,48 @@ def extract_keyframe_index(
     )
 
 
+KEYFRAME_PHASH_SCHEMA = "doc long, sample long, sh long"
+
+
+def keyframe_phash(
+    df: DataFrame,
+    blob_col: str = "payload",
+    id_col: str = "doc_id",
+    hasher=None,
+) -> DataFrame:
+    """Perceptual hashes of a video's KEYFRAME payloads — the r12 rung
+    that connects the MP4 demux (mp4_keyframe_index) to the
+    pixel-dedup ladder: each container's sync samples are sliced and
+    every keyframe's BYTES run through :func:`image_phash64` (PIL
+    luminance → pure-PNG pixels → raw-byte aHash, the same
+    content-addressed ladder stills use), so a re-encoded clip whose
+    keyframes decode to the same pictures collides on the same
+    hashes — video joins image/text/embedding/fingerprint as the
+    fifth near-dup blocking axis.
+
+    One Arrow stage: container bytes never shuffle — only
+    (doc, sample, 8-byte hash) rows leave.  ``hasher`` defaults to
+    :func:`image_phash64`; pass :func:`ahash64` to force the raw-byte
+    construction (the oracle-replayable form for non-media test
+    payloads)."""
+    hash_fn = hasher or image_phash64
+
+    def _ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {"doc": [], "sample": [], "sh": []}
+            for doc_id, blob in zip(batch[id_col], batch[blob_col]):
+                b = bytes(blob)
+                for s, off, size, _dts in mp4_keyframe_index(b):
+                    out["doc"].append(doc_id)
+                    out["sample"].append(s)
+                    out["sh"].append(hash_fn(b[off : off + size]))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(
+        _ph, schema=KEYFRAME_PHASH_SCHEMA
+    )
+
+
 def attach_mp4_payload(
     df: DataFrame, text_col: str = "text", out_col: str = "payload"
 ) -> DataFrame:

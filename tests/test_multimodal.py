@@ -760,3 +760,91 @@ def test_mp4_roundtrip_property():
         assert got == want, (nbytes, got[:3], want[:3])
 
     check()
+
+
+def _mp4_with_samples(samples):
+    """General-layout MP4 writer for re-encoded-clip fixtures: each
+    entry of ``samples`` becomes one whole sample (per-sample stsz
+    sizes, single chunk, no stss ⇒ every sample is a sync sample per
+    ISO 14496-12 8.6.2) — unlike build_mp4's fixed 96-byte chunking,
+    so a keyframe can carry one complete PNG blob."""
+    import struct
+
+    def box(btype, body):
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    def full(btype, body):
+        return box(btype, b"\x00\x00\x00\x00" + body)
+
+    n = len(samples)
+    data = b"".join(bytes(s) for s in samples)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0))
+    mdat = box(b"mdat", data)
+    stts = full(b"stts", struct.pack(">III", 1, n, 512))
+    stsz = full(
+        b"stsz", struct.pack(f">II{n}I", 0, n, *[len(s) for s in samples])
+    )
+    stsc = full(b"stsc", struct.pack(">IIII", 1, 1, n, 1))
+    stco = full(b"stco", struct.pack(">II", 1, len(ftyp) + 8))
+    stbl = box(b"stbl", stts + stsz + stsc + stco)
+    moov = box(b"moov", box(b"trak", box(b"mdia", box(b"minf", stbl))))
+    return ftyp + mdat + moov
+
+
+def test_keyframe_phash_catches_reencoded_clips(spark):
+    """Two RE-ENCODED clips — same pictures, byte-disjoint containers
+    (every keyframe is a PNG of the same pixels under different
+    per-row filter choices, so the IDAT streams share no bytes) —
+    collide on every (sample, keyframe hash) pair through the decode
+    ladder, while a clip of different pixels and a raw-byte decoy
+    match nothing: video near-dup joins the pixel-dedup ladder."""
+    from pyspark.sql import functions as F
+
+    from another_map_reduce_spark.operators import multimodal as mm
+    from another_map_reduce_spark.operators.multimodal import (
+        keyframe_phash,
+    )
+
+    frames_a = [
+        _encode_png(32, 24, filters=[0] * 24),
+        _encode_png(16, 16, channels=1),
+    ]
+    frames_b = [
+        _encode_png(32, 24, filters=[1, 2, 3, 4] * 6),  # same pixels
+        _encode_png(16, 16, channels=1),
+    ]
+    assert bytes(frames_a[0]) != bytes(frames_b[0])
+    clips = [
+        (1, bytearray(_mp4_with_samples(frames_a))),
+        (2, bytearray(_mp4_with_samples(frames_b))),
+        # the test ramp's aHash bit pattern is structural (identical
+        # across channel counts), so the non-matching clip carries a
+        # non-image sample instead of another ramp PNG
+        (3, bytearray(_mp4_with_samples([b"unrelated keyframe " * 8]))),
+        (4, bytearray(mm.build_mp4(b"raw text payload " * 30))),
+    ]
+    assert bytes(clips[0][1]) != bytes(clips[1][1])
+    df = spark.createDataFrame(clips, "doc_id long, payload binary")
+    kf = keyframe_phash(df).localCheckpoint(eager=True)
+    rows = {(r.doc, r.sample): r.sh for r in kf.collect()}
+    # re-encoded keyframes hash identically at every sync position
+    assert rows[(1, 1)] == rows[(2, 1)]
+    assert rows[(1, 2)] == rows[(2, 2)]
+    # and the hash is the DECODED-pixel hash, not the raw-byte one
+    assert rows[(1, 1)] == mm.png_luma_hash64(frames_a[0])
+    assert rows[(1, 1)] != mm.ahash64(bytes(frames_a[0]))
+    # positioned blocking join: only the re-encoded pair collides
+    a, b = kf.alias("a"), kf.alias("b")
+    pairs = {
+        (r.d1, r.d2)
+        for r in a.join(
+            b,
+            (F.col("a.sample") == F.col("b.sample"))
+            & (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .distinct()
+        .collect()
+    }
+    assert pairs == {(1, 2)}
