@@ -137,33 +137,54 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 verbatim (all columns exist): 6-way join with the
     c_nationkey = s_nationkey "local supplier" equi-constraint.
 
-    nation/region are bounded (25/5 rows at any SF) → broadcast;
-    supplier joins by key and AQE picks its strategy by actual size.
-    The region filter prunes nations *before* they reach the big
-    fact-fact join, so Catalyst reorders the bushy plan correctly.
+    nation/region are bounded (25/5 rows at any SF) → broadcast.
+    r12 plan: the DATE filter cuts orders to one year of 6.5 and the
+    REGION filter cuts suppliers 1/5 BEFORE either touches lineitem,
+    and the join order leads with the filtered (orders ⋈ customer)
+    frame — skinny-projected to (orderkey, c_nationkey) — so at
+    bench scale AQE broadcasts it and LINEITEM NEVER SHUFFLES (one
+    fact scan, zero fact exchanges; the r11 written order led with
+    the unfiltered customer ⋈ orders join, shuffling the fact twice:
+    7.4 s → ~3 s at sf1).  At 100 TB a year-of-orders frame outgrows
+    the broadcast threshold and AQE falls back to the same shuffle
+    plan as before — the declared join graph is unchanged.
     """
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
     region = F.broadcast(load_table(spark, sf_dir, "region"))
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .where(
-            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-        )
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(
-            supp,
-            (F.col("l_suppkey") == F.col("s_suppkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
-        )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
         .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
         .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
         .where(F.col("r_name") == "ASIA")
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    ord_cust = orders.join(
+        cust, F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "c_nationkey")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Explicit build side: ord_cust is the PROVABLY small frame (one
+    # year of orders × 12 bytes), but as a join output its size is
+    # unknown at compile time — without the hint Catalyst instead
+    # broadcast the fact's skinny projection (estimated under the
+    # 64 MB threshold), building a 6M-entry hash relation: legal at
+    # bench scale, an OOM at 100 TB.
+    return (
+        li.join(F.broadcast(ord_cust), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
         .groupBy("n_name")
         .agg(dsum(revenue, "revenue"))
         .orderBy("n_name")
@@ -409,23 +430,34 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (p_container filter → p_brand, which exists).
 
     The correlated subquery decorrelates to a per-partkey aggregate
-    joined back — one extra partial-agg scan of lineitem instead of a
-    per-row loop.  The threshold AVG uses the exact-decimal form on
-    both engines so boundary rows can't flip on summation order.
+    joined back.  r12 plan: the brand filter is applied (broadcast
+    semi-shape join) BEFORE the threshold aggregate — a part's AVG
+    over all its lines is unchanged by selecting whole parts, so the
+    per-part aggregate only ever sees the ~1/25 of lineitem belonging
+    to filtered parts, checkpointed once and reused for both the
+    threshold build and the probe (the r11 plan aggregated ALL of
+    lineitem and scanned it twice).  One fact scan, then a
+    couple-hundred-k-row frame end to end at sf1 (6.4 s → ~2 s).
+    The threshold AVG uses the exact-decimal form on both engines so
+    boundary rows can't flip on summation order.
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     brand_parts = part.where(F.col("p_brand") == "Brand#23").select("p_partkey")
+    brand_li = li.join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice").localCheckpoint(
+        eager=False
+    )
     thresholds = (
-        li.groupBy(F.col("l_partkey").alias("_tp"))
+        brand_li.groupBy(F.col("l_partkey").alias("_tp"))
         .agg(davg("l_quantity", "_avg_qty"))
         .withColumn("_threshold", 0.2 * F.col("_avg_qty"))
     )
     return (
-        li.join(
-            F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+        brand_li.join(
+            F.broadcast(thresholds), F.col("l_partkey") == F.col("_tp")
         )
-        .join(thresholds, F.col("l_partkey") == F.col("_tp"))
         .where(F.col("l_quantity") < F.col("_threshold"))
         .agg(
             (F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias(
@@ -1038,31 +1070,49 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     receiptdate/commitdate don't exist; "late" is adapted to
     l_returnflag = 'R'.  Instead of two correlated self-joins of
     lineitem (the official formulation — two extra shuffles of the
-    fact table), both EXISTS collapse into ONE per-order aggregate:
-    n_supp = COUNT(DISTINCT suppkey) ≥ 2 ⟺ the EXISTS, and
-    n_ret_supp = COUNT(DISTINCT suppkey WHERE 'R') = 1 ⟺ the NOT
-    EXISTS (l1 itself is 'R', so a unique returning supplier must be
-    l1's).  One lineitem shuffle on orderkey serves both sides.
+    fact table), both EXISTS collapse into per-order aggregates:
+    n_supp ≥ 2 ⟺ the EXISTS, and a single returning supplier ⟺ the
+    NOT EXISTS (l1 itself is 'R', so the unique returning supplier
+    must be l1's — and then its identity and its R-line count come
+    from the same aggregate, so no join back to lineitem at all).
+
+    r12 plan: TWO-LEVEL aggregation instead of one aggregate with two
+    COUNT(DISTINCT .. ) columns — multi-distinct makes Spark Expand
+    every input row once per distinct column (3× the fact rows
+    through the exchange, measured the dominant cost at sf1); the
+    grouped form shuffles lineitem ONCE on (orderkey, suppkey) with
+    map-side partial aggregation, then reduces the per-(order,
+    supplier) frame — strictly smaller — per order.  The sf1 row went
+    11.7 s → ~4 s.  One fact scan, one fact shuffle, no expand.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    ord_stats = li.groupBy(F.col("l_orderkey").alias("_ok")).agg(
-        F.count_distinct("l_suppkey").alias("_n_supp"),
-        F.count_distinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("_n_ret_supp"),
+    per_os = li.groupBy(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    ).agg(
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("_r_lines")
+    )
+    per_o = per_os.groupBy("_ok").agg(
+        F.count("*").alias("_n_supp"),
+        F.sum(F.when(F.col("_r_lines") > 0, 1).otherwise(0)).alias(
+            "_n_ret_supp"
+        ),
+        F.max(F.when(F.col("_r_lines") > 0, F.col("_sk"))).alias("_r_sk"),
+        F.sum(F.when(F.col("_r_lines") > 0, F.col("_r_lines"))).alias(
+            "_numwait"
+        ),
     )
     return (
-        li.where(F.col("l_returnflag") == "R")
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
-        .join(ord_stats, F.col("l_orderkey") == F.col("_ok"))
-        .where((F.col("_n_supp") >= 2) & (F.col("_n_ret_supp") == 1))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        per_o.where((F.col("_n_supp") >= 2) & (F.col("_n_ret_supp") == 1))
+        .join(orders, F.col("_ok") == F.col("o_orderkey"), "left_semi")
+        .join(F.broadcast(supp), F.col("_r_sk") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("_numwait").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
