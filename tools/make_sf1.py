@@ -37,7 +37,8 @@ the driver's exact RNG is not required, only domain/shape fidelity:
   (the base table has no label clustering and no planted near-dups;
   neither does this draw).
 
-Usage: python tools/make_sf1.py OUT_DIR [BASE_SF_DIR]
+Usage: python tools/make_sf1.py OUT_DIR [BASE_SF_DIR] [FACTOR]
+  (FACTOR defaults to 10 = sf1; 30 cuts a genuine sf3)
 """
 
 from __future__ import annotations
@@ -71,8 +72,11 @@ def _midnight_ts(rng, n, lo: str, hi: str) -> pa.Array:
 
 
 def main() -> None:
+    global FACTOR
     out_dir = sys.argv[1]
     base = sys.argv[2] if len(sys.argv) > 2 else BASE
+    if len(sys.argv) > 3:
+        FACTOR = int(sys.argv[3])
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(42)
     con = duckdb.connect()
