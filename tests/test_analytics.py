@@ -1595,7 +1595,13 @@ def test_udtf_sessionize_matches_declarative_twin(spark, sf_dir):
     a = sorted(
         map(tuple, udtf_sessionize_table_arg(spark, sf_dir).collect())
     )
-    b = sorted(map(tuple, session_windows_batch(spark, sf_dir).collect()))
+    # r12: the UDTF row runs the every-10th-user slice; the semantics
+    # pin against the declarative twin restricts to the same users.
+    b = sorted(
+        tuple(r)
+        for r in session_windows_batch(spark, sf_dir).collect()
+        if r.user_id % 10 == 0
+    )
     assert a == b
 
 

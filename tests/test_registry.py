@@ -25,13 +25,7 @@ def test_front_order_fits_driver_cap():
 
 def test_order_lists_are_consistent():
     """No typos, no duplicates, no overlap between the order lists."""
-    all_listed = (
-        Q._ORDER_FRONT
-        + Q._ORDER_NEXT_R9
-        + Q._ORDER_R8_WINDOW
-        + Q._ORDER_HEAVY
-        + Q._ORDER_TAIL
-    )
+    all_listed = Q._ORDER_FRONT + Q._ORDER_NEXT_R12
     assert len(all_listed) == len(set(all_listed)), "duplicate order entry"
     unknown = [n for n in all_listed if n not in Q.QUERIES]
     assert not unknown, f"order entries not in registry: {unknown}"
@@ -39,10 +33,7 @@ def test_order_lists_are_consistent():
 
 def test_registry_iteration_starts_with_front():
     names = list(Q.QUERIES)
-    assert names[: len(Q._ORDER_FRONT)] == Q._ORDER_FRONT
-    n_front = len(Q._ORDER_FRONT)
-    assert names[n_front : n_front + len(Q._ORDER_NEXT_R9)] == Q._ORDER_NEXT_R9
-    # the freshest driver rows (the r8 window) sit at the tail
-    tail_len = len(Q._ORDER_R8_WINDOW) + len(Q._ORDER_HEAVY) + len(Q._ORDER_TAIL)
-    for late in Q._ORDER_R8_WINDOW + Q._ORDER_HEAVY + Q._ORDER_TAIL:
-        assert names.index(late) >= len(names) - tail_len
+    front = [n for n in Q._ORDER_FRONT if n in Q.QUERIES]
+    assert names[: len(front)] == front
+    staged = [n for n in Q._ORDER_NEXT_R12 if n in Q.QUERIES]
+    assert names[len(front) : len(front) + len(staged)] == staged
