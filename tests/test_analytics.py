@@ -1806,7 +1806,11 @@ def test_top_paths_sessions_reconcile_with_sessionizer(spark, sf_dir):
     # (same 30-min gap rule)
     from another_map_reduce_spark.sources.tables import load_table
 
-    ev = load_table(spark, sf_dir, "events")
+    # r12: the UDTF row runs the every-10th-user slice — reconcile on
+    # the same slice (the gap rule is per-user, so slicing commutes)
+    ev = load_table(spark, sf_dir, "events").where(
+        SF.col("user_id") % 10 == 0
+    )
     n_sessions = udtf_sessionize_table_arg(spark, sf_dir).count()
     from pyspark.sql.window import Window
 
