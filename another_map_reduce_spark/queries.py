@@ -64,6 +64,7 @@ def _load() -> None:
 # the r7 cohort (r7 driver order) — exactly 50.
 _ORDER_FRONT = [
     # r12 additions / semantic changes (no valid driver row):
+    "stream_buslog_events_hourly",
     "multimodal_video_phash",
     "ann_ivf_incremental_approx",
     "udtf_sessionize_table_arg",
@@ -116,11 +117,11 @@ _ORDER_FRONT = [
     "window_topk_per_group",
     "window_running_sum",
     "window_lag_lead",
-    "topk_global",
 ]
 # Staged for the r13 window: the rest of the r7 cohort (r7 driver
 # order), then the r8 cohort (r8 driver order).
 _ORDER_NEXT_R12 = [
+    "topk_global",
     "distinct_pairs",
     "set_intersect",
     "set_except",
