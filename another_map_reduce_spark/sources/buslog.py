@@ -356,5 +356,15 @@ class BusLogDataSource(DataSource):
 
 
 def register_buslog(spark: SparkSession) -> None:
-    """Idempotent format registration (the pydatasource convention)."""
+    """Idempotent format registration.  BY-VALUE cloudpickle
+    registration (the pydatasource convention): Spark drives Python
+    DataSources from dedicated runner processes that deserialize the
+    pickled class but do NOT apply addPyFile/SparkFiles paths, so a
+    by-reference pickle of this module raises ModuleNotFoundError
+    under a vanilla (driver-shaped) session."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(BusLogDataSource)
