@@ -239,6 +239,64 @@ def test_ivf_matmul_path_full_probe_equals_bruteforce(spark, emb, tmp_path):
         assert [r.cid for r in rows] == [r.cid for r in want]
 
 
+def test_ivf_probe_matmul_scorer_bit_equals_expr(spark, emb, tmp_path):
+    """The r12 blocked-matmul scorer (cell-cogrouped einsum preselect
+    + exact-fold rerank) must return BIT-IDENTICAL rows to the expr
+    fold path — ranks, ids, and the cosine doubles — at lossless
+    (nprobe = cells) AND approximate (nprobe < cells) settings: the
+    preselection margin argument, pinned."""
+    from another_map_reduce_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe_topk,
+    )
+
+    hist = emb.where(F.col("vec_id") % 10 != 0)
+    delta = emb.where(F.col("vec_id") % 10 == 0)
+    path = str(tmp_path / "ivf_scorer_ab")
+    build_ivf_index(hist, path, num_cells=8, train_iters=1)
+    for nprobe in (8, 3):
+        a = ivf_probe_topk(
+            spark, path, delta, k=5, nprobe=nprobe, scorer="expr"
+        ).collect()
+        b = ivf_probe_topk(
+            spark, path, delta, k=5, nprobe=nprobe, scorer="matmul"
+        ).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b], (
+            f"scorer divergence at nprobe={nprobe}"
+        )
+
+
+def test_ivf_probe_reads_stored_norms_not_refolds(spark, emb, tmp_path):
+    """r12 postings carry cnorm; the probe must use it (plan contains
+    no per-pair norm re-fold of cvec) and a pre-r12 index without the
+    column still probes correctly via the fallback."""
+    import shutil
+
+    from another_map_reduce_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe_topk,
+    )
+
+    hist = emb.where(F.col("vec_id") % 10 != 0)
+    delta = emb.where(F.col("vec_id") % 10 == 0).where(F.col("vec_id") < 30)
+    path = str(tmp_path / "ivf_norms")
+    build_ivf_index(hist, path, num_cells=8, train_iters=1)
+    post = spark.read.parquet(f"{path}/postings")
+    assert "cnorm" in post.columns
+    with_norms = ivf_probe_topk(spark, path, delta, k=5, nprobe=8).collect()
+    # strip the column to simulate a pre-r12 index
+    legacy = str(tmp_path / "ivf_legacy")
+    shutil.copytree(path, legacy)
+    shutil.rmtree(f"{legacy}/postings")
+    post.drop("cnorm").write.partitionBy("cell").parquet(
+        f"{legacy}/postings"
+    )
+    legacy_rows = ivf_probe_topk(
+        spark, legacy, delta, k=5, nprobe=8
+    ).collect()
+    assert [tuple(r) for r in with_norms] == [tuple(r) for r in legacy_rows]
+
+
 def test_ivf_index_probe_prunes_partitions(spark, emb, tmp_path):
     """nprobe < num_cells: the probe reads only its cells' postings
     partitions (partition pruning on the stored index) and still finds
