@@ -105,9 +105,14 @@ def list_segments(root: str, topic: str) -> dict[int, list[tuple[int, int, str]]
 
 def end_offsets(root: str, topic: str) -> dict[int, int]:
     """Per-partition end offset (next offset to be written) — from
-    segment NAMES alone."""
+    segment NAMES alone.  A fully-truncated partition's end is its
+    log-start offset (offsets never restart after retention — the
+    Kafka invariant a resumed consumer depends on)."""
+    starts = log_start_offsets(root, topic)
     return {
-        p: (segs[-1][0] + segs[-1][1] if segs else 0)
+        p: max(
+            segs[-1][0] + segs[-1][1] if segs else 0, starts.get(p, 0)
+        )
         for p, segs in list_segments(root, topic).items()
     }
 
@@ -131,6 +136,65 @@ def produce(
             )
     os.replace(tmp, final)
     return final
+
+
+_LOGSTART = "logstart"
+
+
+def log_start_offsets(root: str, topic: str) -> dict[int, int]:
+    """Per-partition LOG-START offset (Kafka's logStartOffset): 0
+    until retention has truncated a prefix, then the first retained
+    offset.  Stored as one tiny file per partition directory."""
+    out: dict[int, int] = {}
+    tdir = _topic_dir(root, topic)
+    try:
+        names = os.listdir(tdir)
+    except OSError:
+        return out
+    for name in names:
+        if not name.startswith("p="):
+            continue
+        p = int(name[2:])
+        try:
+            with open(
+                os.path.join(tdir, name, _LOGSTART), encoding="utf-8"
+            ) as fh:
+                out[p] = int(fh.read().strip())
+        except OSError:
+            out[p] = 0
+    return out
+
+
+def truncate_before(root: str, topic: str, cutoffs: dict[int, int]) -> dict:
+    """RETENTION: delete each partition's PREFIX of whole segments
+    whose records all precede its cutoff offset, then advance the
+    partition's log-start offset to the first retained record — the
+    broker's retention.ms/retention.bytes mechanics.  Offsets are
+    POSITIONAL and segments immutable, so surviving records keep
+    their offsets; a consumer whose committed offset fell below the
+    new log start is clamped forward (Kafka's
+    auto.offset.reset=earliest behavior), pytest-pinned.
+
+    Only whole segments are deleted (a cutoff inside a segment
+    retains that whole segment), and only a contiguous prefix — so
+    the log never has holes.  Returns {partition: new_log_start}."""
+    moved: dict[int, int] = {}
+    for p, segs in list_segments(root, topic).items():
+        new_start = log_start_offsets(root, topic).get(p, 0)
+        cut = int(cutoffs.get(p, 0))
+        for base, count, path in segs:  # ascending base
+            if base + count <= cut:
+                os.remove(path)
+                new_start = base + count
+            else:
+                break
+        pdir = _part_dir(root, topic, p)
+        tmp = os.path.join(pdir, ".tmp-logstart")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(str(new_start))
+        os.replace(tmp, os.path.join(pdir, _LOGSTART))
+        moved[p] = new_start
+    return moved
 
 
 class _RangePartition(InputPartition):
@@ -175,8 +239,11 @@ class _BusLogBatchReader(DataSourceReader):
             raise ValueError("buslog requires .load(root) and .option('topic', t)")
 
     def partitions(self):
+        starts = log_start_offsets(self._root, self._topic)
         return [
-            _RangePartition(p, 0, segs[-1][0] + segs[-1][1], segs)
+            _RangePartition(
+                p, starts.get(p, 0), segs[-1][0] + segs[-1][1], segs
+            )
             for p, segs in sorted(
                 list_segments(self._root, self._topic).items()
             )
@@ -214,10 +281,14 @@ class _BusLogStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         segs_all = list_segments(self._root, self._topic)
+        starts = log_start_offsets(self._root, self._topic)
         out = []
         for p_str, e in sorted(end.items()):
             p = int(p_str)
-            s = int(start.get(p_str, 0))
+            # clamp to the retention log-start: a committed offset
+            # that retention has truncated past resumes at the first
+            # retained record (auto.offset.reset=earliest)
+            s = max(int(start.get(p_str, 0)), starts.get(p, 0))
             if e > s:
                 out.append(_RangePartition(p, s, int(e), segs_all.get(p, [])))
         return out

@@ -171,3 +171,86 @@ def test_produce_is_two_phase(tmp_path):
         pdir = os.path.dirname(segs[0][2])
         names = os.listdir(pdir)
         assert all(n.startswith("segment-") for n in names), names
+
+
+def test_retention_truncate_before_and_log_start(spark, tmp_path):
+    """Retention deletes only whole prefix segments, survivors keep
+    their positional offsets, log-start advances, and BOTH readers —
+    batch and a stream resuming from a now-truncated committed
+    offset — clamp forward instead of failing."""
+    from another_map_reduce_spark.sources.buslog import (
+        log_start_offsets,
+        truncate_before,
+    )
+
+    root = str(tmp_path / "bus")
+    for seg in range(3):  # partition 0: offsets 0..14 in 3 segments
+        produce(
+            root, "t", 0,
+            [(1_000 * (seg * 5 + i), "k", f"v{seg * 5 + i}") for i in range(5)],
+        )
+    register_buslog(spark)
+    ckpt = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("buslog")
+            .option("path", root)
+            .option("topic", "t")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(out).count() == 15
+
+    # cutoff mid-segment-2 (offset 8): only segment 1 (0-4) deletable
+    moved = truncate_before(root, "t", {0: 8})
+    assert moved == {0: 5}
+    assert log_start_offsets(root, "t") == {0: 5}
+    assert [(b, c) for b, c, _ in list_segments(root, "t")[0]] == [
+        (5, 5), (10, 5)
+    ]
+    # batch read starts at the log-start, offsets preserved
+    batch = (
+        spark.read.format("buslog")
+        .option("path", root)
+        .option("topic", "t")
+        .load()
+        .collect()
+    )
+    assert sorted(r.offset for r in batch) == list(range(5, 15))
+
+    # fresh consumer (no checkpoint) starts at log-start
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    q = (
+        spark.readStream.format("buslog")
+        .option("path", root)
+        .option("topic", "t")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(out2).count() == 10
+
+    # the ORIGINAL consumer already committed offset 15; retention past
+    # its position must clamp (not crash, not re-read)
+    truncate_before(root, "t", {0: 100})  # cutoff beyond the log end
+    assert log_start_offsets(root, "t") == {0: 15}
+    produce(root, "t", 0, [(99_000, "k", "after-retention")])
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 16
+    assert {r.value for r in got.where(F.col("offset") == 15).collect()} == {
+        "after-retention"
+    }
