@@ -54,73 +54,19 @@ def _load() -> None:
 # All parked queries remain proven each round by the sf0.001
 # differential suite and the driver-faithful local gate at sf0.01.
 #
-# Round 12 rotation (same rolling policy as r4..r10; r11 failed to
-# rotate — VERDICT r11 "What's wrong #1" — so its 50 rows re-checked
-# the r10 cohort).  Row-age census after r11: 50 at r11, 49 at r9,
-# 50 at r8, 50 at r7, 27 at r6, and the 4 r11 additions with no row
-# at all.  This round's window: (1) queries added or semantically
-# changed in r12 (no valid row), (2) the 4 r11 additions, (3) the
-# whole r6 cohort (oldest rows, r6 driver order), (4) the head of
-# the r7 cohort (r7 driver order) — exactly 50.
+# Round 13 rotation (same rolling policy as r4..r12).  Row-age
+# census after r12 (latest driver row per query): 50 at r12, 49 at
+# r11, 49 at r09, 50 at r08, 35 at r07.  This round's window:
+# (1) queries added in r13 (no row at all), (2) the r07 remainder
+# (stalest, r7 driver order), (3) the r08 cohort head (r8 driver
+# order) — exactly 50.  This is the cohort VERDICT r12 "Next round
+# #1" names (the staged _ORDER_NEXT_R12 list from last round).
 _ORDER_FRONT = [
-    # r12 additions / semantic changes (no valid driver row):
-    "stream_buslog_events_hourly",
-    "multimodal_video_phash",
-    "ann_ivf_incremental_approx",
-    "udtf_sessionize_table_arg",
-    # r11 additions that the failed r11 rotation never fronted:
-    "udtf_sessionize_arrow",
-    "stream_rate_soak_windows",
-    "schema_evolution_widen",
-    "multimodal_video_index",
-    # r6 cohort (latest row r6 — the stalest in the registry):
-    "ann_cosine_pairs",
-    "ann_ivf_topk",
-    "multimodal_meta",
-    "multimodal_frames",
-    "doc_winnowing_stats",
-    "skew_salted_agg",
-    "embedding_centroids",
-    "bigram_lm_topk",
-    "heavy_hitter_words",
-    "split_train_val_test",
-    "pii_redaction",
-    "doc_chunks",
-    "text_normalize_stats",
-    "stratified_sample",
-    "doc_repetition_stats",
-    "decontam_overlap",
-    "quality_filter_gopher",
-    "domain_mix_report",
-    "dup_substring_stats",
-    "corpus_build_report",
-    "semantic_dedup_stats",
-    "stream_events_hourly_append",
-    "multimodal_audio_meta",
-    "stream_funnel_stateful",
-    "cdc_upsert_balances",
-    "udaf_median_doclen",
-    "lm_novelty_score",
-    # r7 cohort head (next-oldest, r7 driver order) — fills to 50:
-    "ann_ivf_incremental",
-    "dedup_containment",
-    "histogram_quantile_rollup",
-    "mr_wordcount",
-    "pandas_wordcount",
-    "pack_sequences_report",
-    "stream_join_purchase_view",
-    "pysource_wordcount",
-    "wordcount",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "window_topk_per_group",
-    "window_running_sum",
-    "window_lag_lead",
-]
-# Staged for the r13 window: the rest of the r7 cohort (r7 driver
-# order), then the r8 cohort (r8 driver order).
-_ORDER_NEXT_R12 = [
+    # r13 additions (no driver row yet):
+    "stream_buslog_backlog_drain",
+    "multimodal_audio_phash",
+    "graph_betweenness_approx",
+    # r7 cohort remainder (latest row r07 — stalest in the registry):
     "topk_global",
     "distinct_pairs",
     "set_intersect",
@@ -156,7 +102,7 @@ _ORDER_NEXT_R12 = [
     "q19_disjunctive_predicates",
     "q1_pricing_summary",
     "stream_dedup_counts",
-    # r8 cohort head:
+    # r8 cohort head (next-oldest, r8 driver order) — fills to 50:
     "pipeline_ingest_delta",
     "stream_static_join_segments",
     "recursive_calendar_gaps",
@@ -169,16 +115,57 @@ _ORDER_NEXT_R12 = [
     "regression_by_flag",
     "pagerank_suppliers",
     "stream_sliding_counts",
+]
+# Staged for the r14 window: the 4 r8-head rows displaced from this
+# round's 50 by the 3 r13 additions, then the r8 cohort remainder
+# (r8 driver order).  Census note for r14: after r13 lands, the
+# oldest rows will be this list (r08), then the r09 cohort.
+_ORDER_NEXT_R13 = [
     "window_ntile_deciles",
     "zorder_layout_skipping",
     "cumulative_unique_users",
     "event_transition_matrix",
+    # r8 cohort remainder:
+    "funnel_time_to_convert",
+    "graph_degree_distribution",
+    "join_multiway",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_having",
+    "join_broadcast_agg",
+    "q22_dormant_customers",
+    "q17_small_qty_revenue",
+    "filter_project",
+    "join_full_outer",
+    "window_time_range_sum",
+    "stream_events_hourly",
+    "cohort_retention",
+    "funnel_conversion",
+    "approx_distinct_users",
+    "sink_roundtrip_partitioned",
+    "q2_min_price_part",
+    "q4_priority_exists",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q12_priority_linecount",
+    "q15_top_supplier",
+    "q18_large_volume_customer",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_parts_supplier",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
 ]
 
 
 def _reorder() -> None:
     front = [
-        n for n in _ORDER_FRONT + _ORDER_NEXT_R12 if n in QUERIES
+        n for n in _ORDER_FRONT + _ORDER_NEXT_R13 if n in QUERIES
     ]
     mid = [n for n in QUERIES if n not in front]
     names = front + mid
