@@ -997,24 +997,16 @@ def _scc_impl(
             # it requires a count job, so it is only computed if the
             # doubling budget max_inner is actually exhausted.
             cap = _SCC_ONEHOP_FW if not mixed else max_inner
+            # Mixed mode extends ONCE past max_inner to the |V|+2
+            # guaranteed-convergence cap; the flag (not a counter
+            # comparison) makes the extension reachable — the r11
+            # version tested `rnd == max_inner` INSIDE a
+            # `while rnd < cap` loop with cap == max_inner, so the
+            # safety net was dead code (ADVICE r12: a graph needing
+            # > max_inner doubling rounds raised RuntimeError).
+            extended = not mixed
             rnd = 0
             while rnd < cap:
-                if mixed and rnd == max_inner:
-                    # Doubling is expected-O(log d); past the budget
-                    # we are in the degraded guaranteed-convergence
-                    # regime: extend to the |V|+2 cap (only now worth
-                    # a count job), and be LOUD about it (ADVICE r11).
-                    import warnings
-
-                    cap = max(cap, nodes.count() + 2)
-                    warnings.warn(
-                        f"SCC coloring exceeded max_inner={max_inner} "
-                        f"rounds; continuing up to the |V|+2 "
-                        f"convergence cap ({cap}) — expect one driver "
-                        "round per remaining hop",
-                        RuntimeWarning,
-                        stacklevel=2,
-                    )
                 pushed = (
                     e_sd.join(
                         colors.withColumnRenamed("node", "src").hint(
@@ -1087,6 +1079,26 @@ def _scc_impl(
                         )
                     return colors
                 rnd += 1
+                if rnd >= cap and not extended:
+                    # Doubling is expected-O(log d); past the budget
+                    # we are in the degraded guaranteed-convergence
+                    # regime: extend to the |V|+2 cap (round k spreads
+                    # the min to everything within k hops; the longest
+                    # shortest path is < |V|, so |V|+2 one-hop rounds
+                    # always fix — only now worth the count job), and
+                    # be LOUD about it (ADVICE r11/r12).
+                    import warnings
+
+                    extended = True
+                    cap = max(cap, nodes.count() + 2)
+                    warnings.warn(
+                        f"SCC coloring exceeded max_inner={max_inner} "
+                        f"rounds; continuing up to the |V|+2 "
+                        f"convergence cap ({cap}) — expect one driver "
+                        "round per remaining hop",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
             if not mixed:
                 raise _EscalateToMixed()
             raise RuntimeError(

@@ -1937,6 +1937,40 @@ def test_scc_giant_cycle_converges_in_log_rounds(spark):
         )
 
 
+def test_scc_inner_budget_exhaustion_extends_not_raises(spark):
+    """ADVICE r12: the |V|+2 guaranteed-convergence extension was dead
+    code (`rnd == max_inner` inside `while rnd < cap` with cap ==
+    max_inner), so a graph needing more than max_inner doubling
+    rounds raised RuntimeError instead of converging.  Force the
+    regime: a 64-cycle escalates to mixed (diameter 63 > the 16-round
+    unmixed budget) and max_inner=5 is far below the rounds doubling
+    needs — the run must now WARN and still produce the exact SCC."""
+    import warnings
+
+    from another_map_reduce_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], ["src", "dst"]
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = {
+            r.node: r.scc
+            for r in strongly_connected_components(
+                edges, max_inner=5
+            ).collect()
+        }
+    assert got == {i: 0 for i in range(n)}
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "convergence cap" in str(w.message)
+        for w in caught
+    ), "extension past max_inner did not warn"
+
+
 def test_scc_giant_cycle_with_tail_and_second_scc(spark):
     """Doubling + relabeling must not break the decomposition
     structure: a 128-cycle feeding a one-way bridge into a 5-cycle
