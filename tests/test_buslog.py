@@ -254,3 +254,159 @@ def test_retention_truncate_before_and_log_start(spark, tmp_path):
     assert {r.value for r in got.where(F.col("offset") == 15).collect()} == {
         "after-retention"
     }
+
+
+def test_producer_id_namespaces_replay_cleanup(tmp_path):
+    """ADVICE r12: batch ids restart at 0 per checkpoint, so two
+    producers writing one topic would cross-delete each other's
+    batch-N segments during replay cleanup.  With producerId set,
+    replay cleanup only matches this producer's segments."""
+    from another_map_reduce_spark.sources.buslog import (
+        _BusLogStreamWriter,
+    )
+
+    root = str(tmp_path / "bus3")
+
+    class Row:
+        def __init__(self, ts, key, value):
+            self.ts, self.key, self.value = ts, key, value
+
+    wa = _BusLogStreamWriter(
+        {"path": root, "topic": "t", "numPartitions": "2",
+         "producerId": "aa11"}
+    )
+    wb = _BusLogStreamWriter(
+        {"path": root, "topic": "t", "numPartitions": "2",
+         "producerId": "bb22"}
+    )
+    rows_a = [Row(i, f"k{i % 4}", f"a{i}") for i in range(8)]
+    rows_b = [Row(i, f"k{i % 4}", f"b{i}") for i in range(6)]
+    wa.commit([wa.write(iter(rows_a))], batchId=0)
+    # producer B commits ITS batch 0 — must not delete A's batch 0
+    wb.commit([wb.write(iter(rows_b))], batchId=0)
+    assert sum(end_offsets(root, "t").values()) == 14
+    # B replays its batch 0: A's records still intact, B not doubled
+    wb.commit([wb.write(iter(rows_b))], batchId=0)
+    values = []
+    for _p, segs in list_segments(root, "t").items():
+        for _b, _c, path in segs:
+            values += [json.loads(l)["value"] for l in open(path)]
+    assert sorted(values) == sorted(
+        [f"a{i}" for i in range(8)] + [f"b{i}" for i in range(6)]
+    )
+    # non-hex producer ids are rejected (they name files)
+    with pytest.raises(ValueError):
+        _BusLogStreamWriter(
+            {"path": root, "topic": "t", "producerId": "../evil"}
+        )
+
+
+def test_max_offsets_cap_distribution_math(tmp_path):
+    """The proportional split: cap records total per trigger,
+    distributed by backlog share, remainder round-robin in partition
+    order, each partition clamped at its true end — deterministic and
+    sums to exactly min(cap, backlog)."""
+    root = str(tmp_path / "bus4")
+    for p, n in ((0, 30), (1, 10), (2, 60)):
+        produce(root, "t", p, [(i, f"k{i}", "x") for i in range(n)])
+    r = _BusLogStreamReader(
+        {"path": root, "topic": "t", "maxOffsetsPerTrigger": "50"}
+    )
+    assert r.initialOffset() == {}
+    first = r.latestOffset()
+    taken = {int(p): e for p, e in first.items()}
+    # proportional: 30/100*50=15, 10/100*50=5, 60/100*50=30 — no
+    # remainder in this fixture
+    assert taken == {0: 15, 1: 5, 2: 30}
+    second = r.latestOffset()
+    assert {int(p): e for p, e in second.items()} == {0: 30, 1: 10, 2: 60}
+    # third trigger: drained, promised ends stop moving
+    assert r.latestOffset() == second
+
+
+def test_consumer_lag_helper(tmp_path):
+    from another_map_reduce_spark.sources.buslog import consumer_lag
+
+    root = str(tmp_path / "bus5")
+    for p, n in ((0, 7), (1, 3)):
+        produce(root, "t", p, [(i, "k", "x") for i in range(n)])
+    assert consumer_lag(root, "t", {}) == {0: 7, 1: 3}
+    assert consumer_lag(root, "t", {0: 5}) == {0: 2, 1: 3}
+    assert consumer_lag(root, "t", {0: 7, 1: 3}) == {0: 0, 1: 0}
+    # committed beyond the end floors at 0 (never negative)
+    assert consumer_lag(root, "t", {0: 99, 1: 3}) == {0: 0, 1: 0}
+
+
+def test_capped_live_drain_bounded_batches_and_lag(spark, tmp_path):
+    """The backlog-drain contract end to end: a consumer with
+    maxOffsetsPerTrigger running on a processingTime trigger absorbs
+    a backlog produced AFTER it started in >=3 bounded micro-batches
+    (none exceeding the cap), committed offsets monotone, no loss or
+    duplication, and the lag column reports the planning-time backlog
+    going to zero."""
+    import time
+
+    register_buslog(spark)
+    root = str(tmp_path / "bus6")
+    for p in range(2):
+        produce(root, "t", p, [(i, f"k{i}", "seed") for i in range(5)])
+    ckpt = str(tmp_path / "ck6")
+    df = (
+        spark.readStream.format("buslog")
+        .option("path", root)
+        .option("topic", "t")
+        .option("maxOffsetsPerTrigger", "40")
+        .option("includeLag", "true")
+        .load()
+    )
+    q = (
+        df.groupBy("partition")
+        .agg(
+            F.count("offset").alias("n"),
+            F.max("lag").alias("lag_max"),
+            F.min("lag").alias("lag_min"),
+        )
+        .writeStream.format("memory")
+        .queryName("drain6")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+
+    def consumed():
+        return sum(pr["numInputRows"] for pr in q.recentProgress)
+
+    deadline = time.time() + 60
+    while time.time() < deadline and consumed() < 10:
+        time.sleep(0.2)
+    assert consumed() == 10, "seed tranche not absorbed"
+    # the backlog: 120 records per partition, 240 total -> 6 capped
+    # batches of exactly 40
+    for p in range(2):
+        for seg in range(3):
+            produce(
+                root, "t", p,
+                [(i, f"k{i}", f"b{seg}") for i in range(40)],
+            )
+    deadline = time.time() + 90
+    while time.time() < deadline and consumed() < 250:
+        time.sleep(0.2)
+    time.sleep(1.0)
+    q.stop()
+    batches = [
+        pr["numInputRows"] for pr in q.recentProgress
+        if pr["numInputRows"] > 0
+    ]
+    assert sum(batches) == 250, batches  # no loss, no duplication
+    capped = batches[1:]
+    assert len(capped) >= 3, batches
+    assert all(b <= 40 for b in capped), batches
+    rows = {
+        r.partition: r for r in spark.table("drain6").collect()
+    }
+    assert {p: rows[p].n for p in rows} == {0: 125, 1: 125}
+    # lag trajectory: after the first capped batch each partition had
+    # 120 - 20 = 100 left; the final batch saw 0
+    assert {p: rows[p].lag_max for p in rows} == {0: 100, 1: 100}
+    assert {p: rows[p].lag_min for p in rows} == {0: 0, 1: 0}
