@@ -848,3 +848,85 @@ def test_keyframe_phash_catches_reencoded_clips(spark):
         .collect()
     }
     assert pairs == {(1, 2)}
+
+
+def test_wav_roundtrip_and_envelope_gain_invariance():
+    """build_wav → wav_samples is lossless, and the envelope hash is
+    EXACTLY invariant under integer gain (the re-encode property the
+    audio axis rests on) while a genuinely different signal hashes
+    differently."""
+    import numpy as np
+
+    from another_map_reduce_spark.operators.multimodal import (
+        audio_phash64,
+        build_wav,
+        envelope_hash64_samples,
+        wav_samples,
+    )
+
+    rng = np.random.default_rng(7)
+    s = rng.integers(-8192, 8192, size=3001, dtype=np.int64)
+    blob = build_wav(s)
+    back = wav_samples(blob)
+    assert back is not None and np.array_equal(back, s)
+    h1 = envelope_hash64_samples(s)
+    assert audio_phash64(blob) == h1
+    for gain in (2, 3):
+        assert audio_phash64(build_wav(s * gain)) == h1
+        # byte-distinct payloads (exact dedup blind)
+        assert build_wav(s * gain) != blob
+    other = rng.integers(-8192, 8192, size=3001, dtype=np.int64)
+    assert envelope_hash64_samples(other) != h1
+    # non-WAV payloads take the raw-byte rung deterministically
+    from another_map_reduce_spark.operators.multimodal import ahash64
+
+    assert audio_phash64(b"not audio at all") == ahash64(
+        b"not audio at all"
+    )
+    # malformed WAVs (truncated frames) are rejected, not measured
+    assert wav_samples(blob[: len(blob) - 3]) is None
+    assert envelope_hash64_samples(np.array([], dtype=np.int64)) == 0
+
+
+def test_audio_phash_planted_reencode_recall(spark, sf_dir):
+    """Every doc_id % 41 == 1 row is a 2x-gain re-encode of its
+    predecessor's signal: the envelope index must report
+    min_hamming == 0 for BOTH halves of every planted pair, and
+    phash_pairs must surface each pair."""
+    from pyspark.sql import functions as F
+
+    from another_map_reduce_spark.operators.multimodal import (
+        attach_wav_payload,
+        audio_phash64,
+        perceptual_hash_frame,
+        phash_candidate_stats,
+        phash_pairs,
+    )
+    from another_map_reduce_spark.sources.tables import load_table
+
+    docs_tbl = load_table(spark, sf_dir, "documents")
+    docs = attach_wav_payload(docs_tbl)
+    hashed = perceptual_hash_frame(
+        docs, hasher=audio_phash64
+    ).localCheckpoint(eager=True)
+    ids = {
+        r.doc_id
+        for r in docs_tbl.where(
+            F.col("text").isNotNull() & (F.length("text") > 0)
+        )
+        .select("doc_id")
+        .collect()
+    }
+    planted = {
+        (i - 1, i) for i in ids if i % 41 == 1 and (i - 1) in ids
+    }
+    assert planted, "fixture has no planted pairs — widen the corpus"
+    stats = {r.doc: r for r in phash_candidate_stats(hashed).collect()}
+    for a, b in planted:
+        assert stats[a].min_hamming == 0, (a, stats[a])
+        assert stats[b].min_hamming == 0, (b, stats[b])
+        assert stats[a].sh == stats[b].sh
+    pairs = {
+        (r.d1, r.d2) for r in phash_pairs(hashed, max_hamming=0).collect()
+    }
+    assert planted <= pairs
