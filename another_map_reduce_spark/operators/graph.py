@@ -1289,3 +1289,128 @@ def random_walks(
             cur.withColumn("step", F.lit(t).cast("long"))
         )
     return out.select("walk", "step", "node")
+
+
+def stress_centrality_sampled(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 6,
+) -> DataFrame:
+    """Sampled-source BETWEENNESS-family centrality (Brandes's
+    dependency accumulation, Brandes 2001; source sampling per
+    Brandes–Pich 2007) in its INTEGER dependency-counting form —
+    STRESS centrality (Shimbel 1953): stress(v) = number of shortest-
+    path instances with v as an interior node, summed over the
+    sampled roots, restricted to paths of at most ``max_depth`` edges
+    (the bounded-distance "k-betweenness" variant, also Brandes–Pich).
+    Integer counts make the result hash-exact cross-engine — the
+    fractional σ_sv/σ_st of classic betweenness has no terminating
+    decimal form, so an oracle could only approximate it; stress
+    preserves the ranking signal centrality users act on while
+    keeping the oracle-replay discipline intact.
+
+    Phase 1 (forward, Brandes's BFS): multi-source level-synchronous
+    path counting — σ(root, v) = number of shortest root→v paths,
+    computed level by level: σ of a new frontier node is the SUM of σ
+    over its shortest-path-DAG predecessors (one shuffle_hash join of
+    the frontier against the src-partitioned cached edge blocks +
+    one groupBy per level — the bfs_hops discipline, all K roots
+    batched through the same rounds keyed (root, node)).
+
+    Phase 2 (reverse, the integer accumulation): walking levels
+    deepest-first, g(v) = Σ_{DAG edges v→w} (1 + g(w)) counts the
+    DAG continuations of length ≥ 1 from v; then σ(v)·g(v) = number
+    of (shortest root→v path, continuation) pairs = shortest-path
+    instances through interior v.  One join per level against the
+    settled lower level — O(diameter) rounds total, every level
+    eagerly checkpointed (O(1) lineage), empty-frontier
+    short-circuit, no driver-side state beyond the bounded level
+    list.
+
+    Returns (node, stress) for nodes with stress > 0.  [extension] —
+    the reference has no graph surface.
+    """
+    e = edges.repartition("src").localCheckpoint(eager=False)
+    lvl0 = (
+        sources.select("node")
+        .distinct()
+        .select(
+            F.col("node").alias("root"),
+            "node",
+            F.lit(1).cast("long").alias("sigma"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    levels = [lvl0]
+    visited = lvl0.select("root", "node").localCheckpoint(eager=False)
+    cur = lvl0
+    for _d in range(1, max_depth + 1):
+        nxt = (
+            e.join(
+                cur.withColumnRenamed("node", "src").hint(
+                    "shuffle_hash"
+                ),
+                "src",
+            )
+            .groupBy("root", F.col("dst").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited, ["root", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        visited = visited.unionByName(
+            nxt.select("root", "node")
+        ).localCheckpoint(eager=False)
+        cur = nxt
+    contribs = []
+    g_lower = levels[-1].select(
+        "root", "node", F.lit(0).cast("long").alias("g")
+    )
+    for d in range(len(levels) - 2, -1, -1):
+        upper = levels[d]
+        gd = (
+            e.join(
+                upper.select(
+                    "root", F.col("node").alias("src")
+                ).hint("shuffle_hash"),
+                "src",
+            )
+            .join(
+                g_lower.select(
+                    "root", F.col("node").alias("dst"), "g"
+                ).hint("shuffle_hash"),
+                ["root", "dst"],
+            )
+            .groupBy("root", F.col("src").alias("node"))
+            .agg(F.sum(F.col("g") + 1).alias("g"))
+        )
+        gd = (
+            upper.join(gd, ["root", "node"], "left")
+            .select(
+                "root",
+                "node",
+                "sigma",
+                F.coalesce("g", F.lit(0)).cast("long").alias("g"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if d >= 1:
+            contribs.append(
+                gd.select(
+                    "node", (F.col("sigma") * F.col("g")).alias("c")
+                )
+            )
+        g_lower = gd.select("root", "node", "g")
+    if not contribs:
+        schema_src = sources.sparkSession
+        return schema_src.createDataFrame([], "node long, stress long")
+    allc = contribs[0]
+    for piece in contribs[1:]:
+        allc = allc.unionByName(piece)
+    return (
+        allc.groupBy("node")
+        .agg(F.sum("c").cast("long").alias("stress"))
+        .where(F.col("stress") > 0)
+    )

@@ -1995,3 +1995,42 @@ def test_scc_giant_cycle_with_tail_and_second_scc(spark):
     want.update({1000 + i: 1000 for i in range(5)})
     want.update({2000: 2000, 2001: 2001})
     assert got == want
+
+
+def test_stress_centrality_path_diamond_and_depth_cap(spark):
+    """Hand-computed stress fixtures: path graph (interior counts),
+    diamond (sigma=2 fan-in), and the bounded-depth cap."""
+    from another_map_reduce_spark.operators.graph import (
+        stress_centrality_sampled,
+    )
+
+    def run(edge_pairs, src_nodes, depth):
+        e0 = spark.createDataFrame(edge_pairs, ["src", "dst"])
+        edges = e0.union(e0.selectExpr("dst as src", "src as dst"))
+        sources = spark.createDataFrame(
+            [(s,) for s in src_nodes], ["node"]
+        )
+        return {
+            r.node: r.stress
+            for r in stress_centrality_sampled(
+                edges, sources, max_depth=depth
+            ).collect()
+        }
+
+    # path a(1)-b(2)-c(3)-d(4), source 1: walks 1-2-3 and 1-2-3-4
+    # put 2 interior twice, 3 once
+    assert run([(1, 2), (2, 3), (3, 4)], [1], 6) == {2: 2, 3: 1}
+    # diamond 1-2-4, 1-3-4 from both tips: each middle node carries
+    # one instance per direction
+    assert run([(1, 2), (1, 3), (2, 4), (3, 4)], [1, 4], 6) == {
+        2: 2,
+        3: 2,
+    }
+    # depth cap 3 on a long path from node 1: only walks of <=3 edges
+    chain = [(i, i + 1) for i in range(1, 10)]
+    assert run(chain, [1], 3) == {2: 2, 3: 1}
+    # sigma multiplication: two parallel 2-hop routes then a tail —
+    # 1-2-4, 1-3-4, 4-5: sigma(4)=2, g(4)=1 -> stress(4)=2, and each
+    # middle node carries walks 1-m-4 and 1-m-4-5
+    got = run([(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)], [1], 6)
+    assert got[4] == 2 and got[2] == got[3] == 2
