@@ -640,8 +640,13 @@ def build_ivf_index(
 # numpy block scores differ from the exact in-order fold by ~1e-15
 # relative, so the exact global top-k is guaranteed to sit inside each
 # cell's approximate top-(k + slack) unless k+slack candidates are
-# packed within float-noise of the rank-k score — ties themselves are
-# safe because both the cut and the final rank break on ascending cid.
+# packed within float-noise of the rank-k score.  Ties are safe since
+# r13: the cut is a STABLE argsort over cid-ordered columns (exact
+# EQUALITY at the boundary breaks by ascending cid, deterministically
+# — the pre-r13 argpartition cut chose among exact ties arbitrarily),
+# and the final rank breaks on ascending cid too.  The remaining —
+# documented — approximation is slack exhaustion: >slack candidates
+# strictly between the approximate and exact rank-k scores.
 _MATMUL_SLACK = 10
 
 
@@ -730,22 +735,20 @@ def ivf_probe_topk(
                 optimize=True,
             )
             cids = pdf_post["cid"].to_numpy()
-            # deterministic cut: score desc, cid asc (stable two-key)
+            # columns into cid-ascending order, then ONE stable
+            # argsort of -S per row: ties at EVERY rank — including
+            # the rank-`take` cut boundary — break by cid ascending,
+            # so the survivor set itself is deterministic, not just
+            # the post-cut ordering (ADVICE r12: argpartition chose
+            # boundary ties arbitrarily when more than _MATMUL_SLACK
+            # candidates sat within float noise of the boundary).
+            # Cost: O(m log m) vs argpartition's O(m) per row —
+            # ~100 ms per 2000×2250 block, noise against the einsum.
             o_cid = np.argsort(cids, kind="stable")
             S, cids_o = S[:, o_cid], cids[o_cid]
             qids = pdf_q["qid"].to_numpy()
             t = min(take, S.shape[1])
-            if t < S.shape[1]:
-                part = np.argpartition(-S, t - 1, axis=1)[:, :t]
-            else:
-                part = np.tile(np.arange(S.shape[1]), (S.shape[0], 1))
-            # vectorized (cid asc, then stable score desc) — index
-            # order IS cid order after the o_cid permutation
-            part = np.take_along_axis(part, np.argsort(part, 1), 1)
-            sc = np.take_along_axis(S, part, 1)
-            part = np.take_along_axis(
-                part, np.argsort(-sc, 1, kind="stable"), 1
-            )
+            part = np.argsort(-S, axis=1, kind="stable")[:, :t]
             qi = np.repeat(qids, t)
             ii = part.ravel()
             mask = cids_o[ii] != qi

@@ -146,8 +146,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact scan, zero fact exchanges; the r11 written order led with
     the unfiltered customer ⋈ orders join, shuffling the fact twice:
     7.4 s → ~3 s at sf1).  At 100 TB a year-of-orders frame outgrows
-    the broadcast threshold and AQE falls back to the same shuffle
-    plan as before — the declared join graph is unchanged.
+    the broadcast budget and the size gate (below) demotes the hint
+    to shuffle_hash on the same build side — the declared join graph
+    is unchanged and the fact is never the build relation either way.
     """
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey"
@@ -172,14 +173,27 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust, F.col("o_custkey") == F.col("c_custkey")
     ).select("o_orderkey", "c_nationkey")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # Explicit build side: ord_cust is the PROVABLY small frame (one
-    # year of orders × 12 bytes), but as a join output its size is
-    # unknown at compile time — without the hint Catalyst instead
+    # Explicit build side: ord_cust is the SMALL frame at bench scale
+    # (one year of orders × 12 bytes), but as a join output its size
+    # is unknown at compile time — without a hint Catalyst instead
     # broadcast the fact's skinny projection (estimated under the
     # 64 MB threshold), building a 6M-entry hash relation: legal at
-    # bench scale, an OOM at 100 TB.
+    # bench scale, an OOM at 100 TB.  The broadcast hint is SIZE-
+    # GATED (ADVICE r12: Spark honors user broadcast hints past
+    # autoBroadcastJoinThreshold, so an unconditional hint would
+    # attempt to broadcast a year of orders × customer at 100 TB and
+    # OOM rather than demote): one cheap count of the filtered
+    # orders picks broadcast under a 512 MB build budget, else a
+    # shuffle_hash hint — which still pins the build side to
+    # ord_cust and still forbids broadcasting the fact.
+    n_oc = orders.count()
+    build = (
+        F.broadcast(ord_cust)
+        if n_oc * 32 <= (512 << 20)
+        else ord_cust.hint("shuffle_hash")
+    )
     return (
-        li.join(F.broadcast(ord_cust), F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(build, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             F.broadcast(supp),
             (F.col("l_suppkey") == F.col("s_suppkey"))

@@ -166,6 +166,17 @@ def main() -> None:
             samples.setdefault(name, []).append(dt)
             print(f"# pass{_pass} {name}: {dt}s ({n} rows)", file=sys.stderr)
     timings = {n: round(_median(v), 3) for n, v in samples.items()}
+    # WARM medians (r13 — VERDICT r12 protocol note #8): the first
+    # pass pays one-time artifact builds and JIT/cache warmup, and
+    # median-of-3 INCLUDING it turned host noise into apparent
+    # regressions two rounds running.  warm = median of passes 2..n
+    # (falls back to the full median on single-pass runs); both
+    # numbers are reported so cold-pass noise stops reading as
+    # regression without hiding the cold cost.
+    warm = {
+        n: round(_median(v[1:]), 3) if len(v) > 1 else round(_median(v), 3)
+        for n, v in samples.items()
+    }
 
     full = {
         "metric": (
@@ -173,8 +184,10 @@ def main() -> None:
             f"{passes} passes"
         ),
         "value": round(sum(timings.values()), 3),
+        "warm_value": round(sum(warm.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_warm": warm,
         "queries_samples": samples,
         "sf": sf_dir.rstrip("/").rsplit("/", 1)[-1],
     }
@@ -196,9 +209,13 @@ def main() -> None:
             full["ratio_vs_oracle"] = round(
                 full["value"] / full["oracle_total_sec"], 3
             )
+            full["ratio_warm_vs_oracle"] = round(
+                full["warm_value"] / full["oracle_total_sec"], 3
+            )
             full["ratio_definition"] = (
                 "value/oracle_total_sec: all queries, distinct oracle "
-                "SQL timed once, no exclusions"
+                "SQL timed once, no exclusions; warm = median of "
+                "passes 2..n (cold pass excluded)"
             )
 
     # Full detail → repo artifact + stderr; stdout gets the budgeted line.
@@ -224,7 +241,13 @@ def main() -> None:
     compact = {
         k: v
         for k, v in full.items()
-        if k not in ("oracle_queries", "oracle_samples", "queries_samples")
+        if k
+        not in (
+            "oracle_queries",
+            "oracle_samples",
+            "queries_samples",
+            "queries_warm",
+        )
     }
     slowest = sorted(timings, key=timings.get, reverse=True)
     budget = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BYTES", "1600"))
