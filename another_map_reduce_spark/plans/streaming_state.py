@@ -135,9 +135,16 @@ def stream_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts"
     )
     qname = _fresh_sink_name("stream_join_pv")
-    # the join holds FOUR state stores per partition — the narrowed
-    # drain width matters most here (measured 11.4 s -> 2.7 s, sf0.1)
-    with _stream_shuffle_partitions(spark):
+    # the join holds FOUR state stores per partition, so drain width
+    # matters most here of all the streaming rows.  r13 interleaved
+    # A/B at sf0.1 (5 reps each, warm medians): width 2 = 3.9 s
+    # (spread 3.7-4.0), width 4 = 4.8 s, width 8 = 6.9 s, width 16 =
+    # ~13 s — per-partition store constants dominate this finite
+    # drain's tiny state (~60k buffered rows), so the narrowest width
+    # wins and is STABLE (the r12 "regression" was width-8 store
+    # constants amplified by host noise).  At scale the same knob is
+    # sized to state volume per partition, not downward.
+    with _stream_shuffle_partitions(spark, n=2):
         q = (
             purchases_with_recent_view(purchases, views)
             .writeStream.format("memory")
