@@ -340,10 +340,14 @@ def bfs_hops(
     frontier against the src-partitioned cached edge blocks (the
     corpus-sized side is never re-shuffled — the pagerank discipline),
     one distinct on the discovered nodes, one anti-join against the
-    settled set.  Each level is eagerly checkpointed: lineage stays
-    O(1) in depth, and an empty frontier short-circuits the loop with
-    a bounded 1-row driver check per level (the CC convergence-probe
-    precedent).  [extension] — the reference has no graph surface.
+    settled set.  Each level is lazily checkpointed and materialised
+    by its own convergence COUNT, so a level costs exactly ONE Spark
+    job (r13: the r12 shape paid two — an eager-checkpoint
+    materialisation job plus an isEmpty probe job; merging them into
+    a count-as-materialiser halves the per-level driver round-trips,
+    the CC convergence-probe discipline).  Lineage stays O(1) in
+    depth; an empty frontier short-circuits the loop.  [extension] —
+    the reference has no graph surface.
     """
     edges = edges.repartition("src").localCheckpoint(eager=False)
     dist = (
@@ -364,9 +368,10 @@ def bfs_hops(
             .distinct()
             .join(dist, "node", "left_anti")
             .select("node", F.lit(level).cast("long").alias("d"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        # ONE job: materialises the lazy checkpoint AND probes.
+        if nxt.count() == 0:
             break
         dist = dist.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt.select("node")
@@ -391,9 +396,9 @@ def sssp_weighted(
     frontier against the src-partitioned cached edge blocks (the
     corpus-sized side is never re-shuffled), one grouped min per
     destination, one improvement join against the settled distances.
-    Rounds are eagerly checkpointed (O(1) lineage) and an empty
-    frontier short-circuits with a bounded 1-row probe — the
-    bfs_hops/CC discipline.  Weights must be ≥ 1: only then does the
+    Rounds are lazily checkpointed and materialised by the
+    convergence count — ONE job per round, O(1) lineage, empty-
+    frontier short-circuit — the bfs_hops/CC discipline.  Weights must be ≥ 1: only then does the
     ``d < cap`` guard bound both path length and round count, making
     the default ``max_iters = cap + 1`` sufficient for convergence
     (a zero-weight edge would allow improving paths longer than
@@ -435,9 +440,13 @@ def sssp_weighted(
             cand.join(dist, "node", "left")
             .where(F.col("d").isNull() | (F.col("nd") < F.col("d")))
             .select("node", F.col("nd").alias("d"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if improved.isEmpty():
+        # ONE job materialises the round's checkpoint and probes
+        # convergence (r13 — was eager checkpoint + isEmpty, two jobs,
+        # plus an eager dist merge job; the merged dist is now lazy
+        # and materialised by the NEXT round's probe).
+        if improved.count() == 0:
             converged = True
             break
         dist = (
@@ -447,7 +456,7 @@ def sssp_weighted(
                 "full",
             )
             .select("node", F.coalesce("nd", "d").alias("d"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         frontier = improved
     if not converged and not frontier.where(F.col("d") < cap).isEmpty():
@@ -476,33 +485,41 @@ def kcore_peel(
 
     Shape: per round one degree aggregation (the symmetric list makes
     degree a plain groupBy count) and two semi-joins, checkpointed so
-    the per-round stats don't recompute the prefix; all counts are
-    integers, so the recursive-free unrolled-CTE oracle hash-matches
-    exactly.  Degeneracy note: peeling only CASCADES when removals
+    the per-round stats don't recompute the prefix.  r13: both the
+    survivor set and the restricted edge list are LAZY checkpoints
+    materialised by the counts the stats row needs anyway — two jobs
+    per round, with the degree aggregation computed ONCE (the r12
+    shape eager-checkpointed the edges and re-ran the degree pipeline
+    for the separate alive.count job — three jobs and the degree
+    shuffle twice per round).  All counts are integers, so the
+    recursive-free unrolled-CTE oracle hash-matches exactly.  Degeneracy note: peeling only CASCADES when removals
     drag survivors below k — hub-dominated graphs converge in one
     round; chain-like graphs peel end-in one round per step (the
     registered query uses per-customer order chains for that reason).
     [extension] — the reference has no graph surface.
     """
     spark = edges.sparkSession
-    es = edges.localCheckpoint(eager=True)
-    n0 = es.select("src").distinct().count()
+    es = edges.localCheckpoint(eager=False)
+    n0 = es.select("src").distinct().count()  # materialises es too
     m0 = es.count()
     stats = [(0, n0, m0)]
     for rnd in range(1, rounds + 1):
         deg = es.groupBy("src").agg(F.count("*").alias("c"))
-        alive = deg.where(F.col("c") >= k).select(
-            F.col("src").alias("node")
+        alive = (
+            deg.where(F.col("c") >= k)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=False)
         )
+        n_alive = alive.count()  # job 1: degree pipeline, once
         es = (
             es.join(
                 alive.withColumnRenamed("node", "src"), "src", "semi"
             )
             .join(alive.withColumnRenamed("node", "dst"), "dst", "semi")
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        stats.append((rnd, alive.count(), es.count()))
+        stats.append((rnd, n_alive, es.count()))  # job 2: restriction
     sdf = spark.createDataFrame(
         stats, "round long, n_alive long, n_edges long"
     ).orderBy("round")
@@ -539,9 +556,11 @@ def label_propagation(
     label table against the src-partitioned cached edge blocks (the
     corpus-sized side never re-shuffles — the pagerank discipline),
     one grouped count on (dst, label), one node-partitioned window to
-    pick the plurality label.  Rounds are eagerly checkpointed so
-    lineage stays O(1).  [extension] — the reference has no graph
-    surface.
+    pick the plurality label.  Rounds are lazily checkpointed (r13 —
+    lineage still O(1) per round, but no per-round materialisation
+    job: the caller's single action computes the chain once, each
+    round's blocks cached by its checkpoint mark).  [extension] — the
+    reference has no graph surface.
     """
     from pyspark.sql import Window
 
@@ -573,7 +592,7 @@ def label_propagation(
             cnt.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .select("node", "label")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return labels
 
@@ -725,8 +744,16 @@ def hits(
     tables are checkpointed every ``checkpoint_every`` rounds so long
     runs don't compound plan replay.
     """
-    e_src = edges.repartition("src").localCheckpoint(eager=False)
-    e_dst = edges.repartition("dst").localCheckpoint(eager=False)
+    # Materialise the input edge list ONCE before deriving the two
+    # layouts (r13): e_src and e_dst each lazily re-evaluated the
+    # caller's upstream pipeline (a corpus-sized join + distinct in
+    # hits_hubs_authorities) — checkpointing the shared parent makes
+    # both repartitions read the same cached blocks, halving the
+    # edge-build cost (the connected_components pre-symmetrise
+    # precedent).
+    base = edges.localCheckpoint(eager=False)
+    e_src = base.repartition("src").localCheckpoint(eager=False)
+    e_dst = base.repartition("dst").localCheckpoint(eager=False)
     hubs = (
         e_src.select(F.col("src").alias("node"))
         .distinct()
@@ -833,10 +860,12 @@ def strongly_connected_components(
 
     Scale shape: one-shuffle-per-round discipline, src-partitioned
     edge blocks reused across rounds (the HITS idiom), settled pieces
-    unioned lazily, eager checkpoints with stats severing on doubling
-    rounds (_sever_stats — iterative self-joins compound Catalyst's
-    sizeInBytes estimates multiplicatively), all loop conditions 1-row
-    driver probes.  ``max_outer`` exhaustion fails LOUDLY rather than
+    unioned lazily, LAZY checkpoints materialised by the loop-
+    condition counts (r13 — one job per round where the r12 shape
+    paid an eager-materialisation job plus an isEmpty probe job),
+    stats severing on doubling rounds (_sever_stats — iterative
+    self-joins compound Catalyst's sizeInBytes estimates
+    multiplicatively).  ``max_outer`` exhaustion fails LOUDLY rather than
     returning a partial labelling.
     """
     try:
@@ -895,11 +924,11 @@ def _scc_impl(
     if mixed:
         idmap = raw_nodes.select(
             "orig", _id_mix(F.col("orig")).alias("node")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         # idmap already holds the distinct node set (mixing is a
         # bijection) — deriving alive from it skips a third
         # distinct-over-edges exchange.
-        alive = idmap.select("node").localCheckpoint(eager=True)
+        alive = idmap.select("node").localCheckpoint(eager=False)
         e_all = edges.select(
             _id_mix(F.col(src).cast("long")).alias("src"),
             _id_mix(F.col(dst).cast("long")).alias("dst"),
@@ -907,7 +936,7 @@ def _scc_impl(
     else:
         alive = raw_nodes.select(
             F.col("orig").alias("node")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         e_all = edges.select(
             F.col(src).cast("long").alias("src"),
             F.col(dst).cast("long").alias("dst"),
@@ -932,8 +961,9 @@ def _scc_impl(
 
     # src-partitioned once (the HITS edge-block idiom): every coloring
     # round's push join and the trim/ecc src joins reuse the layout
-    # instead of re-exchanging the edge side per round.
-    e = e_all.repartition("src").localCheckpoint(eager=True)
+    # instead of re-exchanging the edge side per round.  Lazy: the
+    # first trim probe materialises it (r13).
+    e = e_all.repartition("src").localCheckpoint(eager=False)
     # Settled pieces accumulate as a LIST of frames (each lazy over
     # already-checkpointed parents) and union once at _finish — the
     # r11 code eager-checkpointed the running union per piece, one
@@ -959,9 +989,14 @@ def _scc_impl(
         while True:
             has_out = e.select(F.col("src").alias("node")).distinct()
             has_in = e.select(F.col("dst").alias("node")).distinct()
-            keep = has_out.join(has_in, "node").localCheckpoint(eager=True)
+            # ONE job per trim round: the trivial-count probe
+            # materialises the lazy keep checkpoint as a side effect
+            # (r13 — was an eager keep job + an isEmpty probe job).
+            keep = has_out.join(has_in, "node").localCheckpoint(
+                eager=False
+            )
             trivial = alive.join(keep, "node", "left_anti")
-            if trivial.isEmpty():
+            if trivial.count() == 0:
                 break
             _add(trivial.select("node", F.col("node").alias("scc")))
             alive = keep
@@ -970,7 +1005,7 @@ def _scc_impl(
                 .join(alive.withColumnRenamed("node", "dst"), "dst")
                 .select("src", "dst")
                 .repartition("src")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
         if alive.isEmpty():
             return _finish(_done().select("node", "scc"))
@@ -990,7 +1025,7 @@ def _scc_impl(
             wrap on huge id domains)."""
             colors = nodes.select(
                 "node", F.col("node").alias("color")
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
             # The guaranteed-convergence cap is |V|+2 relaxation
             # rounds (round k spreads the min to everything within k
             # hops; the longest shortest path is < |V|) — but pricing
@@ -1122,7 +1157,7 @@ def _scc_impl(
             .where(F.col("c_src") == F.col("c_dst"))
             .select("src", "dst")
             .repartition("dst")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # FAST PATH: the r10 frontier BFS from the roots, budgeted —
         # dense dedup/trade SCCs have diameter ≤ a few, so the sweep
@@ -1133,7 +1168,7 @@ def _scc_impl(
         sweep_nodes = (
             colors.where(F.col("node") == F.col("color"))
             .select("node")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # The initial frontier (the roots) is non-empty whenever alive
         # is, so the emptiness probe sits on nxt at the BOTTOM of each
@@ -1143,14 +1178,16 @@ def _scc_impl(
         sweep_parts = [sweep_nodes]
         swept = False
         for _ in range(_SCC_ONEHOP_BW):
+            # ONE job per sweep round: the probe count materialises
+            # the lazy checkpoint (r13 — was eager + isEmpty).
             nxt = (
                 ecc.join(frontier.withColumnRenamed("node", "dst"), "dst")
                 .select(F.col("src").alias("node"))
                 .distinct()
                 .join(sweep_nodes, "node", "left_anti")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            if nxt.isEmpty():
+            if nxt.count() == 0:
                 swept = True
                 break
             sweep_parts.append(nxt)
@@ -1162,7 +1199,7 @@ def _scc_impl(
             settled = (
                 sweep_nodes.join(colors, "node")
                 .select("node", F.col("color").alias("scc"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             if stats is not None:
                 stats.setdefault("inner_rounds", []).append(0)
@@ -1188,21 +1225,22 @@ def _scc_impl(
                 )
                 .where(F.col("color") == F.col("rcolor"))
                 .select("node", F.col("color").alias("scc"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
         _add(settled)
         # --- 4. shrink the live graph and go again ---
+        # ONE job: the emptiness probe materialises settled + alive.
         alive = alive.join(settled, "node", "left_anti").localCheckpoint(
-            eager=True
+            eager=False
         )
-        if alive.isEmpty():
+        if alive.count() == 0:
             return _finish(_done().select("node", "scc"))
         e = (
             e.join(alive.withColumnRenamed("node", "src"), "src")
             .join(alive.withColumnRenamed("node", "dst"), "dst")
             .select("src", "dst")
             .repartition("src")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     raise RuntimeError(f"SCC did not decompose in {max_outer} outer rounds")
 
@@ -1238,8 +1276,11 @@ def random_walks(
     node, the inverted-postings layout): the join returns ONE row per
     walk and the pick indexes the array by hash-mod-degree — swap-in
     documented here, argmin kept because it is exactly replayable
-    cross-engine.  Eager checkpoints per hop keep lineage O(1).
-    [extension] — the reference has no graph surface.
+    cross-engine.  Lazy checkpoints per hop keep lineage O(1) without
+    a per-hop materialisation job (r13); each hop's blocks are cached
+    on first compute, so the two readers (next hop + trace union)
+    share one evaluation.  [extension] — the reference has no graph
+    surface.
     """
     e = (
         edges.select(
@@ -1283,7 +1324,7 @@ def random_walks(
                     F.col("dst"), F.struct(h.alias("h"), F.col("dst"))
                 ).alias("node")
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         out = out.unionByName(
             cur.withColumn("step", F.lit(t).cast("long"))
@@ -1323,9 +1364,12 @@ def stress_centrality_sampled(
     of (shortest root→v path, continuation) pairs = shortest-path
     instances through interior v.  One join per level against the
     settled lower level — O(diameter) rounds total, every level
-    eagerly checkpointed (O(1) lineage), empty-frontier
-    short-circuit, no driver-side state beyond the bounded level
-    list.
+    lazily checkpointed (O(1) lineage; r13 — the forward probe count
+    materialises its level in the SAME job, and the reverse levels
+    are cached on first compute by the final action, so the loop
+    pays one Spark job per forward level and zero per reverse
+    level), empty-frontier short-circuit, no driver-side state
+    beyond the bounded level list.
 
     Returns (node, stress) for nodes with stress > 0.  [extension] —
     the reference has no graph surface.
@@ -1339,7 +1383,7 @@ def stress_centrality_sampled(
             "node",
             F.lit(1).cast("long").alias("sigma"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     levels = [lvl0]
     visited = lvl0.select("root", "node").localCheckpoint(eager=False)
@@ -1355,9 +1399,11 @@ def stress_centrality_sampled(
             .groupBy("root", F.col("dst").alias("node"))
             .agg(F.sum("sigma").alias("sigma"))
             .join(visited, ["root", "node"], "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        # ONE job per level: the probe count materialises the lazy
+        # checkpoint (r13 — was eager + isEmpty, two jobs).
+        if nxt.count() == 0:
             break
         levels.append(nxt)
         visited = visited.unionByName(
@@ -1394,7 +1440,7 @@ def stress_centrality_sampled(
                 "sigma",
                 F.coalesce("g", F.lit(0)).cast("long").alias("g"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if d >= 1:
             contribs.append(

@@ -559,6 +559,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(_PR_OFF) + F.col("o_custkey")).alias("dst"),
         )
         .distinct()
+        # r13: checkpoint BEFORE symmetrising (the connected_components
+        # precedent) — the union's two branches otherwise each
+        # re-evaluate the corpus-sized join + distinct when the next
+        # checkpoint downstream materialises.
+        .localCheckpoint(eager=False)
     )
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -676,6 +681,11 @@ def ppr_seed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(_PR_OFF) + F.col("o_custkey")).alias("dst"),
         )
         .distinct()
+        # r13: checkpoint BEFORE symmetrising (the connected_components
+        # precedent) — the union's two branches otherwise each
+        # re-evaluate the corpus-sized join + distinct when the next
+        # checkpoint downstream materialises.
+        .localCheckpoint(eager=False)
     )
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -817,6 +827,11 @@ def graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(_PR_OFF) + F.col("o_custkey")).alias("dst"),
         )
         .distinct()
+        # r13: checkpoint BEFORE symmetrising (the connected_components
+        # precedent) — the union's two branches otherwise each
+        # re-evaluate the corpus-sized join + distinct when the next
+        # checkpoint downstream materialises.
+        .localCheckpoint(eager=False)
     )
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -883,6 +898,11 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(_PR_OFF) + F.col("o_custkey")).alias("dst"),
         )
         .distinct()
+        # r13: checkpoint BEFORE symmetrising (the connected_components
+        # precedent) — the union's two branches otherwise each
+        # re-evaluate the corpus-sized join + distinct when the next
+        # checkpoint downstream materialises.
+        .localCheckpoint(eager=False)
     )
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -1535,6 +1555,11 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(_PR_OFF) + F.col("o_custkey")).alias("dst"),
         )
         .distinct()
+        # r13: checkpoint BEFORE symmetrising (the connected_components
+        # precedent) — the union's two branches otherwise each
+        # re-evaluate the corpus-sized join + distinct when the next
+        # checkpoint downstream materialises.
+        .localCheckpoint(eager=False)
     )
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -1627,6 +1652,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
         .distinct()
+        # r13: two consumers (the hub-cap aggregate and the projection
+        # probe side) — without a checkpoint each re-evaluates the
+        # corpus join + distinct when triangle_stats materialises.
+        .localCheckpoint(eager=False)
     )
     hub = (
         sc_pairs.groupBy("c")
@@ -3547,13 +3576,19 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(_PR_OFF) + F.col("o_custkey")).alias("dst"),
         )
         .distinct()
+        # r13: checkpoint BEFORE symmetrising (the connected_components
+        # precedent) — the union's two branches otherwise each
+        # re-evaluate the corpus-sized upstream when the downstream
+        # checkpoint materialises.
+        .localCheckpoint(eager=False)
     )
-    # Materialized once: the traversal and the node universe both
-    # consume the symmetrized edge list (a lazy frame would re-run
-    # the scan+join+distinct for each).
+    # Materialized once (lazily, r13): the traversal and the node
+    # universe both consume the symmetrized edge list through this
+    # checkpoint's block cache; the pre-union checkpoint above keeps
+    # the scan+join+distinct single-evaluation.
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     supplier = load_table(spark, sf_dir, "supplier")
     min_nation = supplier.agg(F.min("s_nationkey").alias("mn"))
     sources = (
@@ -3680,6 +3715,11 @@ def graph_betweenness_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(_PR_OFF) + F.col("o_custkey")).alias("dst"),
         )
         .distinct()
+        # r13: checkpoint BEFORE symmetrising (the connected_components
+        # precedent) — the union's two branches otherwise each
+        # re-evaluate the corpus-sized join + distinct when the next
+        # checkpoint downstream materialises.
+        .localCheckpoint(eager=False)
     )
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -3770,12 +3810,17 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(_PR_OFF) + F.col("o_custkey")).alias("dst"),
         )
         .agg((1 + F.count("*") % 5).cast("long").alias("w"))
+        # r13: checkpoint BEFORE symmetrising (the connected_components
+        # precedent) — the union's two branches otherwise each
+        # re-evaluate the corpus-sized upstream when the downstream
+        # checkpoint materialises.
+        .localCheckpoint(eager=False)
     )
     edges = e0.unionByName(
         e0.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
         )
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     supplier = load_table(spark, sf_dir, "supplier")
     min_nation = supplier.agg(F.min("s_nationkey").alias("mn"))
     sources = (
@@ -3881,7 +3926,9 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = orders.withColumn("prev", F.lag("o_orderkey").over(w))
     e0 = seq.where(F.col("prev").isNotNull()).select(
         F.col("prev").alias("src"), F.col("o_orderkey").alias("dst")
-    )
+        # r13: checkpoint BEFORE symmetrising — the union's two
+        # branches otherwise each re-run the lag window over orders.
+    ).localCheckpoint(eager=False)
     es = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -4346,6 +4393,11 @@ def graph_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(_PR_OFF) + F.col("o_custkey")).alias("c"),
         )
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+        # r13: checkpoint BEFORE the two-branch union — both the
+        # forward and the q-even reverse branch otherwise re-run the
+        # corpus join + groupBy when SCC's edge checkpoint
+        # materialises.
+        .localCheckpoint(eager=False)
     )
     edges = p.select(
         F.col("s").alias("src"), F.col("c").alias("dst")
@@ -4441,6 +4493,11 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(_PR_OFF) + F.col("o_custkey")).alias("dst"),
         )
         .distinct()
+        # r13: checkpoint BEFORE symmetrising (the connected_components
+        # precedent) — the union's two branches otherwise each
+        # re-evaluate the corpus-sized join + distinct when the next
+        # checkpoint downstream materialises.
+        .localCheckpoint(eager=False)
     )
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -1186,7 +1186,6 @@ def stream_buslog_backlog_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
-    import time
     import uuid
 
     from another_map_reduce_spark.sources.buslog import register_buslog
@@ -1262,29 +1261,35 @@ def stream_buslog_backlog_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .option(
                     "checkpointLocation", os.path.join(root, "_ck_consume")
                 )
-                .trigger(processingTime="300 milliseconds")
+                .trigger(processingTime="50 milliseconds")
                 .start()
             )
-
-            def _consumed_rows() -> int:
-                return sum(
-                    pr["numInputRows"] for pr in q.recentProgress
-                )
-
-            deadline = time.time() + 180
-            while time.time() < deadline and _consumed_rows() < n_seed:
-                time.sleep(0.2)
-            if _consumed_rows() < n_seed:
-                raise TimeoutError("seed tranche not absorbed in 180s")
+            # Phase barriers by processAllAvailable(), NOT recentProgress
+            # polling (r13): recentProgress is a bounded ring (~100
+            # entries), so on a slow pass the empty 300 ms triggers
+            # accumulated between phases EVICTED the seed batch's entry
+            # and the numInputRows poll undercounted — the loop then
+            # waited tens of extra seconds (measured 11→49 s swings
+            # in-suite; a 100 ms-trigger probe reproduced the eviction
+            # deterministically).  processAllAvailable() blocks until
+            # everything produced SO FAR is committed, which is exactly
+            # the phase contract: seed fully absorbed before the
+            # backlog exists, then the backlog drained.  The offset cap
+            # still bounds every micro-batch, so the ≥3 capped-trigger
+            # drain shape is unchanged; the 50 ms cadence only trims
+            # dead time between capped batches.
+            q.processAllAvailable()  # seed tranche absorbed
             _produce(sliced_batch.where(F.col("event_id") % 20 != 0))
-            deadline = time.time() + 300
-            while time.time() < deadline and _consumed_rows() < n_total:
-                time.sleep(0.2)
-            q.processAllAvailable()
+            q.processAllAvailable()  # backlog drained
             q.stop()
-            if _consumed_rows() != n_total:
+            # Contract check on a MONOTONE metric: the complete-mode
+            # sink's Σn counts every consumed event exactly once.
+            consumed_total = (
+                spark.table(qname).agg(F.sum("n")).collect()[0][0] or 0
+            )
+            if consumed_total != n_total:
                 raise RuntimeError(
-                    f"drain consumed {_consumed_rows()} of {n_total}"
+                    f"drain consumed {consumed_total} of {n_total}"
                 )
         return (
             spark.table(qname)

@@ -156,7 +156,24 @@ def main() -> None:
     # host's run-to-run noise, and the recorded samples make any
     # round-over-round "regression" attributable (vs dispersion)
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    # r13 (measurement hygiene, guide §1/§5): a 236-query suite leaves
+    # each query's localCheckpoint blocks, py4j object handles and
+    # Dataset plans alive in the shared session until a JVM GC cycle
+    # lets ContextCleaner reclaim them; measured in-suite inflation on
+    # block-heavy rows was 3-6x vs the same query isolated
+    # (ann_cosine_pairs 18-37 s in-suite vs 5.4 s isolated, passes
+    # /tmp-logged + OPTIMIZATION_r13.md).  After each TIMED region:
+    # drop the Python refs, collect Python garbage (flushes py4j
+    # detach commands), and every few queries ask the JVM for a GC so
+    # the weak-ref queue drains and storage memory is actually
+    # returned.  All of it runs OUTSIDE the per-query timer; no query
+    # result or plan changes.
+    gc_every = int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "4"))
+    import gc as _gc
+
+    jvm_gc = spark.sparkContext._jvm.System.gc
     samples: dict[str, list[float]] = {}
+    qi = 0
     for _pass in range(passes):
         for name, fn in queries.items():
             t0 = time.perf_counter()
@@ -165,6 +182,11 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             samples.setdefault(name, []).append(dt)
             print(f"# pass{_pass} {name}: {dt}s ({n} rows)", file=sys.stderr)
+            del df
+            _gc.collect()
+            qi += 1
+            if gc_every and qi % gc_every == 0:
+                jvm_gc()
     timings = {n: round(_median(v), 3) for n, v in samples.items()}
     # WARM medians (r13 — VERDICT r12 protocol note #8): the first
     # pass pays one-time artifact builds and JIT/cache warmup, and
