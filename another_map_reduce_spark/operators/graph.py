@@ -27,11 +27,13 @@ Scale design:
 - convergence is detected with a one-row aggregate per round: labels
   only ever DECREASE, so the global SUM(label) is strictly monotone and
   stalls exactly at the fixed point — no expensive old-vs-new anti-join.
-- ONE job per round: the round's frame is marked
+- ONE action per round (AQE may split one action into several
+  scheduler jobs; the saved quantity is the driver round-trip and
+  the duplicate materialisation pass): the round's frame is marked
   ``localCheckpoint(eager=False)``, so the convergence aggregate both
   materialises the checkpoint blocks and computes the sum in a single
-  action (eager checkpointing ran a separate materialisation job first,
-  doubling the per-round job count).
+  action (eager checkpointing ran a separate materialisation action
+  first, doubling the per-round driver round-trips).
 - `localCheckpoint` truncates the lineage each round so the plan (and
   driver memory) stays O(1) in the number of iterations instead of
   growing a nested-union tree Catalyst would re-optimize every round.
@@ -98,7 +100,7 @@ def connected_components(
     )
     # eager=False throughout the loop: the convergence aggregate below
     # is the action that materialises each round's checkpoint blocks,
-    # so every round costs exactly ONE Spark job.
+    # so every round costs exactly one driver action.
     labels = (
         sym.select("node").distinct().withColumn("lbl", F.col("node"))
     ).localCheckpoint(eager=False)
@@ -341,9 +343,9 @@ def bfs_hops(
     corpus-sized side is never re-shuffled — the pagerank discipline),
     one distinct on the discovered nodes, one anti-join against the
     settled set.  Each level is lazily checkpointed and materialised
-    by its own convergence COUNT, so a level costs exactly ONE Spark
-    job (r13: the r12 shape paid two — an eager-checkpoint
-    materialisation job plus an isEmpty probe job; merging them into
+    by its own convergence COUNT, so a level costs exactly one driver
+    action (r13: the r12 shape paid two — an eager-checkpoint
+    materialisation pass plus an isEmpty probe; merging them into
     a count-as-materialiser halves the per-level driver round-trips,
     the CC convergence-probe discipline).  Lineage stays O(1) in
     depth; an empty frontier short-circuits the loop.  [extension] —
@@ -370,7 +372,7 @@ def bfs_hops(
             .select("node", F.lit(level).cast("long").alias("d"))
             .localCheckpoint(eager=False)
         )
-        # ONE job: materialises the lazy checkpoint AND probes.
+        # One action materialises the lazy checkpoint AND probes.
         if nxt.count() == 0:
             break
         dist = dist.unionByName(nxt).localCheckpoint(eager=False)
@@ -397,7 +399,7 @@ def sssp_weighted(
     corpus-sized side is never re-shuffled), one grouped min per
     destination, one improvement join against the settled distances.
     Rounds are lazily checkpointed and materialised by the
-    convergence count — ONE job per round, O(1) lineage, empty-
+    convergence count — one action per round, O(1) lineage, empty-
     frontier short-circuit — the bfs_hops/CC discipline.  Weights must be ≥ 1: only then does the
     ``d < cap`` guard bound both path length and round count, making
     the default ``max_iters = cap + 1`` sufficient for convergence
@@ -442,9 +444,9 @@ def sssp_weighted(
             .select("node", F.col("nd").alias("d"))
             .localCheckpoint(eager=False)
         )
-        # ONE job materialises the round's checkpoint and probes
-        # convergence (r13 — was eager checkpoint + isEmpty, two jobs,
-        # plus an eager dist merge job; the merged dist is now lazy
+        # One action materialises the round's checkpoint and probes
+        # convergence (r13 — was eager checkpoint + isEmpty, two actions,
+        # plus an eager dist merge action; the merged dist is now lazy
         # and materialised by the NEXT round's probe).
         if improved.count() == 0:
             converged = True
@@ -487,10 +489,10 @@ def kcore_peel(
     degree a plain groupBy count) and two semi-joins, checkpointed so
     the per-round stats don't recompute the prefix.  r13: both the
     survivor set and the restricted edge list are LAZY checkpoints
-    materialised by the counts the stats row needs anyway — two jobs
+    materialised by the counts the stats row needs anyway — two actions
     per round, with the degree aggregation computed ONCE (the r12
     shape eager-checkpointed the edges and re-ran the degree pipeline
-    for the separate alive.count job — three jobs and the degree
+    for the separate alive.count — three actions and the degree
     shuffle twice per round).  All counts are integers, so the
     recursive-free unrolled-CTE oracle hash-matches exactly.  Degeneracy note: peeling only CASCADES when removals
     drag survivors below k — hub-dominated graphs converge in one
@@ -510,7 +512,7 @@ def kcore_peel(
             .select(F.col("src").alias("node"))
             .localCheckpoint(eager=False)
         )
-        n_alive = alive.count()  # job 1: degree pipeline, once
+        n_alive = alive.count()  # action 1: degree pipeline, once
         es = (
             es.join(
                 alive.withColumnRenamed("node", "src"), "src", "semi"
@@ -519,7 +521,7 @@ def kcore_peel(
             .select("src", "dst")
             .localCheckpoint(eager=False)
         )
-        stats.append((rnd, n_alive, es.count()))  # job 2: restriction
+        stats.append((rnd, n_alive, es.count()))  # action 2: restriction
     sdf = spark.createDataFrame(
         stats, "round long, n_alive long, n_edges long"
     ).orderBy("round")
@@ -558,7 +560,7 @@ def label_propagation(
     one grouped count on (dst, label), one node-partitioned window to
     pick the plurality label.  Rounds are lazily checkpointed (r13 —
     lineage still O(1) per round, but no per-round materialisation
-    job: the caller's single action computes the chain once, each
+    action: the caller's single action computes the chain once, each
     round's blocks cached by its checkpoint mark).  [extension] — the
     reference has no graph surface.
     """
@@ -862,7 +864,7 @@ def strongly_connected_components(
     edge blocks reused across rounds (the HITS idiom), settled pieces
     unioned lazily, LAZY checkpoints materialised by the loop-
     condition counts (r13 — one job per round where the r12 shape
-    paid an eager-materialisation job plus an isEmpty probe job),
+    paid an eager-materialisation pass plus an isEmpty probe),
     stats severing on doubling rounds (_sever_stats — iterative
     self-joins compound Catalyst's sizeInBytes estimates
     multiplicatively).  ``max_outer`` exhaustion fails LOUDLY rather than
@@ -989,9 +991,9 @@ def _scc_impl(
         while True:
             has_out = e.select(F.col("src").alias("node")).distinct()
             has_in = e.select(F.col("dst").alias("node")).distinct()
-            # ONE job per trim round: the trivial-count probe
+            # One action per trim round: the trivial-count probe
             # materialises the lazy keep checkpoint as a side effect
-            # (r13 — was an eager keep job + an isEmpty probe job).
+            # (r13 — was an eager keep pass + an isEmpty probe).
             keep = has_out.join(has_in, "node").localCheckpoint(
                 eager=False
             )
@@ -1052,7 +1054,7 @@ def _scc_impl(
                     .groupBy(F.col("dst").alias("node"))
                     .agg(F.min("color").alias("inc"))
                 )
-                # Cost schedule: every round is ONE job (lazy
+                # Cost schedule: every round is one action (lazy
                 # checkpoint materialised by the convergence
                 # aggregate — the r10 discipline).  The jump
                 # self-join and stats severing engage together from
@@ -1120,7 +1122,7 @@ def _scc_impl(
                     # regime: extend to the |V|+2 cap (round k spreads
                     # the min to everything within k hops; the longest
                     # shortest path is < |V|, so |V|+2 one-hop rounds
-                    # always fix — only now worth the count job), and
+                    # always fix — only now worth the count action), and
                     # be LOUD about it (ADVICE r11/r12).
                     import warnings
 
@@ -1161,7 +1163,7 @@ def _scc_impl(
         )
         # FAST PATH: the r10 frontier BFS from the roots, budgeted —
         # dense dedup/trade SCCs have diameter ≤ a few, so the sweep
-        # usually empties in 2-4 cheap rounds (two jobs each, no jump
+        # usually empties in 2-4 cheap rounds (two actions each, no jump
         # joins, no severing).  Only if the frontier survives the
         # budget (a deep SCC) do we pay for the doubling coloring
         # (unmixed attempt: escalate instead).
@@ -1178,7 +1180,7 @@ def _scc_impl(
         sweep_parts = [sweep_nodes]
         swept = False
         for _ in range(_SCC_ONEHOP_BW):
-            # ONE job per sweep round: the probe count materialises
+            # One action per sweep round: the probe count materialises
             # the lazy checkpoint (r13 — was eager + isEmpty).
             nxt = (
                 ecc.join(frontier.withColumnRenamed("node", "dst"), "dst")
@@ -1229,7 +1231,7 @@ def _scc_impl(
             )
         _add(settled)
         # --- 4. shrink the live graph and go again ---
-        # ONE job: the emptiness probe materialises settled + alive.
+        # One action: the emptiness probe materialises settled + alive.
         alive = alive.join(settled, "node", "left_anti").localCheckpoint(
             eager=False
         )
@@ -1277,7 +1279,7 @@ def random_walks(
     walk and the pick indexes the array by hash-mod-degree — swap-in
     documented here, argmin kept because it is exactly replayable
     cross-engine.  Lazy checkpoints per hop keep lineage O(1) without
-    a per-hop materialisation job (r13); each hop's blocks are cached
+    a per-hop materialisation action (r13); each hop's blocks are cached
     on first compute, so the two readers (next hop + trace union)
     share one evaluation.  [extension] — the reference has no graph
     surface.
@@ -1367,7 +1369,7 @@ def stress_centrality_sampled(
     lazily checkpointed (O(1) lineage; r13 — the forward probe count
     materialises its level in the SAME job, and the reverse levels
     are cached on first compute by the final action, so the loop
-    pays one Spark job per forward level and zero per reverse
+    pays one driver action per forward level and zero per reverse
     level), empty-frontier short-circuit, no driver-side state
     beyond the bounded level list.
 
@@ -1401,8 +1403,8 @@ def stress_centrality_sampled(
             .join(visited, ["root", "node"], "left_anti")
             .localCheckpoint(eager=False)
         )
-        # ONE job per level: the probe count materialises the lazy
-        # checkpoint (r13 — was eager + isEmpty, two jobs).
+        # One action per level: the probe count materialises the lazy
+        # checkpoint (r13 — was eager + isEmpty, two actions).
         if nxt.count() == 0:
             break
         levels.append(nxt)

@@ -2034,3 +2034,35 @@ def test_stress_centrality_path_diamond_and_depth_cap(spark):
     # middle node carries walks 1-m-4 and 1-m-4-5
     got = run([(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)], [1], 6)
     assert got[4] == 2 and got[2] == got[3] == 2
+
+
+def test_hits_evaluates_upstream_edge_pipeline_once(spark):
+    """r13 single-evaluation contract: hits() checkpoints the caller's
+    edge frame ONCE before deriving the src-/dst-partitioned layouts —
+    previously e_src and e_dst each lazily re-evaluated the upstream
+    pipeline (a corpus-sized join+distinct in hits_hubs_authorities).
+    Pinned with an accumulator-ticking UDF on the upstream: after one
+    full materialisation of a 1-iteration run, every edge row must
+    have been produced exactly once (2x = the old double evaluation).
+    """
+    from pyspark.sql import functions as F
+
+    from another_map_reduce_spark.operators.graph import hits
+
+    sc = spark.sparkContext
+    calls = sc.accumulator(0)
+
+    @F.udf("long", useArrow=False)
+    def _tick(x):
+        calls.add(1)
+        return x
+
+    tick = _tick.asNondeterministic()  # keep Catalyst from duplicating
+    rows = [(1, 10), (2, 10), (2, 20), (3, 20), (3, 30), (4, 30)]
+    edges = spark.createDataFrame(rows, "src long, dst long").select(
+        tick("src").alias("src"), "dst"
+    )
+    hubs, auths = hits(edges, iters=1)
+    # one action pulls BOTH layouts (hubs depends on auths at iters=1)
+    assert hubs.count() > 0 and auths.count() > 0
+    assert calls.value == len(rows), calls.value
