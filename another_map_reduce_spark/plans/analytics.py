@@ -559,11 +559,16 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(_PR_OFF) + F.col("o_custkey")).alias("dst"),
         )
         .distinct()
-        # r13: checkpoint BEFORE symmetrising (the connected_components
-        # precedent) — the union's two branches otherwise each
-        # re-evaluate the corpus-sized join + distinct when the next
-        # checkpoint downstream materialises.
-        .localCheckpoint(eager=False)
+        # r13 note: NO pre-union checkpoint here — the union's two
+        # branches contain identical join+distinct subtrees, and when
+        # the downstream checkpoint materialises them in ONE query
+        # execution Catalyst's ReusedExchange already computes the
+        # shared exchange once; a checkpoint was tried and measured a
+        # consistent ~2 s SLOWER in-suite (block write+read overhead
+        # for work reuse already avoids — the dedup_prefix_filter
+        # precedent).  hits() is the genuine double-evaluation case
+        # (two SEPARATE materialisations) and keeps its shared-parent
+        # checkpoint, pinned by an accumulator test.
     )
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -681,11 +686,16 @@ def ppr_seed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(_PR_OFF) + F.col("o_custkey")).alias("dst"),
         )
         .distinct()
-        # r13: checkpoint BEFORE symmetrising (the connected_components
-        # precedent) — the union's two branches otherwise each
-        # re-evaluate the corpus-sized join + distinct when the next
-        # checkpoint downstream materialises.
-        .localCheckpoint(eager=False)
+        # r13 note: NO pre-union checkpoint here — the union's two
+        # branches contain identical join+distinct subtrees, and when
+        # the downstream checkpoint materialises them in ONE query
+        # execution Catalyst's ReusedExchange already computes the
+        # shared exchange once; a checkpoint was tried and measured a
+        # consistent ~2 s SLOWER in-suite (block write+read overhead
+        # for work reuse already avoids — the dedup_prefix_filter
+        # precedent).  hits() is the genuine double-evaluation case
+        # (two SEPARATE materialisations) and keeps its shared-parent
+        # checkpoint, pinned by an accumulator test.
     )
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -827,11 +837,16 @@ def graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(_PR_OFF) + F.col("o_custkey")).alias("dst"),
         )
         .distinct()
-        # r13: checkpoint BEFORE symmetrising (the connected_components
-        # precedent) — the union's two branches otherwise each
-        # re-evaluate the corpus-sized join + distinct when the next
-        # checkpoint downstream materialises.
-        .localCheckpoint(eager=False)
+        # r13 note: NO pre-union checkpoint here — the union's two
+        # branches contain identical join+distinct subtrees, and when
+        # the downstream checkpoint materialises them in ONE query
+        # execution Catalyst's ReusedExchange already computes the
+        # shared exchange once; a checkpoint was tried and measured a
+        # consistent ~2 s SLOWER in-suite (block write+read overhead
+        # for work reuse already avoids — the dedup_prefix_filter
+        # precedent).  hits() is the genuine double-evaluation case
+        # (two SEPARATE materialisations) and keeps its shared-parent
+        # checkpoint, pinned by an accumulator test.
     )
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -898,11 +913,16 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(_PR_OFF) + F.col("o_custkey")).alias("dst"),
         )
         .distinct()
-        # r13: checkpoint BEFORE symmetrising (the connected_components
-        # precedent) — the union's two branches otherwise each
-        # re-evaluate the corpus-sized join + distinct when the next
-        # checkpoint downstream materialises.
-        .localCheckpoint(eager=False)
+        # r13 note: NO pre-union checkpoint here — the union's two
+        # branches contain identical join+distinct subtrees, and when
+        # the downstream checkpoint materialises them in ONE query
+        # execution Catalyst's ReusedExchange already computes the
+        # shared exchange once; a checkpoint was tried and measured a
+        # consistent ~2 s SLOWER in-suite (block write+read overhead
+        # for work reuse already avoids — the dedup_prefix_filter
+        # precedent).  hits() is the genuine double-evaluation case
+        # (two SEPARATE materialisations) and keeps its shared-parent
+        # checkpoint, pinned by an accumulator test.
     )
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -1555,11 +1575,16 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(_PR_OFF) + F.col("o_custkey")).alias("dst"),
         )
         .distinct()
-        # r13: checkpoint BEFORE symmetrising (the connected_components
-        # precedent) — the union's two branches otherwise each
-        # re-evaluate the corpus-sized join + distinct when the next
-        # checkpoint downstream materialises.
-        .localCheckpoint(eager=False)
+        # r13 note: NO pre-union checkpoint here — the union's two
+        # branches contain identical join+distinct subtrees, and when
+        # the downstream checkpoint materialises them in ONE query
+        # execution Catalyst's ReusedExchange already computes the
+        # shared exchange once; a checkpoint was tried and measured a
+        # consistent ~2 s SLOWER in-suite (block write+read overhead
+        # for work reuse already avoids — the dedup_prefix_filter
+        # precedent).  hits() is the genuine double-evaluation case
+        # (two SEPARATE materialisations) and keeps its shared-parent
+        # checkpoint, pinned by an accumulator test.
     )
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -1652,10 +1677,6 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
         .distinct()
-        # r13: two consumers (the hub-cap aggregate and the projection
-        # probe side) — without a checkpoint each re-evaluates the
-        # corpus join + distinct when triangle_stats materialises.
-        .localCheckpoint(eager=False)
     )
     hub = (
         sc_pairs.groupBy("c")
@@ -3576,16 +3597,13 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(_PR_OFF) + F.col("o_custkey")).alias("dst"),
         )
         .distinct()
-        # r13: checkpoint BEFORE symmetrising (the connected_components
-        # precedent) — the union's two branches otherwise each
-        # re-evaluate the corpus-sized upstream when the downstream
-        # checkpoint materialises.
-        .localCheckpoint(eager=False)
     )
     # Materialized once (lazily, r13): the traversal and the node
     # universe both consume the symmetrized edge list through this
-    # checkpoint's block cache; the pre-union checkpoint above keeps
-    # the scan+join+distinct single-evaluation.
+    # checkpoint's block cache; within its single materialisation the
+    # union branches share the distinct's exchange (ReusedExchange),
+    # so the scan+join+distinct is evaluated once with no extra
+    # checkpoint.
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
@@ -3715,11 +3733,16 @@ def graph_betweenness_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(_PR_OFF) + F.col("o_custkey")).alias("dst"),
         )
         .distinct()
-        # r13: checkpoint BEFORE symmetrising (the connected_components
-        # precedent) — the union's two branches otherwise each
-        # re-evaluate the corpus-sized join + distinct when the next
-        # checkpoint downstream materialises.
-        .localCheckpoint(eager=False)
+        # r13 note: NO pre-union checkpoint here — the union's two
+        # branches contain identical join+distinct subtrees, and when
+        # the downstream checkpoint materialises them in ONE query
+        # execution Catalyst's ReusedExchange already computes the
+        # shared exchange once; a checkpoint was tried and measured a
+        # consistent ~2 s SLOWER in-suite (block write+read overhead
+        # for work reuse already avoids — the dedup_prefix_filter
+        # precedent).  hits() is the genuine double-evaluation case
+        # (two SEPARATE materialisations) and keeps its shared-parent
+        # checkpoint, pinned by an accumulator test.
     )
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -3810,11 +3833,6 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(_PR_OFF) + F.col("o_custkey")).alias("dst"),
         )
         .agg((1 + F.count("*") % 5).cast("long").alias("w"))
-        # r13: checkpoint BEFORE symmetrising (the connected_components
-        # precedent) — the union's two branches otherwise each
-        # re-evaluate the corpus-sized upstream when the downstream
-        # checkpoint materialises.
-        .localCheckpoint(eager=False)
     )
     edges = e0.unionByName(
         e0.select(
@@ -3926,9 +3944,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = orders.withColumn("prev", F.lag("o_orderkey").over(w))
     e0 = seq.where(F.col("prev").isNotNull()).select(
         F.col("prev").alias("src"), F.col("o_orderkey").alias("dst")
-        # r13: checkpoint BEFORE symmetrising — the union's two
-        # branches otherwise each re-run the lag window over orders.
-    ).localCheckpoint(eager=False)
+    )
     es = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -4393,11 +4409,6 @@ def graph_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(_PR_OFF) + F.col("o_custkey")).alias("c"),
         )
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
-        # r13: checkpoint BEFORE the two-branch union — both the
-        # forward and the q-even reverse branch otherwise re-run the
-        # corpus join + groupBy when SCC's edge checkpoint
-        # materialises.
-        .localCheckpoint(eager=False)
     )
     edges = p.select(
         F.col("s").alias("src"), F.col("c").alias("dst")
@@ -4493,11 +4504,16 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(_PR_OFF) + F.col("o_custkey")).alias("dst"),
         )
         .distinct()
-        # r13: checkpoint BEFORE symmetrising (the connected_components
-        # precedent) — the union's two branches otherwise each
-        # re-evaluate the corpus-sized join + distinct when the next
-        # checkpoint downstream materialises.
-        .localCheckpoint(eager=False)
+        # r13 note: NO pre-union checkpoint here — the union's two
+        # branches contain identical join+distinct subtrees, and when
+        # the downstream checkpoint materialises them in ONE query
+        # execution Catalyst's ReusedExchange already computes the
+        # shared exchange once; a checkpoint was tried and measured a
+        # consistent ~2 s SLOWER in-suite (block write+read overhead
+        # for work reuse already avoids — the dedup_prefix_filter
+        # precedent).  hits() is the genuine double-evaluation case
+        # (two SEPARATE materialisations) and keeps its shared-parent
+        # checkpoint, pinned by an accumulator test.
     )
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
