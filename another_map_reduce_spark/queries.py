@@ -54,78 +54,18 @@ def _load() -> None:
 # All parked queries remain proven each round by the sf0.001
 # differential suite and the driver-faithful local gate at sf0.01.
 #
-# Round 13 rotation (same rolling policy as r4..r12).  Row-age
-# census after r12 (latest driver row per query): 50 at r12, 49 at
-# r11, 49 at r09, 50 at r08, 35 at r07.  This round's window:
-# (1) queries added in r13 (no row at all), (2) the r07 remainder
-# (stalest, r7 driver order), (3) the r08 cohort head (r8 driver
-# order) — exactly 50.  This is the cohort VERDICT r12 "Next round
-# #1" names (the staged _ORDER_NEXT_R12 list from last round).
+# Round 14 rotation (same rolling policy as r4..r13).  Row-age
+# census after r13 (latest driver row per query): 50 at r13, 50 at
+# r12, 49 at r11, 49 at r09, 38 at r08.  This round's window:
+# (1) the r08 remainder — exactly last round's staged _ORDER_NEXT_R13,
+# the cohort VERDICT r13 "Next round #8" names — then (2) the r09
+# cohort head (r9 driver order) to fill to 50.
 _ORDER_FRONT = [
-    # r13 additions (no driver row yet):
-    "stream_buslog_backlog_drain",
-    "multimodal_audio_phash",
-    "graph_betweenness_approx",
-    # r7 cohort remainder (latest row r07 — stalest in the registry):
-    "topk_global",
-    "distinct_pairs",
-    "set_intersect",
-    "set_except",
-    "set_union_all",
-    "scalar_string_date_math",
-    "scalar_case_bucket",
-    "json_extract_agg",
-    "events_hourly",
-    "subquery_above_avg",
-    "asof_last_purchase",
-    "range_views_before_purchase",
-    "session_windows_batch",
-    "pivot_lang_source",
-    "grouping_sets",
-    "percentiles_by_priority",
-    "q3_shipping_priority",
-    "window_rank_family",
-    "array_functions",
-    "json_struct_parse",
-    "q10_returned_items",
-    "string_match_funcs",
-    "null_handling",
-    "cross_join_regions",
-    "text_token_stats",
-    "text_quality_by_lang",
-    "lang_id_confusion",
-    "dedup_exact_stats",
-    "dedup_fingerprint_stats",
-    "dedup_ngram_jaccard",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q19_disjunctive_predicates",
-    "q1_pricing_summary",
-    "stream_dedup_counts",
-    # r8 cohort head (next-oldest, r8 driver order) — fills to 50:
-    "pipeline_ingest_delta",
-    "stream_static_join_segments",
-    "recursive_calendar_gaps",
-    "variant_props_stats",
-    "sink_sorted_skipping",
-    "embedding_quantize_stats",
-    "data_profile_summary",
-    "timeseries_gapfill_locf",
-    "histogram_order_totals",
-    "regression_by_flag",
-    "pagerank_suppliers",
-    "stream_sliding_counts",
-]
-# Staged for the r14 window: the 4 r8-head rows displaced from this
-# round's 50 by the 3 r13 additions, then the r8 cohort remainder
-# (r8 driver order).  Census note for r14: after r13 lands, the
-# oldest rows will be this list (r08), then the r09 cohort.
-_ORDER_NEXT_R13 = [
+    # r8 cohort remainder (latest row r08 — stalest in the registry):
     "window_ntile_deciles",
     "zorder_layout_skipping",
     "cumulative_unique_users",
     "event_transition_matrix",
-    # r8 cohort remainder:
     "funnel_time_to_convert",
     "graph_degree_distribution",
     "join_multiway",
@@ -160,12 +100,67 @@ _ORDER_NEXT_R13 = [
     "q21_waiting_suppliers",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    # r9 cohort head (next-oldest, r9 driver order) — fills to 50:
+    "stream_session_close_tws",
+    "ann_ivf_pq_topk",
+    "graph_sssp_weighted",
+    "graph_kcore_peel",
+    "dedup_lsh_compact",
+    "ann_ivf_append",
+    "dedup_lsh_append",
+    "pipeline_ingest_replay",
+    "dedup_containment_incremental",
+    "hybrid_retrieval_rrf",
+    "dedup_simhash_incremental",
+    "dedup_prefix_filter",
+]
+# Staged for the r15 window: the r09 cohort remainder (r9 driver
+# order).  Census note for r15: after r14 lands, the oldest rows will
+# be this list (r09), then the r11 cohort.
+_ORDER_NEXT_R14 = [
+    "kmv_theta_sketch_ops",
+    "bpe_train_merges",
+    "multimodal_phash_index",
+    "embedding_rp_distortion",
+    "constraint_audit",
+    "bpe_encode_report",
+    "snapshot_diff_orders",
+    "incremental_agg_retraction",
+    "timeseries_anomaly_zscore",
+    "class_balanced_sample",
+    "rp_ann_recall",
+    "event_path_regex",
+    "stream_late_data_accounting",
+    "ann_ivf_rp_topk",
+    "skew_diagnosis_report",
+    "stream_session_windows",
+    "market_basket_pairs",
+    "graph_bfs_hops",
+    "dpp_partitioned_join",
+    "bucketed_join_colocated",
+    "scd2_dimension_lookup",
+    "cogroup_asof_pandas",
+    "stream_join_outer_nulls",
+    "pps_systematic_sample",
+    "sql_udf_price_bands",
+    "embedding_dim_correlation",
+    "arrow_group_stats",
+    "quantile_cutpoint_buckets",
+    "bm25_retrieval",
+    "scd2_order_history",
+    "incremental_agg_maintenance",
+    "fuzzy_lev1_neighbors",
+    "unpivot_metrics",
+    "dup_substring_removal",
+    "pysource_stream_wordcount",
+    "hll_sketch_rollup",
+    "bloom_join_pruned_revenue",
 ]
 
 
 def _reorder() -> None:
     front = [
-        n for n in _ORDER_FRONT + _ORDER_NEXT_R13 if n in QUERIES
+        n for n in _ORDER_FRONT + _ORDER_NEXT_R14 if n in QUERIES
     ]
     mid = [n for n in QUERIES if n not in front]
     names = front + mid

@@ -25,7 +25,7 @@ def test_front_order_fits_driver_cap():
 
 def test_order_lists_are_consistent():
     """No typos, no duplicates, no overlap between the order lists."""
-    all_listed = Q._ORDER_FRONT + Q._ORDER_NEXT_R13
+    all_listed = Q._ORDER_FRONT + Q._ORDER_NEXT_R14
     assert len(all_listed) == len(set(all_listed)), "duplicate order entry"
     unknown = [n for n in all_listed if n not in Q.QUERIES]
     assert not unknown, f"order entries not in registry: {unknown}"
@@ -35,5 +35,5 @@ def test_registry_iteration_starts_with_front():
     names = list(Q.QUERIES)
     front = [n for n in Q._ORDER_FRONT if n in Q.QUERIES]
     assert names[: len(front)] == front
-    staged = [n for n in Q._ORDER_NEXT_R13 if n in Q.QUERIES]
+    staged = [n for n in Q._ORDER_NEXT_R14 if n in Q.QUERIES]
     assert names[len(front) : len(front) + len(staged)] == staged
