@@ -1508,9 +1508,19 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     refined from a deterministic init.
     """
     from another_map_reduce_spark.operators.similarity import ivf_topk
+    from another_map_reduce_spark.phases import phase
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=10, nprobe=16)
+    # Phase label (r14 — VERDICT r13 #4): ivf_topk's Lloyd centroid
+    # training runs driver-blocking inside this call; labeling it
+    # splits build vs probe seconds in BENCH_FULL's queries_phases so
+    # a cold-environment build stops reading as probe regression.
+    # The probe itself is the returned lazy frame (total − build).
+    with phase(spark, "ann_ivf_topk", "build_train"):
+        out = ivf_topk(
+            emb, emb.where(F.col("vec_id") < 10), k=10, nprobe=16
+        )
+    return out
 
 
 @register("ann_ivf_pq_topk", oracle=_ANN_TOPK_SQL)

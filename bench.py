@@ -171,9 +171,13 @@ def main() -> None:
     gc_every = int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "4"))
     import gc as _gc
 
+    from another_map_reduce_spark import phases as _phases
+
     jvm_gc = spark.sparkContext._jvm.System.gc
     samples: dict[str, list[float]] = {}
+    phase_samples: dict[str, list[dict[str, float]]] = {}
     qi = 0
+    gc_sec = 0.0  # cumulative UNTIMED between-query cleanup wall
     for _pass in range(passes):
         for name, fn in queries.items():
             t0 = time.perf_counter()
@@ -181,12 +185,24 @@ def main() -> None:
             n = df.count() if name in UNBOUNDED else len(df.collect())
             dt = round(time.perf_counter() - t0, 3)
             samples.setdefault(name, []).append(dt)
+            # r14 (VERDICT r13 #4): queries that label build/produce
+            # vs probe/drain phases publish the split per pass — a
+            # decomposition of dt, not an exclusion from it.
+            ph = _phases.drain(name)
+            if ph is not None:
+                phase_samples.setdefault(name, []).append(ph)
             print(f"# pass{_pass} {name}: {dt}s ({n} rows)", file=sys.stderr)
+            # r14 (VERDICT r13 #7): the cleanup below runs OUTSIDE the
+            # per-query timers, so its wall time would otherwise vanish
+            # from the artifact; gc_sec records the cumulative cost so
+            # the hygiene stays auditable.
+            g0 = time.perf_counter()
             del df
             _gc.collect()
             qi += 1
             if gc_every and qi % gc_every == 0:
                 jvm_gc()
+            gc_sec += time.perf_counter() - g0
     timings = {n: round(_median(v), 3) for n, v in samples.items()}
     # WARM medians (r13 — VERDICT r12 protocol note #8): the first
     # pass pays one-time artifact builds and JIT/cache warmup, and
@@ -211,6 +227,8 @@ def main() -> None:
         "queries": timings,
         "queries_warm": warm,
         "queries_samples": samples,
+        "queries_phases": phase_samples,
+        "gc_sec": round(gc_sec, 3),
         "sf": sf_dir.rstrip("/").rsplit("/", 1)[-1],
     }
     if os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0":
@@ -269,6 +287,7 @@ def main() -> None:
             "oracle_samples",
             "queries_samples",
             "queries_warm",
+            "queries_phases",
         )
     }
     slowest = sorted(timings, key=timings.get, reverse=True)

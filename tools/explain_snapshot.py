@@ -22,9 +22,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main() -> None:
+    import os
+
     tag, suffix = sys.argv[1], sys.argv[2]
     names = sys.argv[3:]
-    sf_dir = "/root/testdata/sf0.01"
+    # ADVICE r13: overridable so the tool works on other hosts/layouts.
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+    )
 
     from another_map_reduce_spark.queries import QUERIES
     from another_map_reduce_spark.session import get_spark
@@ -38,6 +43,9 @@ def main() -> None:
             continue
         try:
             df = QUERIES[name](spark, sf_dir)
+            # Private-API coupling (ADVICE r13): this mirrors exactly
+            # what DataFrame.explain() calls internally; a PySpark
+            # upgrade that breaks it breaks .explain() too.
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
